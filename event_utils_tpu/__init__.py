@@ -1,0 +1,32 @@
+"""event_utils_tpu — a TPU-native event-camera framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of
+TimoStoff/event_utils (reference: /root/reference):
+
+- ``ops``             core device kernels: bilinear/integer scatter-add,
+                      bilinear gather, scipy-parity Gaussian blur
+                      (replaces torch ``index_put_``/``np.bincount``/
+                      ``F.grid_sample``/``scipy.ndimage.gaussian_filter``)
+- ``utils``           event masks / clipping / windowing / hot-pixel removal
+- ``representations`` event image, average-timestamp image, voxel grids
+- ``models``          parametric warp models + contrast objectives
+- ``contrast_max``    jitted contrast-maximisation optimizers, grid search,
+                      ROI-tiled ``grid_cmax``, dIWE segmentation
+- ``transforms``      dense-optic-flow event warping
+- ``augmentation``    RNG-keyed raw-event-stream augmentation
+- ``data_formats``    HDF5 / memmap / npy readers & packagers, converters
+- ``data_loaders``    windowed voxel datasets + double-buffered device prefetch
+- ``parallel``        jax.sharding mesh utilities, event-sharded accumulation
+- ``visualization``   matplotlib 3-D event / voxel / flow renderers
+- ``cli``             visualize / convert entry points
+
+Events are component arrays ``(xs, ys, ts, ps)`` exactly as in the reference
+API, with an optional validity ``mask`` everywhere so irregular event counts
+map onto XLA's static shapes (bucketed padding instead of ragged arrays).
+"""
+
+__version__ = "0.1.0"
+
+from . import ops, utils, representations, models, contrast_max  # noqa: F401
+from . import transforms, augmentation, data_formats, data_loaders  # noqa: F401
+from . import parallel, visualization  # noqa: F401

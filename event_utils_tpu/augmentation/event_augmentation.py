@@ -1,0 +1,251 @@
+"""Raw-event-stream augmentation.
+
+Rebuild of reference ``lib/augmentation/event_augmentation.py``. Two flavours:
+
+* **Host (numpy) ops** with reference-compatible signatures — these change the
+  number of events (add/remove/merge) and therefore live on the host where
+  dynamic shapes are free. Randomness goes through an explicit
+  ``numpy.random.Generator`` (``rng=``) instead of the reference's global
+  ``np.random`` state, so augmentation is reproducible.
+* **Device ops** (``*_jax``) — capacity-preserving transforms (flip, rotate,
+  crop-mask, polarity-preserving jitter) as pure functions of a
+  ``jax.random`` key, usable inside jitted input pipelines.
+
+Documented divergences from catalogued reference bugs (SURVEY.md §7.3):
+- ``rotate_events`` here applies a true rotation about the center
+  (the reference adds the *centered* coords back instead of the center,
+  event_augmentation.py:218-219, and draws the y-center from the x-range);
+- ``flip_events_*`` map ``c -> (res-1) - c`` (the reference's ``res - c``
+  can produce out-of-range coords equal to ``res``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+
+def _default_rng(rng):
+    return np.random.default_rng() if rng is None else rng
+
+
+def events_to_block(xs, ys, ts, ps) -> np.ndarray:
+    """Stack event components into an ``(N, 4)`` block
+    (reference event_augmentation.py:23-38)."""
+    return np.stack([np.asarray(xs), np.asarray(ys), np.asarray(ts),
+                     np.asarray(ps)], axis=1)
+
+
+def block_to_events(block):
+    return block[:, 0], block[:, 1], block[:, 2], block[:, 3]
+
+
+def merge_events(event_sets, sort: bool = False):
+    """Concatenate several (xs, ys, ts, ps) streams into one block
+    (reference event_augmentation.py:40-58); optionally time-sort."""
+    xs = np.concatenate([np.asarray(e[0]) for e in event_sets])
+    ys = np.concatenate([np.asarray(e[1]) for e in event_sets])
+    ts = np.concatenate([np.asarray(e[2]) for e in event_sets])
+    ps = np.concatenate([np.asarray(e[3]) for e in event_sets])
+    block = events_to_block(xs, ys, ts, ps)
+    if sort:
+        block = block[np.argsort(block[:, 2], kind="stable")]
+    return block
+
+
+def sample(cdf, ts, rng=None):
+    """Draw an event index by sampling a CDF over timestamps
+    (reference event_augmentation.py:8-21)."""
+    rng = _default_rng(rng)
+    rnd = rng.uniform(cdf[0], cdf[-1])
+    return int(np.searchsorted(ts, rnd))
+
+
+def _sorted_out(block, sort):
+    if sort:
+        block = block[np.argsort(block[:, 2], kind="stable")]
+    return block[:, 0], block[:, 1], block[:, 2], block[:, 3]
+
+
+def add_random_events(xs, ys, ts, ps, to_add, sensor_resolution=None,
+                      sort: bool = True, return_merged: bool = True,
+                      rng=None):
+    """Add uniform-noise events over the stream's spatial/temporal extent
+    (reference event_augmentation.py:60-92)."""
+    rng = _default_rng(rng)
+    xs, ys, ts, ps = map(np.asarray, (xs, ys, ts, ps))
+    if sensor_resolution is None:
+        max_x, max_y = int(np.max(xs)) + 1, int(np.max(ys)) + 1
+    else:
+        max_y, max_x = sensor_resolution
+    xs_new = rng.integers(0, max_x, size=to_add).astype(xs.dtype)
+    ys_new = rng.integers(0, max_y, size=to_add).astype(ys.dtype)
+    ts_new = rng.uniform(np.min(ts), np.max(ts), size=to_add)
+    ps_new = rng.integers(0, 2, size=to_add) * 2 - 1
+    if return_merged:
+        block = merge_events([[xs_new, ys_new, ts_new, ps_new],
+                              [xs, ys, ts, ps]])
+        return _sorted_out(block, sort)
+    block = events_to_block(xs_new, ys_new, ts_new, ps_new)
+    return _sorted_out(block, sort)
+
+
+def remove_events(xs, ys, ts, ps, to_remove, add_noise: int = 0, rng=None):
+    """Randomly drop ``to_remove`` events, optionally replacing with noise
+    (reference event_augmentation.py:94-116)."""
+    rng = _default_rng(rng)
+    xs, ys, ts, ps = map(np.asarray, (xs, ys, ts, ps))
+    if to_remove > len(xs):
+        return (np.array([]),) * 4
+    keep = len(xs) - to_remove
+    idx = rng.choice(len(xs), size=keep, replace=False)
+    idx.sort()
+    if add_noise <= 0:
+        return xs[idx], ys[idx], ts[idx], ps[idx]
+    nsx, nsy, nst, nsp = add_random_events(xs, ys, ts, ps, add_noise,
+                                           sort=False, return_merged=False,
+                                           rng=rng)
+    block = merge_events([[xs[idx], ys[idx], ts[idx], ps[idx]],
+                          [nsx, nsy, nst, nsp]])
+    return _sorted_out(block, True)
+
+
+def add_correlated_events(xs, ys, ts, ps, to_add, sort: bool = True,
+                          return_merged: bool = True, xy_std: float = 1.5,
+                          ts_std: float = 0.001, add_noise: int = 0,
+                          rng=None):
+    """Densify: place a Gaussian bubble of new events around existing ones
+    (reference event_augmentation.py:118-157). Vectorized: one tiled draw,
+    then a uniform subsample down to ``to_add``."""
+    rng = _default_rng(rng)
+    xs, ys, ts, ps = map(np.asarray, (xs, ys, ts, ps))
+    iters = int(to_add / len(xs)) + 1
+    rep_x = np.tile(xs, iters)
+    rep_y = np.tile(ys, iters)
+    rep_t = np.tile(ts, iters)
+    rep_p = np.tile(ps, iters)
+    xs_new = rep_x + rng.normal(scale=xy_std, size=rep_x.shape).astype(int)
+    ys_new = rep_y + rng.normal(scale=xy_std, size=rep_y.shape).astype(int)
+    ts_new = rep_t + rng.normal(scale=ts_std, size=rep_t.shape)
+    idx = rng.choice(len(xs_new), size=to_add, replace=False)
+    xs_new = np.clip(xs_new[idx], 0, np.max(xs))
+    ys_new = np.clip(ys_new[idx], 0, np.max(ys))
+    ts_new = ts_new[idx]
+    ps_new = rep_p[idx]
+    sets = [[xs_new, ys_new, ts_new, ps_new]]
+    if add_noise > 0:
+        sets.append(add_random_events(xs, ys, ts, ps, add_noise, sort=False,
+                                      return_merged=False, rng=rng))
+    if return_merged:
+        sets.append([xs, ys, ts, ps])
+    block = merge_events(sets)
+    return _sorted_out(block, sort)
+
+
+def flip_events_x(xs, ys, ts, ps, sensor_resolution=(180, 240)):
+    """Mirror events along x (reference event_augmentation.py:159-169;
+    off-by-one fixed: ``x -> (W-1) - x``)."""
+    return sensor_resolution[1] - 1 - np.asarray(xs), ys, ts, ps
+
+
+def flip_events_y(xs, ys, ts, ps, sensor_resolution=(180, 240)):
+    """Mirror events along y (reference event_augmentation.py:171-181;
+    off-by-one fixed: ``y -> (H-1) - y``)."""
+    return xs, sensor_resolution[0] - 1 - np.asarray(ys), ts, ps
+
+
+def crop_events(xs, ys, sensor_resolution, new_resolution):
+    """Crop events to a smaller resolution
+    (reference event_augmentation.py:183-193)."""
+    from ..utils.event_util import clip_events_to_bounds
+    clip = clip_events_to_bounds(xs, ys, None, None, new_resolution)
+    return clip[0], clip[1]
+
+
+def rotate_events(xs, ys, sensor_resolution=(180, 240), theta_radians=None,
+                  center_of_rotation=None, clip_to_range: bool = False,
+                  rng=None):
+    """Rotate events about a center (reference event_augmentation.py:195-223,
+    with the rotation math corrected: ``p' = c + R(theta) (p - c)``).
+
+    Returns ``(xs', ys', theta_radians, center_of_rotation)``.
+    """
+    rng = _default_rng(rng)
+    xs, ys = np.asarray(xs), np.asarray(ys)
+    if theta_radians is None:
+        theta_radians = rng.uniform(0, 2 * np.pi)
+    if center_of_rotation is None:
+        center_of_rotation = (int(rng.uniform(0, sensor_resolution[1])),
+                              int(rng.uniform(0, sensor_resolution[0])))
+    cx, cy = center_of_rotation
+    rx = xs - cx
+    ry = ys - cy
+    c, s = np.cos(theta_radians), np.sin(theta_radians)
+    new_xs = c * rx - s * ry + cx
+    new_ys = s * rx + c * ry + cy
+    if clip_to_range:
+        from ..utils.event_util import clip_events_to_bounds
+        clip = clip_events_to_bounds(new_xs, new_ys, None, None,
+                                     sensor_resolution)
+        new_xs, new_ys = clip[0], clip[1]
+    return new_xs, new_ys, theta_radians, center_of_rotation
+
+
+# ---------------------------------------------------------------------------
+# Device-side (jit-friendly, capacity-preserving) augmentation
+# ---------------------------------------------------------------------------
+
+def flip_events_x_jax(xs, ys, ts, ps, sensor_resolution=(180, 240)):
+    return sensor_resolution[1] - 1 - jnp.asarray(xs), ys, ts, ps
+
+
+def flip_events_y_jax(xs, ys, ts, ps, sensor_resolution=(180, 240)):
+    return xs, sensor_resolution[0] - 1 - jnp.asarray(ys), ts, ps
+
+
+def rotate_events_jax(key, xs, ys, sensor_resolution=(180, 240),
+                      theta_radians=None, center_of_rotation=None):
+    """Device rotation with jax.random; returns (xs', ys', theta, center)."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    if theta_radians is None:
+        theta_radians = jax.random.uniform(k1, (), minval=0.0,
+                                           maxval=2 * jnp.pi)
+    if center_of_rotation is None:
+        cx = jax.random.uniform(k2, (), minval=0.0,
+                                maxval=float(sensor_resolution[1]))
+        cy = jax.random.uniform(k3, (), minval=0.0,
+                                maxval=float(sensor_resolution[0]))
+        center_of_rotation = (cx, cy)
+    cx, cy = center_of_rotation
+    rx = jnp.asarray(xs, jnp.float32) - cx
+    ry = jnp.asarray(ys, jnp.float32) - cy
+    c, s = jnp.cos(theta_radians), jnp.sin(theta_radians)
+    return c * rx - s * ry + cx, s * rx + c * ry + cy, theta_radians, center_of_rotation
+
+
+def jitter_events_jax(key, xs, ys, ts, xy_std: float = 1.5,
+                      ts_std: float = 0.001):
+    """Gaussian spatio-temporal jitter — the device-side core of
+    ``add_correlated_events`` (capacity-preserving: jitter a copy, then merge
+    on the host or keep as an extra batch)."""
+    kx, ky, kt = jax.random.split(key, 3)
+    xs = jnp.asarray(xs, jnp.float32)
+    ys = jnp.asarray(ys, jnp.float32)
+    ts = jnp.asarray(ts, jnp.float32)
+    nx = xs + jnp.trunc(jax.random.normal(kx, xs.shape) * xy_std)
+    ny = ys + jnp.trunc(jax.random.normal(ky, ys.shape) * xy_std)
+    nt = ts + jax.random.normal(kt, ts.shape) * ts_std
+    return nx, ny, nt
+
+
+def remove_events_mask_jax(key, n: int, to_remove: int):
+    """Random keep-mask over a fixed-capacity batch: device analogue of
+    ``remove_events`` (drops exactly ``to_remove`` of ``n`` slots)."""
+    scores = jax.random.uniform(key, (n,))
+    thresh = jnp.sort(scores)[to_remove]
+    return scores >= thresh

@@ -1,0 +1,610 @@
+"""Contrast-maximisation drivers: gradient optimizers, grid search, grid_cmax.
+
+Rebuild of reference ``lib/contrast_max/events_cmax.py`` as two coexisting
+paths:
+
+* **Host-driven parity path** — ``optimize_contrast`` / ``optimize`` /
+  ``optimize_r2`` keep the reference's scipy-BFGS driver semantics
+  (events_cmax.py:313-389) including the per-iteration adaptive-lifespan
+  callback — but every objective/gradient evaluation is one cached, jitted
+  JAX computation (a masked, fixed-capacity event batch, so the lifespan cut
+  never recompiles).
+
+* **Jitted TPU path** — ``optimize_contrast_jit`` compiles the entire BFGS
+  solve (``jax.scipy.optimize.minimize``) and the coarse-to-fine grid search
+  into one XLA program; ``grid_cmax_batched`` vmaps that whole solver over
+  every ROI of the sensor at once (the reference loops ROIs in Python,
+  events_cmax.py:53-67).
+"""
+
+from __future__ import annotations
+
+import copy
+import functools
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.optimize as sciopt
+from jax.scipy.optimize import minimize as jax_minimize
+
+from ..models.objectives import (get_iwe, objective_function,
+                                 variance_objective)
+from ..models.warps import linvel_warp, warp_function
+from ..ops.blur import gaussian_filter
+from ..utils.event_util import infer_resolution, lifespan_mask
+
+Array = jax.Array
+
+
+# ---------------------------------------------------------------------------
+# Jitted loss factory
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=256)
+def _compiled_loss(obj_key, warp_cls, img_size, blur_sigma, use_polarity,
+                   obj_cls, obj_args):
+    """Build and cache jitted (loss, value_and_grad) for a configuration.
+
+    ``blur_sigma`` is static (the Gaussian kernel size depends on it).
+    """
+    warpfunc = warp_cls()
+    objective = obj_cls(*obj_args)
+
+    def loss(params, xs, ys, ts, ps, mask):
+        iwe, _ = get_iwe(params, xs, ys, ts, ps, warpfunc, img_size,
+                         use_polarity=use_polarity, mask=mask)
+        if blur_sigma and blur_sigma > 0:
+            iwe = gaussian_filter(iwe, blur_sigma)
+        return objective.loss_fn(iwe)
+
+    return jax.jit(loss), jax.jit(jax.value_and_grad(loss))
+
+
+def make_objective_loss(objective: objective_function,
+                        warpfunc: warp_function,
+                        img_size: Tuple[int, int],
+                        blur_sigma: Optional[float]) -> Callable:
+    """Pure jittable ``loss(params, xs, ys, ts, ps, mask)`` for an
+    objective/warp pair (autodiff path). Not cached — use directly inside
+    larger jitted programs."""
+
+    def loss(params, xs, ys, ts, ps, mask=None):
+        iwe, _ = get_iwe(params, xs, ys, ts, ps, warpfunc, img_size,
+                         use_polarity=objective.use_polarity, mask=mask)
+        if blur_sigma and blur_sigma > 0:
+            iwe = gaussian_filter(iwe, blur_sigma)
+        return objective.loss_fn(iwe)
+
+    return loss
+
+
+def _get_jitted(objective, warpfunc, img_size, blur_sigma):
+    """lru-cached compiled loss for the host-driven optimizer."""
+    sigma = objective.default_blur if blur_sigma is None else blur_sigma
+    obj_args = ()
+    if isinstance(objective, variance_objective):
+        obj_args = (False, objective.minimum_events)
+    key = (objective.name, getattr(objective, "thresh", None),
+           getattr(objective, "p", None))
+    return _compiled_loss(key, type(warpfunc), tuple(img_size), float(sigma),
+                          objective.use_polarity, type(objective), obj_args)
+
+
+# ---------------------------------------------------------------------------
+# Host-driven optimizer (reference semantics, jitted evaluations)
+# ---------------------------------------------------------------------------
+
+def optimize_contrast(xs, ys, ts, ps, warp_function, objective,
+                      optimizer=sciopt.fmin_bfgs, x0=None,
+                      numeric_grads: bool = False, blur_sigma=None,
+                      img_size=(180, 240), grid_search_init: bool = False,
+                      minimum_events: int = 200):
+    """Optimize warp parameters with a (scipy) BFGS driver
+    (reference events_cmax.py:313-346).
+
+    Adaptive lifespan runs as in the reference: the BFGS callback
+    (``objective.iter_update``) recomputes the event lifespan from the current
+    parameter magnitude; here the cut is a validity-mask update over a
+    fixed-capacity batch (with the reference's ``ps*100`` rescale,
+    objectives.py:225), so nothing recompiles.
+    """
+    xs = np.ascontiguousarray(xs, np.float32)
+    ys = np.ascontiguousarray(ys, np.float32)
+    ts = np.ascontiguousarray(ts, np.float32)
+    ps = np.ascontiguousarray(ps, np.float32)
+
+    if grid_search_init and x0 is None:
+        init_obj = copy.deepcopy(objective)
+        init_obj.adaptive_lifespan = False
+        minv = grid_search_optimisation(xs, ys, ts, ps, warp_function,
+                                        init_obj, img_size, log_scale=False)
+        x0 = minv["min_params"]
+    if x0 is None:
+        x0 = np.zeros(warp_function.dims)
+    x0 = np.asarray(x0, np.float64)
+
+    loss_jit, vgrad_jit = _get_jitted(objective, warp_function, img_size,
+                                      blur_sigma)
+
+    dxs = jnp.asarray(xs)
+    dys = jnp.asarray(ys)
+    dts = jnp.asarray(ts)
+    dps = jnp.asarray(ps)
+    state = {"mask": jnp.ones_like(dts)}
+
+    def refresh_mask(params):
+        if objective.adaptive_lifespan:
+            objective.iter_update(params)
+            m = lifespan_mask(dts, jnp.asarray(params, jnp.float32),
+                              objective.pixel_crossings,
+                              objective.minimum_events)
+            state["mask"] = m
+
+    def weights():
+        if objective.adaptive_lifespan:
+            return dps * 100.0  # objectives.py:225
+        return dps
+
+    def f(p):
+        return float(loss_jit(jnp.asarray(p, jnp.float32), dxs, dys, dts,
+                              weights(), state["mask"]))
+
+    def fprime(p):
+        _, g = vgrad_jit(jnp.asarray(p, jnp.float32), dxs, dys, dts,
+                         weights(), state["mask"])
+        return np.asarray(g, np.float64)
+
+    refresh_mask(x0)
+    if numeric_grads:
+        argmax = optimizer(f, x0, epsilon=1, disp=False,
+                           callback=refresh_mask)
+    else:
+        argmax = optimizer(f, x0, fprime=fprime, disp=False,
+                           callback=refresh_mask)
+    return np.asarray(argmax)
+
+
+def optimize(xs, ys, ts, ps, warp, obj, numeric_grads: bool = True,
+             img_size=(180, 240)):
+    """Single-stage optimize with blur 1.0 (reference events_cmax.py:348-368)."""
+    numeric_grads = numeric_grads if obj.has_derivative else True
+    return optimize_contrast(xs, ys, ts, ps, warp, obj,
+                             numeric_grads=numeric_grads, blur_sigma=1.0,
+                             img_size=img_size)
+
+
+def optimize_r2(xs, ys, ts, ps, warp, obj, numeric_grads: bool = True,
+                img_size=(180, 240)):
+    """Two-stage schedule finishing with the SoE loss
+    (reference events_cmax.py:370-389)."""
+    from ..models.objectives import soe_objective
+    soe_obj = soe_objective()
+    numeric_grads = numeric_grads if obj.has_derivative else True
+    argmax = optimize_contrast(xs, ys, ts, ps, warp, obj,
+                               numeric_grads=numeric_grads, blur_sigma=None,
+                               img_size=img_size)
+    argmax = optimize_contrast(xs, ys, ts, ps, warp, soe_obj, x0=argmax,
+                               numeric_grads=numeric_grads, blur_sigma=1.0,
+                               img_size=img_size)
+    return argmax
+
+
+# ---------------------------------------------------------------------------
+# Fully-jitted optimizer
+# ---------------------------------------------------------------------------
+
+def optimize_contrast_jit(xs, ys, ts, ps, warpfunc, objective,
+                          x0=None, blur_sigma: Optional[float] = 1.0,
+                          img_size=(180, 240), mask=None,
+                          grid_search_init: bool = False,
+                          maxiter: int = 100):
+    """Whole-solve-on-device BFGS (``jax.scipy.optimize.minimize``).
+
+    One XLA program: warp → scatter → blur → loss, differentiated by
+    autodiff, iterated by a compiled BFGS with line search. Returns the
+    optimal parameters as a jax array.
+    """
+    loss = make_objective_loss(objective, warpfunc, img_size, blur_sigma)
+    xs = jnp.asarray(xs, jnp.float32)
+    ys = jnp.asarray(ys, jnp.float32)
+    ts = jnp.asarray(ts, jnp.float32)
+    ps = jnp.asarray(ps, jnp.float32)
+    if x0 is None:
+        if grid_search_init:
+            x0 = grid_search_refine(
+                lambda p: loss(p, xs, ys, ts, ps, mask),
+                warpfunc.dims)[0]
+        else:
+            x0 = jnp.zeros((warpfunc.dims,), jnp.float32)
+    x0 = jnp.asarray(x0, jnp.float32)
+    res = jax_minimize(
+        lambda p: loss(p, xs, ys, ts, ps, mask), x0, method="BFGS",
+        options={"maxiter": maxiter, "gtol": 1e-6})
+    return res.x
+
+
+# ---------------------------------------------------------------------------
+# SOFAS grid search
+# ---------------------------------------------------------------------------
+
+def _sample_scale(num_samples_per_param: int, log_scale: bool) -> np.ndarray:
+    """Half-axis sample positions in (0, 1] (reference events_cmax.py:272-277)."""
+    if log_scale:
+        scale = np.logspace(0, 2.0, int(num_samples_per_param / 2.0) + 1)[1:]
+        scale /= scale[-1]
+    else:
+        scale = np.linspace(0, 1.0, int(num_samples_per_param / 2.0) + 1)[1:]
+    return scale
+
+
+def _axes_from_ranges(param_ranges, scale):
+    """Symmetric sample axes about each range's midpoint
+    (reference events_cmax.py:285-292)."""
+    axes = []
+    for lo, hi in param_ranges:
+        rng = hi - lo
+        mid = lo + rng / 2.0
+        pos = mid + scale * (rng / 2.0)
+        neg = (mid - scale * (rng / 2.0))[::-1]
+        axes.append(np.concatenate([neg, [mid], pos]))
+    return axes
+
+
+def grid_search_initial(xs, ys, ts, ps, warp_function, objective_function,
+                        img_size, param_ranges=None, log_scale: bool = True,
+                        num_samples_per_param: int = 5):
+    """One level of SOFAS grid search (reference events_cmax.py:241-311).
+
+    All ``num_samples^dims`` sample evaluations run as one vmapped, jitted
+    batch instead of a Python loop.
+
+    Divergence (documented): the reference initialises ``best_eval = 0`` so
+    positive-loss optima are never selected (events_cmax.py:297-307); here
+    the true argmin is returned.
+    """
+    assert num_samples_per_param % 2 == 1
+    scale = _sample_scale(num_samples_per_param, log_scale)
+    if param_ranges is None:
+        param_ranges = [[-150, 150] for _ in range(warp_function.dims)]
+    axes = _axes_from_ranges(param_ranges, scale)
+    grids = np.meshgrid(*axes)
+    coords = np.stack([g.ravel() for g in grids], axis=-1)  # (S, dims)
+
+    loss = make_objective_loss(objective_function, warp_function, img_size,
+                               blur_sigma=1.0)
+    dxs = jnp.asarray(xs, jnp.float32)
+    dys = jnp.asarray(ys, jnp.float32)
+    dts = jnp.asarray(ts, jnp.float32)
+    dps = jnp.asarray(ps, jnp.float32)
+    evals = jax.jit(jax.vmap(lambda p: loss(p, dxs, dys, dts, dps)))(
+        jnp.asarray(coords, jnp.float32))
+    evals = np.asarray(evals, np.float64)
+
+    best = int(np.argmin(evals))
+    return {
+        "params": [tuple(c) for c in coords],
+        "eval": list(evals),
+        "search_axes": axes,
+        "min_params": np.asarray(coords[best]),
+        "min_func_eval": float(evals[best]),
+    }
+
+
+def find_new_range(search_axes, param):
+    """New per-axis search range enclosing the unsearched region around the
+    optimum (reference events_cmax.py:162-184)."""
+    search_axes = np.asarray(search_axes)
+    nearest_idx = int(np.searchsorted(search_axes, param))
+    if nearest_idx >= len(search_axes) - 1:
+        d1 = abs(search_axes[-1] - search_axes[-2])
+        d2 = d1
+    elif nearest_idx == 0:
+        d1 = abs(search_axes[0] - search_axes[-1])
+        d2 = abs(search_axes[0] - search_axes[1])
+    else:
+        d1 = abs(search_axes[nearest_idx] - search_axes[nearest_idx - 1])
+        d2 = abs(search_axes[nearest_idx] - search_axes[nearest_idx + 1])
+    return [param - d1, param + d2]
+
+
+def grid_search_optimisation(xs, ys, ts, ps, warp_function,
+                             objective_function, img_size, param_ranges=None,
+                             log_scale: bool = True,
+                             num_samples_per_param: int = 5, depth: int = 0,
+                             th0: float = 1, max_iters: int = 20):
+    """Recursive coarse-to-fine SOFAS search (reference events_cmax.py:186-237;
+    the reference's recursive call targets a misnamed ``recursive_search`` —
+    the intended recursion is implemented here)."""
+    assert num_samples_per_param % 2 == 1 and num_samples_per_param >= 5
+    optimal = grid_search_initial(xs, ys, ts, ps, warp_function,
+                                  copy.deepcopy(objective_function), img_size,
+                                  param_ranges=param_ranges,
+                                  log_scale=log_scale,
+                                  num_samples_per_param=num_samples_per_param)
+    params = optimal["min_params"]
+    new_ranges, max_range = [], 0.0
+    for sa, param in zip(optimal["search_axes"], params):
+        nr = find_new_range(sa, param)
+        new_ranges.append(nr)
+        max_range = max(max_range, abs(nr[1] - nr[0]))
+    if max_range >= th0 and depth < max_iters:
+        return grid_search_optimisation(
+            xs, ys, ts, ps, warp_function, objective_function, img_size,
+            param_ranges=new_ranges, log_scale=log_scale,
+            num_samples_per_param=num_samples_per_param, depth=depth + 1,
+            th0=th0, max_iters=max_iters)
+    return optimal
+
+
+# Alias matching the (misspelled) reference call site (events_cmax.py:233,336)
+recursive_search = grid_search_optimisation
+
+
+def grid_search_refine(loss_fn: Callable, dims: int,
+                       init_range: float = 150.0,
+                       num_samples_per_param: int = 5,
+                       log_scale: bool = False, iters: int = 8,
+                       th0: float = 1.0):
+    """Jit-friendly coarse-to-fine grid search.
+
+    The whole refine loop (sample -> vmapped eval -> re-center ranges) runs
+    inside ``lax.fori_loop`` with dynamic ranges, so it vmaps across ROIs
+    (``grid_cmax_batched``). Returns ``(best_params, best_eval)``.
+    """
+    scale = jnp.asarray(_sample_scale(num_samples_per_param, log_scale),
+                        jnp.float32)
+    S = 2 * scale.shape[0] + 1
+
+    def sample_axis(lo, hi):
+        rng = hi - lo
+        mid = lo + rng / 2.0
+        pos = mid + scale * (rng / 2.0)
+        neg = (mid - scale * (rng / 2.0))[::-1]
+        return jnp.concatenate([neg, mid[None], pos])
+
+    def body(_, state):
+        ranges, best_p, best_e = state
+        axes = jax.vmap(sample_axis)(ranges[:, 0], ranges[:, 1])  # (dims, S)
+        mesh = jnp.stack(jnp.meshgrid(*[axes[d] for d in range(dims)],
+                                      indexing="ij"), axis=-1)
+        coords = mesh.reshape(-1, dims)  # (S^dims, dims)
+        evals = jax.vmap(loss_fn)(coords)
+        best = jnp.argmin(evals)
+        cand_p = coords[best]
+        cand_e = evals[best]
+        better = cand_e < best_e
+        best_p = jnp.where(better, cand_p, best_p)
+        best_e = jnp.where(better, cand_e, best_e)
+        # re-center each axis around the best sample (half the previous step)
+        step = (axes[:, 1:] - axes[:, :-1]).max(axis=1)
+        new_ranges = jnp.stack([cand_p - step, cand_p + step], axis=-1)
+        return new_ranges, best_p, best_e
+
+    ranges0 = jnp.tile(jnp.asarray([[-init_range, init_range]], jnp.float32),
+                       (dims, 1))
+    init = (ranges0, jnp.zeros((dims,), jnp.float32), jnp.inf)
+    _, best_p, best_e = jax.lax.fori_loop(0, iters, body, init)
+    del th0, S
+    return best_p, best_e
+
+
+# ---------------------------------------------------------------------------
+# ROI-tiled contrast maximisation (grid_cmax)
+# ---------------------------------------------------------------------------
+
+def grid_cmax(xs, ys, ts, ps, roi_size=(20, 20), step=None, warp=None,
+              obj=None, min_events: int = 10, img_size=None):
+    """Per-ROI contrast maximisation, host loop (reference events_cmax.py:28-76).
+
+    Divergences (documented): the final objective evaluation uses the ROI's
+    own IWE over the full-sensor image as in the reference, and unlike the
+    reference — which silently re-instantiates its ``warp``/``obj`` arguments
+    (events_cmax.py:48, 65) — the passed ``warp``/``obj`` are honoured.
+    For TPU-scale throughput use :func:`grid_cmax_batched`.
+    """
+    step = roi_size if step is None else step
+    xs, ys, ts, ps = map(np.asarray, (xs, ys, ts, ps))
+    resolution = infer_resolution(xs, ys) if img_size is None else img_size
+    warp = linvel_warp() if warp is None else warp
+
+    results_params, results_rois, results_f_evals = [], [], []
+    for xc in range(0, resolution[1], step[1]):
+        in_x = (xs >= xc) & (xs < xc + step[1])
+        for yc in range(0, resolution[0], step[0]):
+            sel = in_x & (ys >= yc) & (ys < yc + step[0])
+            roi_xs, roi_ys, roi_ts, roi_ps = xs[sel], ys[sel], ts[sel], ps[sel]
+            if len(roi_xs) > min_events:
+                roi_obj = (variance_objective(adaptive_lifespan=True,
+                                              minimum_events=105)
+                           if obj is None else copy.deepcopy(obj))
+                params = optimize_contrast(roi_xs, roi_ys, roi_ts, roi_ps,
+                                           warp, roi_obj, numeric_grads=False,
+                                           blur_sigma=2.0,
+                                           img_size=resolution,
+                                           grid_search_init=True)
+                params = optimize_contrast(roi_xs, roi_ys, roi_ts, roi_ps,
+                                           warp, roi_obj, numeric_grads=False,
+                                           blur_sigma=1.0,
+                                           img_size=resolution, x0=params)
+                iwe, _ = get_iwe(params, xs, ys, ts, ps, warp, resolution,
+                                 use_polarity=True, compute_gradient=False)
+                f_eval = roi_obj.evaluate_function(iwe=iwe)
+                results_params.append(np.asarray(params))
+                results_rois.append([yc, xc, step[0], step[1]])
+                results_f_evals.append(f_eval)
+    return results_params, results_rois, results_f_evals
+
+
+def bucket_events_by_roi(xs, ys, ts, ps, resolution, roi_size,
+                         capacity: Optional[int] = None):
+    """Bucket events into fixed-capacity per-ROI batches (host side).
+
+    Returns ``(bx, by, bt, bp, bmask, roi_origins)`` where each ``b*`` is
+    ``(R, capacity)`` and ``roi_origins`` is ``(R, 2)`` = (y0, x0). Events
+    beyond a ROI's capacity are dropped (log-free truncation is reported via
+    the returned ``overflow`` count).
+    """
+    H, W = resolution
+    rh, rw = roi_size
+    ny = (H + rh - 1) // rh
+    nx = (W + rw - 1) // rw
+    R = ny * nx
+    xs, ys, ts, ps = map(np.asarray, (xs, ys, ts, ps))
+    rid = (np.minimum(ys.astype(np.int64) // rh, ny - 1) * nx
+           + np.minimum(xs.astype(np.int64) // rw, nx - 1))
+    order = np.argsort(rid, kind="stable")
+    rid_s = rid[order]
+    counts = np.bincount(rid_s, minlength=R)
+    if capacity is None:
+        capacity = int(counts.max()) if len(counts) else 1
+        capacity = max(1, int(2 ** np.ceil(np.log2(max(capacity, 1)))))
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+
+    def pack(arr, fill=0.0):
+        out = np.full((R, capacity), fill, dtype=np.float32)
+        a = arr[order]
+        for r in range(R):
+            n = min(counts[r], capacity)
+            out[r, :n] = a[starts[r]:starts[r] + n]
+        return out
+
+    bx, by = pack(xs), pack(ys)
+    bt, bp = pack(ts), pack(ps)
+    bmask = np.zeros((R, capacity), np.float32)
+    for r in range(R):
+        bmask[r, :min(counts[r], capacity)] = 1.0
+    oy, ox = np.divmod(np.arange(R), nx)
+    roi_origins = np.stack([oy * rh, ox * rw], axis=-1)
+    overflow = int(np.maximum(counts - capacity, 0).sum())
+    return (jnp.asarray(bx), jnp.asarray(by), jnp.asarray(bt),
+            jnp.asarray(bp), jnp.asarray(bmask),
+            jnp.asarray(roi_origins), overflow)
+
+
+def grid_cmax_batched(xs, ys, ts, ps, roi_size=(20, 20), warp=None,
+                      obj=None, min_events: int = 10, img_size=None,
+                      blur_sigma: float = 1.0, maxiter: int = 50,
+                      capacity: Optional[int] = None):
+    """All-ROIs-at-once contrast maximisation: one vmapped, jitted solve.
+
+    TPU-first replacement for the reference's Python ROI loop
+    (events_cmax.py:53-67): events are bucketed by ROI into fixed-capacity
+    batches; a coarse-to-fine grid search plus a BFGS refine runs for *every*
+    ROI in parallel on the device.
+
+    Returns ``(params (R, dims), rois (R, 4), f_evals (R,), valid (R,))``.
+    """
+    warp = linvel_warp() if warp is None else warp
+    obj = variance_objective() if obj is None else obj
+    resolution = infer_resolution(xs, ys) if img_size is None else img_size
+    rh, rw = roi_size
+
+    bx, by, bt, bp, bmask, origins, overflow = bucket_events_by_roi(
+        xs, ys, ts, ps, resolution, roi_size, capacity)
+    loss = make_objective_loss(obj, warp, tuple(resolution), blur_sigma)
+
+    def solve_one(ex, ey, et, ep, emask):
+        def f(p):
+            return loss(p, ex, ey, et, ep, emask)
+
+        x0, _ = grid_search_refine(f, warp.dims, init_range=150.0,
+                                   num_samples_per_param=5, iters=6)
+        res = jax_minimize(f, x0, method="BFGS",
+                                          options={"maxiter": maxiter,
+                                                   "gtol": 1e-6})
+        return res.x, f(res.x)
+
+    params, f_evals = jax.jit(jax.vmap(solve_one))(bx, by, bt, bp, bmask)
+    valid = jnp.sum(bmask, axis=1) > min_events
+    rois = jnp.concatenate(
+        [origins, jnp.tile(jnp.asarray([[rh, rw]]), (origins.shape[0], 1))],
+        axis=-1)
+    del overflow
+    return params, rois, f_evals, valid
+
+
+# ---------------------------------------------------------------------------
+# dIWE segmentation + diagnostics
+# ---------------------------------------------------------------------------
+
+def segmentation_mask_from_d_iwe(d_iwe, th=None):
+    """Motion-segmentation mask by percentile thresholding |dIWE|
+    (reference events_cmax.py:78-101)."""
+    d_iwe = np.asarray(d_iwe)
+    th1 = np.percentile(np.abs(d_iwe), 90)
+    validx = d_iwe[0].ravel()[np.abs(d_iwe[0].ravel()) > th1]
+    validy = d_iwe[1].ravel()[np.abs(d_iwe[1].ravel()) > th1]
+    x_c = np.percentile(validx, 95) if validx.size else 0.0
+    y_c = np.percentile(validy, 95) if validy.size else 0.0
+    thx = x_c if th is None else th
+    thy = y_c if th is None else th
+    imgx = (d_iwe[0] > thx).astype(int) + (d_iwe[0] < -thx).astype(int)
+    imgy = (d_iwe[1] > thy).astype(int) + (d_iwe[1] < -thy).astype(int)
+    return np.clip(imgx + imgy, 0, 1)
+
+
+def draw_objective_function(xs, ys, ts, ps, objective=None, warpfunc=None,
+                            x_range=(-200, 200), y_range=(-200, 200),
+                            gt=(0, 0), show_gt: bool = True,
+                            resolution: float = 20, img_size=(180, 240),
+                            show_axes: bool = True, norm_min=None,
+                            norm_max=None, show: bool = True,
+                            save_path: Optional[str] = None):
+    """Sample a 2-DoF objective landscape into a heatmap
+    (reference events_cmax.py:103-160) — every sample evaluated in one
+    vmapped, jitted batch rather than a Python double loop."""
+    import matplotlib
+    import matplotlib.pyplot as plt
+
+    objective = variance_objective(minimum_events=1) if objective is None else objective
+    warpfunc = linvel_warp() if warpfunc is None else warpfunc
+    width = x_range[1] - x_range[0]
+    height = y_range[1] - y_range[0]
+    imshape = (int(height / resolution + 0.5), int(width / resolution + 0.5))
+
+    vys, vxs = np.meshgrid(np.arange(imshape[0]), np.arange(imshape[1]),
+                           indexing="ij")
+    coords = np.stack([vxs.ravel() * resolution + x_range[0],
+                       vys.ravel() * resolution + y_range[0]], axis=-1)
+    loss = make_objective_loss(objective, warpfunc, img_size, blur_sigma=0)
+    dxs = jnp.asarray(xs, jnp.float32)
+    dys = jnp.asarray(ys, jnp.float32)
+    dts = jnp.asarray(ts, jnp.float32)
+    dps = jnp.asarray(ps, jnp.float32)
+    evals = jax.jit(jax.vmap(lambda p: loss(p, dxs, dys, dts, dps)))(
+        jnp.asarray(coords, jnp.float32))
+    img = -np.asarray(evals).reshape(imshape)
+
+    norm_min = img.min() if norm_min is None else norm_min
+    norm_max = img.max() if norm_max is None else norm_max
+    img = (img - norm_min) / ((norm_max - norm_min) + 1e-6)
+
+    plt.imshow(img, interpolation="bilinear", cmap="viridis")
+    if not show_axes:
+        plt.xticks([])
+        plt.yticks([])
+    else:
+        plt.xlabel("$v_x$")
+        plt.ylabel("$v_y$")
+    if show_gt:
+        xloc = ((gt[0] - x_range[0]) / width) * imshape[1]
+        yloc = ((gt[1] - y_range[0]) / height) * imshape[0]
+        plt.axhline(y=yloc, color="r", linestyle="--")
+        plt.axvline(x=xloc, color="r", linestyle="--")
+    if save_path is not None:
+        plt.savefig(save_path)
+    if show:
+        plt.show()
+    return img
+
+
+def get_hsv_shifted():
+    """Shifted-HSV colormap (Mitrokhin et al.; reference events_cmax.py:14-26)."""
+    from matplotlib import cm
+    from matplotlib.colors import LinearSegmentedColormap
+
+    hsv = cm.get_cmap("hsv")
+    colors = [hsv(np.fmod(i + 0.6666, 1.0)) for i in np.arange(0, 0.6666, 0.01)]
+    return LinearSegmentedColormap.from_list("hsv_shifted", colors, N=100)

@@ -1,0 +1,170 @@
+"""Event-file readers: Monash-style HDF5 and RPG-style memmap directories.
+
+Rebuild of reference ``lib/data_formats/read_events.py``. Host-side (h5py /
+numpy only); outputs are numpy arrays ready for bucketing + ``device_put``.
+
+File layouts supported (identical to the reference):
+
+- HDF5: ``events/{xs,ys,ts,ps}`` (+ legacy ``events/{x,y,ts,p}``), frames as
+  ``images/image{:09d}`` datasets with ``timestamp``/``event_idx`` attrs.
+  Polarity on disk is {0, 1}; mapped to {-1, +1} on read
+  (reference read_events.py:120, 134).
+- memmap dir: ``t.npy, xy.npy, p.npy`` (+ ``images.npy, timestamps.npy,
+  optic_flow.npy, optic_flow_timestamps.npy, index.npy``), opened with
+  ``mmap_mode='r'`` so nothing loads until sliced.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+
+def compute_indices(event_stamps, frame_stamps):
+    """Event index range bracketing each frame interval
+    (reference read_events.py:5-17): ``index[i] = (start_i, end_i)`` found by
+    searchsorted of the frame stamps into the event stamps."""
+    event_stamps = np.asarray(event_stamps)
+    if event_stamps.ndim > 1:
+        event_stamps = event_stamps[:, 0]
+    frame_stamps = np.asarray(frame_stamps)
+    indices_first = np.searchsorted(event_stamps, frame_stamps[1:])
+    indices_last = np.searchsorted(event_stamps, frame_stamps[:-1])
+    return np.stack([indices_first, indices_last], -1)
+
+
+# ---------------------------------------------------------------------------
+# HDF5
+# ---------------------------------------------------------------------------
+
+def _h5_event_datasets(f):
+    """Return the four event datasets, handling the legacy naming."""
+    if "events/x" in f:  # legacy layout
+        return f["events/x"], f["events/y"], f["events/ts"], f["events/p"]
+    return f["events/xs"], f["events/ys"], f["events/ts"], f["events/ps"]
+
+
+def read_h5_event_components(hdf_path):
+    """Events as four numpy arrays ``(xs, ys, ts, ps)`` with polarity in
+    {-1, +1} (reference read_events.py:125-136)."""
+    import h5py
+    with h5py.File(hdf_path, "r") as f:
+        dx, dy, dt, dp = _h5_event_datasets(f)
+        return (dx[:], dy[:], dt[:], np.where(dp[:], 1, -1))
+
+
+def read_h5_events(hdf_path):
+    """Events as an ``(N, 4)`` block (reference read_events.py:111-123)."""
+    xs, ys, ts, ps = read_h5_event_components(hdf_path)
+    return np.stack([xs, ys, ts, ps], axis=1)
+
+
+def read_h5_events_dict(hdf_path, read_frames: bool = True):
+    """Events (+frames) as a dict (reference read_events.py:138-176):
+    keys ``xs, ys, ts, ps`` and, when frames exist,
+    ``frames, frame_timestamps, frame_event_indices``."""
+    import h5py
+    with h5py.File(hdf_path, "r") as f:
+        dx, dy, dt, dp = _h5_event_datasets(f)
+        events = {"xs": dx[:], "ys": dy[:], "ts": dt[:],
+                  "ps": np.where(dp[:], 1, -1)}
+        if read_frames and "images" in f:
+            frames, stamps, eidx = [], [], []
+            for key in sorted(f["images"]):
+                dset = f[f"images/{key}"]
+                frames.append(dset[:])
+                stamps.append(dset.attrs.get("timestamp", 0.0))
+                eidx.append(dset.attrs.get("event_idx", 0))
+            events["frames"] = frames
+            events["frame_timestamps"] = np.asarray(stamps)
+            events["frame_event_indices"] = np.asarray(eidx)
+    return events
+
+
+# ---------------------------------------------------------------------------
+# memmap
+# ---------------------------------------------------------------------------
+
+def read_memmap_events(memmap_path, skip_frames: int = 1,
+                       return_events: bool = False,
+                       images_file="images.npy",
+                       images_ts_file="timestamps.npy",
+                       optic_flow_file="optic_flow.npy",
+                       optic_flow_ts_file="optic_flow_timestamps.npy",
+                       events_xy_file="xy.npy", events_p_file="p.npy",
+                       events_t_file="t.npy"):
+    """Open an RPG-style memmap directory (reference read_events.py:19-93).
+
+    Returns a dict with memmap handles (or materialized arrays when
+    ``return_events``): keys ``index, frame_stamps, images, optic_flow,
+    optic_flow_stamps, t, xy, p, t0, num_events, path``.
+    """
+    if not os.path.isdir(memmap_path):
+        raise NotADirectoryError(f"{memmap_path} is not a memmap directory")
+
+    data = {}
+    for fname in sorted(os.listdir(memmap_path)):
+        path = os.path.join(memmap_path, fname)
+        if not fname.endswith(".npy"):
+            continue
+        if fname == "index.npy":
+            indices = np.load(path).astype("int64")
+            assert indices.ndim == 2 and indices.shape[1] == 2
+            data["index"] = indices.T
+        elif fname == images_ts_file:
+            data["frame_stamps"] = np.load(path)[::skip_frames, ...]
+        elif fname == images_file:
+            data["images"] = np.load(path, mmap_mode="r")[::skip_frames, ...]
+        elif fname == optic_flow_file:
+            data["optic_flow"] = np.load(path, mmap_mode="r")[::skip_frames, ...]
+        elif fname == optic_flow_ts_file:
+            data["optic_flow_stamps"] = np.load(path)[::skip_frames, ...]
+        elif fname == events_t_file:
+            handle = np.load(path, mmap_mode="r")
+            data["t"] = handle[:].squeeze() if return_events else handle
+            data["t0"] = float(np.asarray(handle[0]).squeeze())
+        elif fname == events_xy_file:
+            handle = np.load(path, mmap_mode="r")
+            data["xy"] = handle[:].squeeze() if return_events else handle
+        elif fname == events_p_file:
+            handle = np.load(path, mmap_mode="r")
+            data["p"] = handle[:].squeeze() if return_events else handle
+
+    if "t" not in data:
+        raise FileNotFoundError(f"No event data found in {memmap_path}")
+    if not (len(data["p"]) == len(data["xy"]) == len(data["t"])):
+        raise ValueError(f"Inconsistent event component lengths in {memmap_path}")
+    data["path"] = memmap_path
+    data["num_events"] = len(data["p"])
+    if "index" not in data and "frame_stamps" in data:
+        t = np.asarray(data["t"]).reshape(-1, 1)
+        data["index"] = compute_indices(t, data["frame_stamps"])
+    return data
+
+
+def read_memmap_events_dict(memmap_path, **kwargs):
+    """Memmap events in component-dict form (reference read_events.py:95-109,
+    with its events-before-assignment bug fixed)."""
+    data = read_memmap_events(memmap_path, **kwargs)
+    xy = np.asarray(data["xy"])
+    return {"xs": xy[:, 0].squeeze(), "ys": xy[:, 1].squeeze(),
+            "ts": np.asarray(data["t"]).squeeze(),
+            "ps": np.asarray(data["p"]).squeeze()}
+
+
+# ---------------------------------------------------------------------------
+# npy (single (N, 4) array)
+# ---------------------------------------------------------------------------
+
+def read_npy_events(npy_path, ts_scale: float = 1e-6):
+    """Single-``.npy`` event file: ``(N, 4)`` rows of ``(x, y, p, t_us)``
+    (the layout consumed by the reference's NpyDataset, npy_dataset.py:20-37).
+    Polarity {0,1} is mapped to {-1,+1}; timestamps scaled to seconds."""
+    data = np.load(npy_path)
+    xs = data[:, 0]
+    ys = data[:, 1]
+    ps = data[:, 2] * 2 - 1
+    ts = data[:, 3] * ts_scale
+    return xs, ys, ts, ps

@@ -1,0 +1,82 @@
+"""Dataset concatenation helpers (reference lib/data_loaders/data_util.py).
+
+Torch-free: a minimal ``ConcatDataset`` implementing the sequence protocol,
+so concatenations work with our prefetching loader or any torch DataLoader.
+"""
+
+from __future__ import annotations
+
+import bisect
+import csv
+import os
+from typing import Sequence
+
+data_sources = ("esim", "ijrr", "mvsec", "eccd", "hqfd", "unknown")
+
+
+class ConcatDataset:
+    """Concatenation of sequence-protocol datasets."""
+
+    def __init__(self, datasets: Sequence):
+        self.datasets = list(datasets)
+        if not self.datasets:
+            raise ValueError("ConcatDataset needs at least one dataset")
+        self.cumulative_sizes = []
+        total = 0
+        for d in self.datasets:
+            total += len(d)
+            self.cumulative_sizes.append(total)
+
+    def __len__(self):
+        return self.cumulative_sizes[-1]
+
+    def __getitem__(self, idx):
+        if idx < 0:
+            idx += len(self)
+        if idx < 0 or idx >= len(self):
+            raise IndexError
+        ds_idx = bisect.bisect_right(self.cumulative_sizes, idx)
+        offset = 0 if ds_idx == 0 else self.cumulative_sizes[ds_idx - 1]
+        return self.datasets[ds_idx][idx - offset]
+
+
+def _paths_from_file_or_dir(data_file):
+    if os.path.isdir(data_file):
+        return sorted(os.path.join(data_file, s) for s in os.listdir(data_file))
+    if os.path.isfile(data_file):
+        with open(data_file) as f:
+            return [row[0] for row in csv.reader(f) if row]
+    raise FileNotFoundError(
+        f"{data_file} must be a list file or a base folder")
+
+
+def concatenate_subfolders(data_file, dataset, dataset_kwargs=None,
+                           path_key: str = "data_path"):
+    """Aggregate every dataset root under a folder (or csv list) into one
+    ConcatDataset (reference data_util.py:11-26)."""
+    dataset_kwargs = dict(dataset_kwargs or {})
+    subfolders = _paths_from_file_or_dir(data_file)
+    datasets = []
+    for sub in subfolders:
+        kw = dict(dataset_kwargs)
+        kw[path_key] = sub
+        datasets.append(dataset(**kw))
+    return ConcatDataset(datasets)
+
+
+def concatenate_datasets(data_file, dataset_type, dataset_kwargs=None,
+                         path_key: str = "data_path"):
+    """One dataset per path listed in ``data_file``, concatenated
+    (reference data_util.py:29-47)."""
+    dataset_kwargs = dict(dataset_kwargs or {})
+    paths = _paths_from_file_or_dir(data_file)
+    datasets = []
+    for p in paths:
+        kw = dict(dataset_kwargs)
+        kw[path_key] = p
+        datasets.append(dataset_type(**kw))
+    return ConcatDataset(datasets)
+
+
+# memmap roots use the same mechanism; kept for API parity
+concatenate_memmap_datasets = concatenate_datasets

@@ -1,0 +1,66 @@
+"""HDF5-backed voxel dataset (reference lib/data_loaders/hdf5_dataset.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..utils.event_util import binary_search_h5_dset
+from .base_dataset import BaseVoxelDataset
+from .data_util import data_sources
+
+
+class DynamicH5Dataset(BaseVoxelDataset):
+    """Voxel dataset over a Monash-layout HDF5 file; events stream from disk
+    per window, timestamp lookups use on-disk binary search
+    (reference hdf5_dataset.py:6-67)."""
+
+    def get_frame(self, index):
+        return self.h5_file["images"][f"image{index:09d}"][:]
+
+    def get_flow(self, index):
+        return self.h5_file["flow"][f"flow{index:09d}"][:]
+
+    def get_events(self, idx0, idx1):
+        xs = self.h5_file["events/xs"][idx0:idx1]
+        ys = self.h5_file["events/ys"][idx0:idx1]
+        ts = self.h5_file["events/ts"][idx0:idx1]
+        ps = self.h5_file["events/ps"][idx0:idx1] * 2.0 - 1.0
+        return xs, ys, ts, ps
+
+    def load_data(self, data_path):
+        import h5py
+        self.h5_file = h5py.File(data_path, "r")
+        f = self.h5_file
+        if self.sensor_resolution is None:
+            self.sensor_resolution = f.attrs["sensor_resolution"][0:2]
+        else:
+            self.sensor_resolution = self.sensor_resolution[0:2]
+        self.has_flow = "flow" in f and len(f["flow"]) > 0
+        self.t0 = f["events/ts"][0]
+        self.tk = f["events/ts"][-1]
+        self.num_events = int(f.attrs.get("num_events", f["events/ts"].shape[0]))
+        self.num_frames = int(f.attrs.get("num_imgs",
+                                          len(f["images"]) if "images" in f else 0))
+        self.has_frames = self.num_frames > 0
+        self.frame_ts = [f[f"images/{k}"].attrs["timestamp"]
+                         for k in sorted(f["images"])] if "images" in f else []
+        source = f.attrs.get("source", "unknown")
+        self.data_source_idx = (data_sources.index(source)
+                                if source in data_sources else -1)
+
+    def find_ts_index(self, timestamp):
+        return binary_search_h5_dset(self.h5_file["events/ts"], timestamp)
+
+    def ts(self, index):
+        return self.h5_file["events/ts"][index]
+
+    def compute_frame_indices(self):
+        """Per-frame event ranges from the stored event_idx attrs
+        (reference hdf5_dataset.py:59-66)."""
+        frame_indices = []
+        start_idx = 0
+        for name in sorted(self.h5_file["images"]):
+            end_idx = self.h5_file[f"images/{name}"].attrs["event_idx"]
+            frame_indices.append([start_idx, end_idx])
+            start_idx = end_idx
+        return frame_indices

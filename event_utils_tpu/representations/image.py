@@ -1,0 +1,371 @@
+"""Dense event-image representations (event image, timestamp image, IWE).
+
+TPU-native rebuild of reference ``lib/representations/image.py``. All
+functions are jit-compatible (static shapes + optional validity mask) and
+differentiable. Instead of the reference's numpy/torch dual backend, there is
+one JAX implementation; the reference's two entry points are kept as
+signature-compatible wrappers:
+
+- ``events_to_image``        (numpy-style semantics, image.py:5-44)
+- ``events_to_image_torch``  (torch-style semantics, image.py:46-100)
+
+Masking policy: by default out-of-bounds events are *dropped* (zero
+contribution). ``legacy_mask=True`` reproduces the reference's
+coordinate-zeroing trick (image.py:83-85, 94) including its quirks (integer
+route dumps the unmasked weight onto pixel (0, 0); integer route with
+``padding=True`` drops the last row/column), for bit-parity testing.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.scatter import (
+    bilinear_gather,
+    bilinear_scatter,
+    bilinear_scatter_derivative,
+    scatter_add_2d,
+    scatter_add_flat,
+)
+
+Array = jax.Array
+
+
+# ---------------------------------------------------------------------------
+# Core accumulation
+# ---------------------------------------------------------------------------
+
+def _legacy_clip_mask(xs, ys, clipx, clipy):
+    """Upper-bound-only clip mask of reference image.py:73-75."""
+    return jnp.where(xs >= clipx, 0.0, 1.0) * jnp.where(ys >= clipy, 0.0, 1.0)
+
+
+def events_to_image_torch(xs, ys, ps, device=None, sensor_size=(180, 240),
+                          clip_out_of_range: bool = True,
+                          interpolation: Optional[str] = None,
+                          padding: bool = True, default: float = 0,
+                          mask: Optional[Array] = None,
+                          legacy_mask: bool = False,
+                          impl: Optional[str] = None) -> Array:
+    """Accumulate events into an image (reference image.py:46-100 semantics).
+
+    Bilinear + padding returns the *padded* ``(H+1, W+1)`` image, exactly like
+    the reference. ``device`` is accepted for signature parity and ignored
+    (placement is JAX's job).
+    """
+    del device
+    H, W = sensor_size
+    xs = jnp.asarray(xs, jnp.float32) if interpolation == "bilinear" else jnp.asarray(xs)
+    ys = jnp.asarray(ys, jnp.float32) if interpolation == "bilinear" else jnp.asarray(ys)
+    ps = jnp.asarray(ps, jnp.float32)
+
+    if interpolation == "bilinear" and padding:
+        img_size = (H + 1, W + 1)
+    else:
+        img_size = (H, W)
+
+    if interpolation == "bilinear":
+        clipx = img_size[1] - 1
+        clipy = img_size[0] - 1
+        if legacy_mask and clip_out_of_range:
+            m = _legacy_clip_mask(xs, ys, clipx, clipy)
+            if mask is not None:
+                m = m * mask
+            # Reference: pxs = floor(x)*mask (long), residuals unmasked,
+            # weights masked (image.py:79-86). Equivalent to dropping, because
+            # masked weights are zero — but replicate exactly for parity.
+            px = jnp.floor(xs) * m
+            py = jnp.floor(ys) * m
+            dx = xs - jnp.floor(xs)
+            dy = ys - jnp.floor(ys)
+            img = bilinear_scatter(px + dx, py + dy, ps * m, img_size, impl=impl)
+        else:
+            m = mask
+            if clip_out_of_range:
+                valid = (xs < clipx) & (ys < clipy) & (xs >= 0) & (ys >= 0)
+                m = valid if m is None else (m != 0) & valid
+            img = bilinear_scatter(xs, ys, ps, img_size, mask=m, impl=impl)
+    else:
+        # Integer route (image.py:87-95): coords truncated toward zero.
+        if legacy_mask and clip_out_of_range:
+            clipx = img_size[1] if not padding else img_size[1] - 1
+            clipy = img_size[0] if not padding else img_size[0] - 1
+            m = _legacy_clip_mask(xs, ys, clipx, clipy)
+            if mask is not None:
+                m = m * mask
+            ixs = jnp.trunc(jnp.asarray(xs, jnp.float32)).astype(jnp.int32) * m.astype(jnp.int32)
+            iys = jnp.trunc(jnp.asarray(ys, jnp.float32)).astype(jnp.int32) * m.astype(jnp.int32)
+            # NB reference does NOT mask ps here (image.py:95): out-of-range
+            # events dump their weight onto pixel (0, 0).
+            img = scatter_add_2d(ixs, iys, ps, img_size, impl=impl)
+        else:
+            img = scatter_add_2d(xs, ys, ps, img_size, mask=mask, impl=impl)
+
+    if default != 0:
+        img = img + default * (img == 0)
+    return img
+
+
+def events_to_image(xs, ys, ps, sensor_size=(180, 240),
+                    interpolation: Optional[str] = None, padding: bool = False,
+                    meanval: bool = False, default: float = 0,
+                    mask: Optional[Array] = None,
+                    impl: Optional[str] = None) -> Array:
+    """Accumulate events into an ``(H, W)`` image (reference image.py:5-44).
+
+    Integer route scatters into a padded ``(H+1, W+1)`` grid then crops, so
+    events at exactly ``x == W`` / ``y == H`` are silently discarded, matching
+    the numpy reference. ``meanval`` divides by the per-pixel event count
+    (``default`` where the count is zero).
+    """
+    H, W = sensor_size
+    if interpolation == "bilinear":
+        img = events_to_image_torch(xs, ys, ps, sensor_size=sensor_size,
+                                    clip_out_of_range=True,
+                                    interpolation="bilinear", padding=padding,
+                                    mask=mask, impl=impl)
+        img = jnp.where(img == 0, default, img)
+        if meanval:
+            cnt = events_to_image_torch(xs, ys, jnp.ones_like(jnp.asarray(xs, jnp.float32)),
+                                        sensor_size=sensor_size,
+                                        clip_out_of_range=True,
+                                        interpolation=None, padding=padding,
+                                        mask=mask, impl=impl)
+    else:
+        img_size = (H + 1, W + 1)
+        img = scatter_add_2d(xs, ys, jnp.asarray(ps, jnp.float32), img_size,
+                             mask=mask, impl=impl)
+        if meanval:
+            cnt = scatter_add_2d(xs, ys, jnp.ones(jnp.asarray(xs).shape, jnp.float32),
+                                 img_size, mask=mask, impl=impl)
+    if meanval:
+        cnt = cnt[:img.shape[0], :img.shape[1]]
+        img = jnp.where(cnt != 0, img / jnp.where(cnt == 0, 1.0, cnt), default)
+    return img[0:H, 0:W]
+
+
+# ---------------------------------------------------------------------------
+# IWE + analytic derivative images
+# ---------------------------------------------------------------------------
+
+def events_to_image_drv(xn, yn, pn, jacobian_xn, jacobian_yn,
+                        sensor_size=(180, 240), clip_out_of_range: bool = True,
+                        interpolation: str = "bilinear", padding: bool = True,
+                        compute_gradient: bool = False,
+                        mask: Optional[Array] = None,
+                        legacy_mask: bool = False,
+                        impl: Optional[str] = None):
+    """Image of (warped) events + analytic dIWE/dparams stack.
+
+    Rebuild of reference image.py:162-217. Returns ``(iwe, d_iwe)`` where
+    ``d_iwe`` is ``(D, H+1, W+1)`` (``None`` if ``compute_gradient=False``).
+    Differentiable — but on TPU prefer ``jax.grad`` straight through
+    ``bilinear_scatter``; this function exists for analytic-gradient parity.
+    """
+    H, W = sensor_size
+    xs = jnp.asarray(xn, jnp.float32)
+    ys = jnp.asarray(yn, jnp.float32)
+    ps = jnp.asarray(pn, jnp.float32)
+    img_size = (H + 1, W + 1) if padding else (H, W)
+    clipx, clipy = img_size[1] - 1, img_size[0] - 1
+
+    if legacy_mask and clip_out_of_range:
+        m = _legacy_clip_mask(xs, ys, clipx, clipy)
+        if mask is not None:
+            m = m * mask
+        px = jnp.floor(xs) * m
+        py = jnp.floor(ys) * m
+        dx = xs - jnp.floor(xs)
+        dy = ys - jnp.floor(ys)
+        wx, wy, wp, wm = px + dx, py + dy, ps * m, None
+    else:
+        m = mask
+        if clip_out_of_range:
+            valid = (xs < clipx) & (ys < clipy) & (xs >= 0) & (ys >= 0)
+            m = valid if m is None else (m != 0) & valid
+        wx, wy, wp, wm = xs, ys, ps, m
+
+    iwe = bilinear_scatter(wx, wy, wp, img_size, mask=wm, impl=impl)
+    d_iwe = None
+    if compute_gradient:
+        jx = jnp.asarray(jacobian_xn, jnp.float32)
+        jy = jnp.asarray(jacobian_yn, jnp.float32)
+        if legacy_mask and clip_out_of_range:
+            d_iwe = bilinear_scatter_derivative(wx, wy, jx, jy, wp, img_size,
+                                                impl=impl)
+        else:
+            d_iwe = bilinear_scatter_derivative(wx, wy, jx, jy, wp, img_size,
+                                                mask=wm, impl=impl)
+    return iwe, d_iwe
+
+
+def image_to_event_weights(xs, ys, img, mask: Optional[Array] = None) -> Array:
+    """Per-event image values via bilinear gather (reference image.py:138-160).
+
+    The reference zeroes coords of events beyond the image (upper bound only)
+    and still gathers at (0, 0) scaled by 0; equivalent to returning 0 for
+    those events, which is what the drop-mode gather does.
+    """
+    img = jnp.asarray(img)
+    H, W = img.shape[-2], img.shape[-1]
+    xs = jnp.asarray(xs, jnp.float32)
+    ys = jnp.asarray(ys, jnp.float32)
+    valid = (xs < W - 1) & (ys < H - 1) & (xs >= 0) & (ys >= 0)
+    if mask is not None:
+        valid = valid & (mask != 0)
+    return bilinear_gather(xs, ys, img, mask=valid)
+
+
+# ---------------------------------------------------------------------------
+# Average-timestamp images (Zhu, CVPR'19)
+# ---------------------------------------------------------------------------
+
+def events_to_timestamp_image(xn, yn, ts, pn, sensor_size=(180, 240),
+                              clip_out_of_range: bool = True,
+                              interpolation: str = "bilinear",
+                              padding: bool = True,
+                              normalize_timestamps: bool = True,
+                              timestamp_reverse: bool = False,
+                              mask: Optional[Array] = None,
+                              legacy_mask: bool = False,
+                              impl: Optional[str] = None):
+    """Average-timestamp images of positive / negative events.
+
+    Single implementation covering both reference variants
+    (image.py:219-284 numpy, image.py:286-353 torch, incl.
+    ``timestamp_reverse`` for backward warping). Count images are initialised
+    to *ones* before accumulation, exactly like the reference
+    (image.py:269-272) — the average is ``Σ(t·w) / (1 + Σw)``.
+
+    Returns ``(img_pos, img_neg)``, padded ``(H+1, W+1)`` when ``padding``.
+    """
+    H, W = sensor_size
+    xs = jnp.asarray(xn, jnp.float32)
+    ys = jnp.asarray(yn, jnp.float32)
+    ts = jnp.asarray(ts, jnp.float32)
+    ps = jnp.asarray(pn, jnp.float32)
+    img_size = (H + 1, W + 1) if padding else (H, W)
+    clipx, clipy = (img_size[1] - 1, img_size[0] - 1) if interpolation == "bilinear" or padding else (img_size[1], img_size[0])
+
+    eps = 1e-6
+    if mask is None:
+        t_first, t_last = ts[0], ts[-1]
+    else:
+        big = jnp.float32(jnp.finfo(jnp.float32).max)
+        t_first = jnp.min(jnp.where(mask != 0, ts, big))
+        t_last = jnp.max(jnp.where(mask != 0, ts, -big))
+    if timestamp_reverse:
+        normalized_ts = (-ts + t_last) / (t_last - t_first + eps)
+    elif normalize_timestamps:
+        normalized_ts = (ts - t_first) / (t_last - t_first + eps)
+    else:
+        normalized_ts = ts
+
+    pos_mask = jnp.where(ps > 0, 1.0, 0.0)
+    neg_mask = jnp.where(ps <= 0, 1.0, 0.0)
+    if mask is not None:
+        pos_mask = pos_mask * mask
+        neg_mask = neg_mask * mask
+
+    if legacy_mask and clip_out_of_range:
+        m = _legacy_clip_mask(xs, ys, clipx, clipy)
+        if mask is not None:
+            m = m * mask
+        # Reference zeroes coords but NOT the count/ts weights
+        # (image.py:267-277): clipped events pile up at pixel (0, 0).
+        px = jnp.floor(xs) * m
+        py = jnp.floor(ys) * m
+        dx = xs - jnp.floor(xs)
+        dy = ys - jnp.floor(ys)
+        gx, gy, gm = px + dx, py + dy, None
+    else:
+        valid = (xs < clipx) & (ys < clipy) & (xs >= 0) & (ys >= 0) if clip_out_of_range else None
+        gx, gy, gm = xs, ys, valid
+
+    def acc(w):
+        wm = gm if gm is None else gm
+        if wm is not None:
+            w = w * wm.astype(w.dtype)
+        return bilinear_scatter(gx, gy, w, img_size, impl=impl)
+
+    img_pos = acc(normalized_ts * pos_mask)
+    img_pos_cnt = 1.0 + acc(pos_mask)
+    img_neg = acc(normalized_ts * neg_mask)
+    img_neg_cnt = 1.0 + acc(neg_mask)
+
+    img_pos = img_pos / jnp.where(img_pos_cnt == 0, 1.0, img_pos_cnt)
+    img_neg = img_neg / jnp.where(img_neg_cnt == 0, 1.0, img_neg_cnt)
+    return img_pos, img_neg
+
+
+# torch-signature alias (reference image.py:286-353)
+def events_to_timestamp_image_torch(xs, ys, ts, ps, device=None,
+                                    sensor_size=(180, 240),
+                                    clip_out_of_range=True,
+                                    interpolation="bilinear", padding=True,
+                                    timestamp_reverse=False, **kw):
+    del device
+    return events_to_timestamp_image(xs, ys, ts, ps, sensor_size=sensor_size,
+                                     clip_out_of_range=clip_out_of_range,
+                                     interpolation=interpolation,
+                                     padding=padding,
+                                     timestamp_reverse=timestamp_reverse, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Stateful incremental accumulators (reference image.py:355-396)
+# ---------------------------------------------------------------------------
+
+class TimestampImage:
+    """Online last-timestamp image; ``get_image`` rank-normalizes.
+
+    Vectorized rebuild of reference image.py:355-377 (which loops in Python
+    per event); the last event per pixel wins, as there.
+    """
+
+    def __init__(self, sensor_size):
+        self.sensor_size = tuple(sensor_size)
+        self.num_pixels = sensor_size[0] * sensor_size[1]
+        self.image = np.ones(self.sensor_size)
+
+    def set_init(self, value):
+        self.image = np.ones_like(self.image) * value
+
+    def add_event(self, x, y, t, p):
+        self.image[int(y), int(x)] = t
+
+    def add_events(self, xs, ys, ts, ps):
+        np_xs = np.asarray(xs).astype(int)
+        np_ys = np.asarray(ys).astype(int)
+        self.image[np_ys, np_xs] = np.asarray(ts)  # last write wins
+
+    def get_image(self):
+        flat = self.image.ravel()
+        # dense ranking (scipy.stats.rankdata(method='dense') - 1)
+        _, inv = np.unique(flat, return_inverse=True)
+        ranks = inv.reshape(self.sensor_size).astype(np.float64)
+        return ranks / max(ranks.max(), 1)
+
+
+class EventImage:
+    """Online polarity-accumulation image (reference image.py:379-396)."""
+
+    def __init__(self, sensor_size):
+        self.sensor_size = tuple(sensor_size)
+        self.num_pixels = sensor_size[0] * sensor_size[1]
+        self.image = np.ones(self.sensor_size)
+
+    def add_event(self, x, y, t, p):
+        self.image[int(y), int(x)] += p
+
+    def add_events(self, xs, ys, ts, ps):
+        np.add.at(self.image, (np.asarray(ys).astype(int),
+                               np.asarray(xs).astype(int)), np.asarray(ps))
+
+    def get_image(self):
+        mn, mx = self.image.min(), self.image.max()
+        return (self.image - mn) / max(mx - mn, 1e-12)

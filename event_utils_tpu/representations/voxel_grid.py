@@ -1,0 +1,247 @@
+"""Temporally-bilinear voxel grids.
+
+TPU-native rebuild of reference ``lib/representations/voxel_grid.py``.
+
+The reference forms a B-bin grid with one full-stream scatter per bin
+(voxel_grid.py:136-142: per-bin weights ``max(0, 1-|t_norm-bi|)``). Since the
+temporal-bilinear weight is nonzero for at most the two bins bracketing each
+event, the rebuild scatters each event into exactly two (bin, y, x) cells of a
+single flattened ``B*H*W`` accumulator — one fused kernel launch instead of B,
+and mathematically identical (fp32 tolerance).
+
+Like the reference's torch path (voxel_grid.py:140-142 calls
+``events_to_image_torch`` with default ``interpolation=None``), spatial
+accumulation truncates coordinates to integers; pass
+``spatial_interpolation='bilinear'`` for 4-tap spatial splatting (new
+capability).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.scatter import scatter_add_flat
+
+Array = jax.Array
+
+
+def events_to_voxel(xs, ys, ts, ps, B: int, sensor_size=(180, 240),
+                    temporal_bilinear: bool = True,
+                    spatial_interpolation: Optional[str] = None,
+                    mask: Optional[Array] = None,
+                    t0: Optional[Array] = None, t1: Optional[Array] = None,
+                    impl: Optional[str] = None) -> Array:
+    """Turn events into a ``(B, H, W)`` voxel grid.
+
+    Matches reference ``events_to_voxel_torch`` (voxel_grid.py:114-153):
+    ``t_norm = (ts - t_first) / (t_last - t_first) * (B-1)``; each event adds
+    ``ps * max(0, 1 - |t_norm - bi|)`` to bin ``bi`` at its (integer) pixel.
+    With ``temporal_bilinear=False``, events are assigned to B equal-duration
+    slices (the reference's intent at voxel_grid.py:143-150, whose torch
+    branch is dead code — rebuilt here correctly).
+
+    @param mask Optional per-event validity mask (padded batches)
+    @param t0, t1 Override the time window (default: first/last valid event)
+    """
+    H, W = sensor_size
+    xs = jnp.asarray(xs)
+    ys = jnp.asarray(ys)
+    ts = jnp.asarray(ts, jnp.float32)
+    ps = jnp.asarray(ps, jnp.float32)
+
+    if t0 is None or t1 is None:
+        if mask is None:
+            t_first, t_last = ts[0], ts[-1]
+        else:
+            big = jnp.float32(jnp.finfo(jnp.float32).max)
+            t_first = jnp.min(jnp.where(mask != 0, ts, big))
+            t_last = jnp.max(jnp.where(mask != 0, ts, -big))
+        t0 = t_first if t0 is None else t0
+        t1 = t_last if t1 is None else t1
+    dt = t1 - t0
+    dt = jnp.where(dt == 0, 1.0, dt)
+
+    if mask is not None:
+        ps = ps * jnp.asarray(mask, ps.dtype)
+
+    ixs = jnp.trunc(xs.astype(jnp.float32)).astype(jnp.int32)
+    iys = jnp.trunc(ys.astype(jnp.float32)).astype(jnp.int32)
+    in_img = (ixs >= 0) & (ixs < W) & (iys >= 0) & (iys < H)
+
+    if temporal_bilinear:
+        t_norm = (ts - t0) / dt * (B - 1)
+        b0 = jnp.floor(t_norm)
+        fb = (t_norm - b0).astype(ps.dtype)
+        ib0 = b0.astype(jnp.int32)
+
+        if spatial_interpolation == "bilinear":
+            from ..ops.scatter import bilinear_scatter
+            grid = jnp.zeros((B, H, W), ps.dtype)
+            fx = xs.astype(jnp.float32)
+            fy = ys.astype(jnp.float32)
+            flat = []
+            for ib, wb in ((ib0, 1.0 - fb), (ib0 + 1, fb)):
+                bin_ok = (ib >= 0) & (ib < B)
+                m = jnp.where(bin_ok, 1.0, 0.0)
+                # spatial 4-tap inside each temporal tap: offset the flat id
+                # by bin * H * W through a y-offset of bin * H.
+                flat.append((fx, fy + jnp.clip(ib, 0, B - 1).astype(jnp.float32) * H,
+                             ps * wb * m))
+            img = bilinear_scatter(
+                jnp.concatenate([f[0] for f in flat]),
+                jnp.concatenate([f[1] for f in flat]),
+                jnp.concatenate([f[2] for f in flat]),
+                (B * H, W), impl=impl)
+            return img.reshape(B, H, W)
+
+        # Integer-coordinate path (reference parity): 2 temporal taps.
+        flat_px = iys * W + ixs
+        ids, ws = [], []
+        for ib, wb in ((ib0, 1.0 - fb), (ib0 + 1, fb)):
+            ok = in_img & (ib >= 0) & (ib < B)
+            ids.append(jnp.where(ok, ib * (H * W) + flat_px, -1))
+            ws.append(ps * wb)
+        flat = scatter_add_flat(jnp.concatenate(ids), jnp.concatenate(ws),
+                                B * H * W, impl=impl)
+        return flat.reshape(B, H, W)
+
+    # Equal-duration slice binning (non-bilinear).
+    bin_idx = jnp.clip(((ts - t0) / dt * B).astype(jnp.int32), 0, B - 1)
+    ok = in_img
+    ids = jnp.where(ok, bin_idx * (H * W) + iys * W + ixs, -1)
+    flat = scatter_add_flat(ids, ps, B * H * W, impl=impl)
+    return flat.reshape(B, H, W)
+
+
+# Signature-compatible alias for the reference's torch entry point
+# (voxel_grid.py:114: events_to_voxel_torch(xs, ys, ts, ps, B, device, ...)).
+def events_to_voxel_torch(xs, ys, ts, ps, B, device=None,
+                          sensor_size=(180, 240), temporal_bilinear=True, **kw):
+    del device
+    return events_to_voxel(xs, ys, ts, ps, B, sensor_size=sensor_size,
+                           temporal_bilinear=temporal_bilinear, **kw)
+
+
+def events_to_neg_pos_voxel(xs, ys, ts, ps, B: int, sensor_size=(180, 240),
+                            temporal_bilinear: bool = True,
+                            mask: Optional[Array] = None,
+                            impl: Optional[str] = None):
+    """Polarity-split voxel grids (reference voxel_grid.py:155-182).
+
+    Positive events are ``ps > 0``, negative ``ps <= 0`` (the torch
+    reference's convention; the numpy variant's ``np.where(ps, 1, 0)`` counts
+    -1 polarities as positive — a catalogued bug, deliberately not
+    replicated).
+    Returns ``(voxel_pos, voxel_neg)``.
+    """
+    ps = jnp.asarray(ps, jnp.float32)
+    pos_w = jnp.where(ps > 0, 1.0, 0.0)
+    neg_w = jnp.where(ps <= 0, 1.0, 0.0)
+    vp = events_to_voxel(xs, ys, ts, pos_w, B, sensor_size=sensor_size,
+                         temporal_bilinear=temporal_bilinear, mask=mask, impl=impl)
+    vn = events_to_voxel(xs, ys, ts, neg_w, B, sensor_size=sensor_size,
+                         temporal_bilinear=temporal_bilinear, mask=mask, impl=impl)
+    return vp, vn
+
+
+def events_to_neg_pos_voxel_torch(xs, ys, ts, ps, B, device=None, **kw):
+    del device
+    return events_to_neg_pos_voxel(xs, ys, ts, ps, B, **kw)
+
+
+def events_to_voxel_timesync(xs, ys, ts, ps, B: int, t0, t1, np_ts=None,
+                             sensor_size=(180, 240),
+                             temporal_bilinear: bool = True,
+                             impl: Optional[str] = None) -> Array:
+    """Voxel of the events between ``t0`` and ``t1``
+    (reference voxel_grid.py:82-112).
+
+    Host-side windowing (searchsorted slice) + device accumulation; prefer the
+    mask/jit path (``events_to_voxel`` with ``mask``) inside compiled code.
+    """
+    assert t1 > t0
+    np_ts = np.asarray(ts) if np_ts is None else np_ts
+    start = int(np.searchsorted(np_ts, t0))
+    end = int(np.searchsorted(np_ts, t1))
+    assert start < end, "no events in [t0, t1)"
+    return events_to_voxel(xs[start:end], ys[start:end], ts[start:end],
+                           ps[start:end], B, sensor_size=sensor_size,
+                           temporal_bilinear=temporal_bilinear, impl=impl)
+
+
+events_to_voxel_timesync_torch = events_to_voxel_timesync
+
+
+def voxel_grids_fixed_n(xs, ys, ts, ps, B: int, n: int,
+                        sensor_size=(180, 240), temporal_bilinear: bool = True,
+                        impl: Optional[str] = None):
+    """Sequence of voxel grids over fixed-count windows
+    (reference voxel_grid.py:37-57).
+
+    TPU-first: the stream is reshaped to ``(num_windows, n)`` and a single
+    vmapped kernel builds every grid at once (the reference loops in Python).
+    Returns a ``(num_windows, B, H, W)`` array.
+    """
+    num = (len(xs) - n) // n + 1 if len(xs) >= n else 0
+    if num <= 0:
+        return jnp.zeros((0, B) + tuple(sensor_size))
+    cut = num * n
+    rx = jnp.asarray(xs[:cut]).reshape(num, n)
+    ry = jnp.asarray(ys[:cut]).reshape(num, n)
+    rt = jnp.asarray(ts[:cut]).reshape(num, n)
+    rp = jnp.asarray(ps[:cut]).reshape(num, n)
+    fn = jax.vmap(lambda a, b, c, d: events_to_voxel(
+        a, b, c, d, B, sensor_size=sensor_size,
+        temporal_bilinear=temporal_bilinear, impl=impl))
+    return fn(rx, ry, rt, rp)
+
+
+voxel_grids_fixed_n_torch = voxel_grids_fixed_n
+
+
+def voxel_grids_fixed_t(xs, ys, ts, ps, B: int, t: float,
+                        sensor_size=(180, 240), temporal_bilinear: bool = True,
+                        impl: Optional[str] = None):
+    """Sequence of voxel grids over fixed-duration windows
+    (reference voxel_grid.py:59-80). Returns a list (ragged windows)."""
+    np_ts = np.asarray(ts)
+    voxels = []
+    for t_start in np.arange(np_ts[0], np_ts[-1] - t, t):
+        voxels.append(events_to_voxel_timesync(
+            xs, ys, ts, ps, B, t_start, t_start + t, np_ts=np_ts,
+            sensor_size=sensor_size, temporal_bilinear=temporal_bilinear,
+            impl=impl))
+    return voxels
+
+
+voxel_grids_fixed_t_torch = voxel_grids_fixed_t
+
+
+def get_voxel_grid_as_image(voxelgrid, normalize: bool = True):
+    """Bins side-by-side debug image (reference voxel_grid.py:9-24)."""
+    vg = np.asarray(voxelgrid)
+    splitter = np.ones((vg.shape[1], 2)) * vg.max()
+    parts = []
+    for image in vg:
+        parts.append(image)
+        parts.append(splitter)
+    parts.pop()
+    sidebyside = np.hstack(parts)
+    if normalize:
+        mn, mx = sidebyside.min(), sidebyside.max()
+        sidebyside = (sidebyside - mn) / max(mx - mn, 1e-12) * 255.0
+    return sidebyside
+
+
+def plot_voxel_grid(voxelgrid, cmap="gray", show: bool = True):
+    """Display a voxel grid as side-by-side bins (reference voxel_grid.py:26-35)."""
+    import matplotlib.pyplot as plt
+    sidebyside = get_voxel_grid_as_image(voxelgrid)
+    plt.imshow(sidebyside, cmap=cmap)
+    if show:
+        plt.show()
+    return sidebyside

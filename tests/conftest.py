@@ -1,0 +1,55 @@
+"""Test configuration.
+
+Tests run on a virtual 8-device CPU mesh so multi-chip sharding paths are
+exercised without TPU hardware (the JAX-idiomatic fake-mesh recipe). Must run
+before jax is imported anywhere.
+"""
+
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: the ambient env may point at TPU
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+# Some pytest plugins (jaxtyping) import jax before conftest runs, so the env
+# vars above can come too late; jax.config still works until a backend
+# initializes, so force the platform through the config API as well.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
+
+
+def make_events(rng, n=2000, sensor=(180, 240), int_coords=True, t_max=0.5):
+    """Random test event stream (sorted timestamps)."""
+    H, W = sensor
+    if int_coords:
+        xs = rng.integers(0, W, n).astype(np.int64)
+        ys = rng.integers(0, H, n).astype(np.int64)
+    else:
+        xs = rng.uniform(0, W - 1, n)
+        ys = rng.uniform(0, H - 1, n)
+    ts = np.sort(rng.uniform(0, t_max, n))
+    ps = rng.choice(np.array([-1.0, 1.0]), n)
+    return xs, ys, ts, ps
+
+
+@pytest.fixture
+def events(rng):
+    return make_events(rng)
+
+
+@pytest.fixture
+def float_events(rng):
+    return make_events(rng, int_coords=False)

@@ -1,0 +1,233 @@
+"""Kernel tests: golden values, numpy-oracle properties, gradients, blur."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from event_utils_tpu.ops import (
+    bilinear_gather, bilinear_scatter, bilinear_scatter_derivative,
+    gaussian_filter, scatter_add_2d, scatter_add_flat,
+)
+from oracles import np_bilinear_scatter, np_integer_scatter, np_jacobian_scatter
+
+
+# ---------------------------------------------------------------------------
+# Golden values (hand-computed)
+# ---------------------------------------------------------------------------
+
+def test_bilinear_scatter_golden():
+    # One event at (0.5, 0.5), w=1 on 3x3: 0.25 in each of the 4 corners.
+    img = bilinear_scatter(jnp.array([0.5]), jnp.array([0.5]),
+                           jnp.array([1.0]), (3, 3))
+    expected = np.array([[0.25, 0.25, 0], [0.25, 0.25, 0], [0, 0, 0]])
+    np.testing.assert_allclose(np.asarray(img), expected, atol=1e-7)
+
+
+def test_bilinear_scatter_integer_coord_golden():
+    # Integer coordinate: all weight on that pixel.
+    img = bilinear_scatter(jnp.array([2.0]), jnp.array([1.0]),
+                           jnp.array([3.0]), (3, 3))
+    expected = np.zeros((3, 3))
+    expected[1, 2] = 3.0
+    np.testing.assert_allclose(np.asarray(img), expected, atol=1e-7)
+
+
+def test_bilinear_scatter_asymmetric_golden():
+    # Event at (1.25, 0.75): dx=0.25, dy=0.75.
+    img = bilinear_scatter(jnp.array([1.25]), jnp.array([0.75]),
+                           jnp.array([1.0]), (3, 3))
+    expected = np.zeros((3, 3))
+    expected[0, 1] = 0.75 * 0.25
+    expected[0, 2] = 0.25 * 0.25
+    expected[1, 1] = 0.75 * 0.75
+    expected[1, 2] = 0.25 * 0.75
+    np.testing.assert_allclose(np.asarray(img), expected, atol=1e-7)
+
+
+def test_scatter_add_flat_drops_out_of_range():
+    out = scatter_add_flat(jnp.array([0, 5, -1, 2, 2]),
+                           jnp.array([1.0, 1.0, 1.0, 2.0, 3.0]), 4)
+    np.testing.assert_allclose(np.asarray(out), [1, 0, 5, 0])
+
+
+def test_integer_scatter_truncates_like_torch_long():
+    # torch .long() truncates toward zero (image.py:89).
+    img = scatter_add_2d(jnp.array([1.9, 0.2]), jnp.array([0.9, 1.99]),
+                         jnp.array([1.0, 2.0]), (3, 3))
+    expected = np.zeros((3, 3))
+    expected[0, 1] = 1.0
+    expected[1, 0] = 2.0
+    np.testing.assert_allclose(np.asarray(img), expected)
+
+
+# ---------------------------------------------------------------------------
+# Numpy-oracle property tests
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("impl", ["xla", "sort"])
+def test_bilinear_scatter_matches_oracle(rng, impl):
+    n, shape = 5000, (37, 53)
+    x = rng.uniform(-2, shape[1] + 2, n)
+    y = rng.uniform(-2, shape[0] + 2, n)
+    w = rng.normal(size=n)
+    got = bilinear_scatter(jnp.array(x, jnp.float32), jnp.array(y, jnp.float32),
+                           jnp.array(w, jnp.float32), shape, impl=impl)
+    want = np_bilinear_scatter(x.astype(np.float32), y.astype(np.float32),
+                               w.astype(np.float32), shape)
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-3)
+
+
+@pytest.mark.parametrize("impl", ["xla", "sort"])
+def test_integer_scatter_matches_oracle(rng, impl):
+    n, shape = 5000, (37, 53)
+    x = rng.uniform(-2, shape[1] + 2, n)
+    y = rng.uniform(-2, shape[0] + 2, n)
+    w = rng.normal(size=n)
+    got = scatter_add_2d(jnp.array(x), jnp.array(y), jnp.array(w, jnp.float32),
+                         shape, impl=impl)
+    want = np_integer_scatter(x, y, w, shape)
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-3)
+
+
+def test_jacobian_scatter_matches_oracle(rng):
+    n, shape = 2000, (21, 31)
+    x = rng.uniform(0, shape[1] - 1, n)
+    y = rng.uniform(0, shape[0] - 1, n)
+    w = rng.normal(size=n)
+    jx = rng.normal(size=(2, n))
+    jy = rng.normal(size=(2, n))
+    got = bilinear_scatter_derivative(
+        jnp.array(x, jnp.float32), jnp.array(y, jnp.float32),
+        jnp.array(jx, jnp.float32), jnp.array(jy, jnp.float32),
+        jnp.array(w, jnp.float32), shape)
+    want = np_jacobian_scatter(x.astype(np.float32), y.astype(np.float32),
+                               jx.astype(np.float32), jy.astype(np.float32),
+                               w.astype(np.float32), shape)
+    np.testing.assert_allclose(np.asarray(got), want, atol=5e-3)
+
+
+def test_mask_drops_events(rng):
+    n, shape = 100, (11, 13)
+    x = rng.uniform(0, shape[1] - 1, n).astype(np.float32)
+    y = rng.uniform(0, shape[0] - 1, n).astype(np.float32)
+    w = rng.normal(size=n).astype(np.float32)
+    mask = (rng.uniform(size=n) > 0.5)
+    got = bilinear_scatter(jnp.array(x), jnp.array(y), jnp.array(w), shape,
+                           mask=jnp.array(mask))
+    want = np_bilinear_scatter(x[mask], y[mask], w[mask], shape)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Gather
+# ---------------------------------------------------------------------------
+
+def test_bilinear_gather_golden():
+    img = jnp.arange(9.0).reshape(3, 3)
+    # (x=0.5, y=0.5): mean of 0,1,3,4 = 2.0
+    v = bilinear_gather(jnp.array([0.5]), jnp.array([0.5]), img)
+    np.testing.assert_allclose(np.asarray(v), [2.0], atol=1e-6)
+
+
+def test_gather_is_adjoint_of_scatter(rng):
+    """<scatter(x,y,w), g> == <w, gather(x,y,g)> — the VJP identity."""
+    n, shape = 500, (17, 19)
+    x = jnp.array(rng.uniform(0, shape[1] - 1, n), jnp.float32)
+    y = jnp.array(rng.uniform(0, shape[0] - 1, n), jnp.float32)
+    w = jnp.array(rng.normal(size=n), jnp.float32)
+    g = jnp.array(rng.normal(size=shape), jnp.float32)
+    lhs = jnp.sum(bilinear_scatter(x, y, w, shape) * g)
+    rhs = jnp.sum(w * bilinear_gather(x, y, g))
+    np.testing.assert_allclose(float(lhs), float(rhs), rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Differentiability
+# ---------------------------------------------------------------------------
+
+def test_scatter_gradient_finite_difference(rng):
+    """d/dvx of a variance-of-IWE style loss matches finite differences.
+
+    Run in float64 with a tiny step: the bilinear splat is C0 with derivative
+    kinks at cell boundaries, so a float32-sized step straddles kinks.
+    """
+    jax.config.update("jax_enable_x64", True)
+    try:
+        n, shape = 300, (15, 15)
+        x = jnp.array(rng.uniform(1, shape[1] - 2, n), jnp.float64)
+        y = jnp.array(rng.uniform(1, shape[0] - 2, n), jnp.float64)
+        w = jnp.array(rng.choice([-1.0, 1.0], n), jnp.float64)
+        t = jnp.array(np.sort(rng.uniform(0, 1, n)), jnp.float64)
+
+        def loss(v):
+            img = bilinear_scatter(x - t * v[0], y - t * v[1], w, shape)
+            return jnp.var(img)
+
+        v0 = jnp.array([0.3, -0.2], jnp.float64)
+        g = jax.grad(loss)(v0)
+        eps = 1e-6
+        for d in range(2):
+            e = jnp.zeros(2, jnp.float64).at[d].set(eps)
+            fd = (loss(v0 + e) - loss(v0 - e)) / (2 * eps)
+            np.testing.assert_allclose(float(g[d]), float(fd), rtol=1e-4, atol=1e-9)
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
+def test_scatter_grad_w_is_gather(rng):
+    n, shape = 200, (9, 9)
+    x = jnp.array(rng.uniform(0, 7.5, n), jnp.float32)
+    y = jnp.array(rng.uniform(0, 7.5, n), jnp.float32)
+    w = jnp.array(rng.normal(size=n), jnp.float32)
+    g_img = jnp.array(rng.normal(size=shape), jnp.float32)
+    grad_w = jax.grad(lambda ww: jnp.sum(bilinear_scatter(x, y, ww, shape) * g_img))(w)
+    np.testing.assert_allclose(np.asarray(grad_w),
+                               np.asarray(bilinear_gather(x, y, g_img)),
+                               atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Determinism
+# ---------------------------------------------------------------------------
+
+def test_scatter_determinism(rng):
+    n, shape = 20000, (50, 60)
+    # Heavy collisions: all events in a 4x4 region.
+    x = jnp.array(rng.uniform(0, 4, n), jnp.float32)
+    y = jnp.array(rng.uniform(0, 4, n), jnp.float32)
+    w = jnp.array(rng.normal(size=n), jnp.float32)
+    a = np.asarray(bilinear_scatter(x, y, w, shape))
+    b = np.asarray(bilinear_scatter(x, y, w, shape))
+    assert (a == b).all(), "scatter-add must be bitwise deterministic"
+
+
+# ---------------------------------------------------------------------------
+# Gaussian blur vs scipy
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("sigma", [0.5, 1.0, 2.0, 3.0])
+def test_gaussian_filter_matches_scipy_2d(rng, sigma):
+    from scipy.ndimage import gaussian_filter as sp_gaussian
+    x = rng.normal(size=(45, 67)).astype(np.float32)
+    got = np.asarray(gaussian_filter(jnp.array(x), sigma))
+    want = sp_gaussian(x, sigma)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_gaussian_filter_matches_scipy_3d_small_axis(rng):
+    """The reference blurs (2, H, W) dIWE stacks across ALL axes
+    (objectives.py:253) — including the 2-element param axis."""
+    from scipy.ndimage import gaussian_filter as sp_gaussian
+    x = rng.normal(size=(2, 21, 23)).astype(np.float32)
+    got = np.asarray(gaussian_filter(jnp.array(x), 1.0))
+    want = sp_gaussian(x, 1.0)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_gaussian_filter_axes_subset(rng):
+    from scipy.ndimage import gaussian_filter as sp_gaussian
+    x = rng.normal(size=(2, 21, 23)).astype(np.float32)
+    got = np.asarray(gaussian_filter(jnp.array(x), 1.5, axes=(-2, -1)))
+    want = np.stack([sp_gaussian(x[i], 1.5) for i in range(2)])
+    np.testing.assert_allclose(got, want, atol=1e-4)
