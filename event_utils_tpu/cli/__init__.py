@@ -1,1 +1,11 @@
-"""(under construction)"""
+"""Command-line entry points.
+
+- ``python -m event_utils_tpu.cli.visualize``        dataset-driven figures
+- ``python -m event_utils_tpu.cli.visualize_events`` raw 3-D event rendering
+- ``python -m event_utils_tpu.cli.visualize_voxel``  voxel-grid rendering
+- ``python -m event_utils_tpu.cli.visualize_flow``   flow + event rendering
+- ``python -m event_utils_tpu.cli.cmax_demo``        contrast-max objectives demo
+- ``python -m event_utils_tpu.data_formats.rosbag_to_h5``       bag -> H5
+- ``python -m event_utils_tpu.data_formats.h5_to_memmap``       H5 -> memmap
+- ``python -m event_utils_tpu.data_formats.add_hdf5_attribute`` attr editor
+"""

@@ -1,0 +1,72 @@
+"""Raw-reader 3-D event visualization CLI (reference visualize_events.py):
+sliding-window or between-frames rendering straight from an event file."""
+
+from __future__ import annotations
+
+import argparse
+import numpy as np
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(description="3-D event stream renderer")
+    parser.add_argument("path", help="HDF5 file or memmap dir")
+    parser.add_argument("--output_path", type=str, default="/tmp/visualization")
+    parser.add_argument("--plot_method", default="between_frames",
+                        choices=["between_frames", "k_events", "t_seconds"])
+    parser.add_argument("--renderer", default="matplotlib",
+                        choices=["matplotlib", "mayavi"])
+    parser.add_argument("--w_width", type=float, default=0.01)
+    parser.add_argument("--sw_width", type=float, default=None)
+    parser.add_argument("--num_show", type=int, default=-1)
+    parser.add_argument("--event_size", type=float, default=2)
+    parser.add_argument("--elev", type=float, default=0)
+    parser.add_argument("--azim", type=float, default=45)
+    parser.add_argument("--hide_events", action="store_true")
+    parser.add_argument("--hide_frames", action="store_true")
+    parser.add_argument("--show_axes", action="store_true")
+    parser.add_argument("--num_compress", type=str, default="auto")
+    parser.add_argument("--compress_front", action="store_true")
+    parser.add_argument("--invert", action="store_true")
+    parser.add_argument("--crop", type=str, default=None)
+    parser.add_argument("--show_plot", action="store_true")
+    parser.add_argument("--skip_frames", type=int, default=1)
+    parser.add_argument("--hide_skipped", action="store_true")
+    parser.add_argument("--stride", type=int, default=1)
+    parser.add_argument("--num_bins", type=int, default=5)
+    return parser
+
+
+def load_any(path):
+    import os
+    from ..data_formats import read_h5_events_dict, read_memmap_events_dict
+    if os.path.isdir(path):
+        return read_memmap_events_dict(path), {}
+    data = read_h5_events_dict(path)
+    return data, data
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.renderer == "mayavi":
+        from ..visualization import draw_event_stream_mayavi as renderer
+    else:
+        from ..visualization import draw_event_stream as renderer
+
+    data, frame_data = load_any(args.path)
+    xs, ys, ts, ps = data["xs"], data["ys"], data["ts"], data["ps"]
+    frames = frame_data.get("frames", [])
+    frame_ts = np.asarray(frame_data.get("frame_timestamps", []))
+    frame_idx = np.asarray(frame_data.get("frame_event_indices", []))
+
+    if args.plot_method == "between_frames" and len(frames):
+        fei = np.stack([np.concatenate([[0], frame_idx[:-1]]), frame_idx],
+                       axis=1)
+        renderer.plot_between_frames(xs, ys, ts, ps, frames, fei, args,
+                                     plttype="events")
+    else:
+        renderer.plot_events_sliding(xs, ys, ts, ps, args, frames=frames,
+                                     frame_ts=frame_ts)
+
+
+if __name__ == "__main__":
+    main()

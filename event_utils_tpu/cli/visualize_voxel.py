@@ -1,0 +1,42 @@
+"""Voxel-grid visualization CLI (reference visualize_voxel.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .visualize_events import build_parser, load_any
+
+
+def main(argv=None):
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    from ..visualization import draw_event_stream as renderer
+
+    data, frame_data = load_any(args.path)
+    xs, ys, ts, ps = data["xs"], data["ys"], data["ts"], data["ps"]
+    frames = frame_data.get("frames", [])
+    frame_idx = np.asarray(frame_data.get("frame_event_indices", []))
+
+    if args.plot_method == "between_frames" and len(frames):
+        fei = np.stack([np.concatenate([[0], frame_idx[:-1]]), frame_idx],
+                       axis=1)
+        renderer.plot_between_frames(xs, ys, ts, ps, frames, fei, args,
+                                     plttype="voxel")
+    else:
+        import os
+        from ..visualization import plot_voxel_grid, parse_crop
+        args.crop = parse_crop(args.crop)
+        dt = args.w_width
+        sdt = args.sw_width or dt
+        for i, t0 in enumerate(np.arange(ts[0], ts[-1] - dt, sdt)):
+            e0, e1 = np.searchsorted(ts, (t0, t0 + dt))
+            out = os.path.join(args.output_path, f"voxel_{i:09d}.png")
+            plot_voxel_grid(xs[e0:e1], ys[e0:e1], ts[e0:e1], ps[e0:e1],
+                            bins=args.num_bins, crop=args.crop,
+                            elev=args.elev, azim=args.azim,
+                            show_axes=args.show_axes, save_path=out,
+                            show_plot=args.show_plot)
+
+
+if __name__ == "__main__":
+    main()

@@ -53,6 +53,16 @@ def events_to_voxel(xs, ys, ts, ps, B: int, sensor_size=(180, 240),
     ts = jnp.asarray(ts, jnp.float32)
     ps = jnp.asarray(ps, jnp.float32)
 
+    if impl in ("matmul", "matmul_bf16") and temporal_bilinear \
+            and spatial_interpolation is None:
+        # Pallas MXU kernel (ops/pallas_scatter.py): requires time-sorted
+        # events (true for every reader/loader in this framework).
+        from ..ops.pallas_scatter import voxel_matmul
+        return voxel_matmul(
+            xs, ys, ts, ps, B, sensor_size=sensor_size, mask=mask,
+            t0=t0, t1=t1,
+            precision="bf16" if impl == "matmul_bf16" else "hilo")
+
     if t0 is None or t1 is None:
         if mask is None:
             t_first, t_last = ts[0], ts[-1]

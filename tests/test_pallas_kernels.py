@@ -1,0 +1,70 @@
+"""Pallas MXU-scatter kernel tests (run in interpreter mode on CPU)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from event_utils_tpu.ops.pallas_scatter import voxel_matmul
+from oracles import np_voxel
+from conftest import make_events
+
+SENSOR = (24, 32)
+
+
+def _oracle(xs, ys, ts, ps, B, sensor):
+    return np_voxel(xs, ys, ts, ps, B, sensor)
+
+
+@pytest.mark.parametrize("B", [2, 5, 16])
+def test_voxel_matmul_parity(rng, B):
+    xs, ys, ts, ps = make_events(rng, n=3000, sensor=SENSOR)
+    got = np.asarray(voxel_matmul(xs, ys, ts.astype(np.float32),
+                                  ps.astype(np.float32), B, SENSOR,
+                                  chunk=512, interpret=True))
+    np.testing.assert_allclose(got, _oracle(xs, ys, ts, ps, B, SENSOR),
+                               atol=2e-4)
+
+
+def test_voxel_matmul_span_many_bins(rng):
+    """Chunks spanning >2 bins must take the dynamic bin-walk path."""
+    xs, ys, ts, ps = make_events(rng, n=1500, sensor=SENSOR)
+    B = 24  # bin width ~62 events << chunk 512
+    got = np.asarray(voxel_matmul(xs, ys, ts.astype(np.float32),
+                                  ps.astype(np.float32), B, SENSOR,
+                                  chunk=512, interpret=True))
+    np.testing.assert_allclose(got, _oracle(xs, ys, ts, ps, B, SENSOR),
+                               atol=2e-4)
+
+
+def test_voxel_matmul_mask_and_oob(rng):
+    xs, ys, ts, ps = make_events(rng, n=1024, sensor=SENSOR)
+    xs = xs.astype(np.int64)
+    xs[::7] = SENSOR[1] + 5      # out of image -> dropped
+    mask = (np.arange(1024) % 3 != 0).astype(np.float32)
+    got = np.asarray(voxel_matmul(xs, ys, ts.astype(np.float32),
+                                  ps.astype(np.float32), 4, SENSOR,
+                                  chunk=256, mask=jnp.asarray(mask),
+                                  t0=ts[0], t1=ts[-1], interpret=True))
+    keep = (mask != 0) & (xs < SENSOR[1])
+    # oracle over kept events only, same window
+    ref = np.zeros((4,) + SENSOR)
+    t_n = (ts - ts[0]) / (ts[-1] - ts[0]) * 3
+    b0 = np.floor(t_n).astype(int)
+    fb = t_n - b0
+    k = keep
+    np.add.at(ref, (np.clip(b0[k], 0, 3), ys[k], xs[k]), (ps * (1 - fb))[k])
+    k2 = keep & (b0 + 1 < 4)
+    np.add.at(ref, (b0[k2] + 1, ys[k2], xs[k2]), (ps * fb)[k2])
+    np.testing.assert_allclose(got, ref, atol=2e-4)
+
+
+def test_events_to_voxel_matmul_impl_routing(rng):
+    from event_utils_tpu.representations import events_to_voxel
+    xs, ys, ts, ps = make_events(rng, n=2000, sensor=SENSOR)
+    a = np.asarray(events_to_voxel(xs, ys, ts, ps, 5, sensor_size=SENSOR))
+    # The matmul impl compiles for TPU; on CPU tests we call the kernel
+    # directly in interpret mode (above); here just check the routing exists.
+    import inspect
+    src = inspect.getsource(events_to_voxel)
+    assert "voxel_matmul" in src
+    assert a.shape == (5,) + SENSOR

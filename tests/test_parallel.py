@@ -1,0 +1,72 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from event_utils_tpu.parallel import (make_mesh, sharded_cmax_train_step,
+                                      sharded_events_to_voxel, sharded_iwe,
+                                      sharded_grid_cmax)
+from event_utils_tpu.representations import events_to_voxel
+from event_utils_tpu.models import get_iwe, linvel_warp, variance_objective
+from conftest import make_events
+
+SENSOR = (24, 32)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must fake 8 CPU devices"
+    return make_mesh(8)
+
+
+def test_sharded_voxel_matches_single_device(rng, mesh):
+    xs, ys, ts, ps = make_events(rng, n=4096, sensor=SENSOR)
+    want = np.asarray(events_to_voxel(xs, ys, ts, ps, 5, sensor_size=SENSOR))
+    got = np.asarray(sharded_events_to_voxel(mesh, xs, ys, ts, ps, 5,
+                                             sensor_size=SENSOR))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_sharded_voxel_ragged_padding(rng, mesh):
+    # n not a multiple of the mesh size: padding must not change the result
+    xs, ys, ts, ps = make_events(rng, n=4001, sensor=SENSOR)
+    want = np.asarray(events_to_voxel(xs, ys, ts, ps, 3, sensor_size=SENSOR))
+    got = np.asarray(sharded_events_to_voxel(mesh, xs, ys, ts, ps, 3,
+                                             sensor_size=SENSOR))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_sharded_iwe_matches_single_device(rng, mesh):
+    xs, ys, ts, ps = make_events(rng, n=2048, sensor=SENSOR, int_coords=False)
+    params = np.array([5.0, -3.0], np.float32)
+    want, _ = get_iwe(params, xs, ys, ts, ps, linvel_warp(), SENSOR)
+    got = sharded_iwe(mesh, params, xs, ys, ts, ps, linvel_warp(), SENSOR)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-3)
+
+
+def test_sharded_train_step_descends(rng, mesh):
+    from test_cmax import synthetic_flow_events
+    xs, ys, ts, ps = synthetic_flow_events(rng, vx=15.0, vy=-8.0,
+                                           sensor=SENSOR)
+    params = jnp.zeros(2)
+    opt = None
+    losses = []
+    for _ in range(25):
+        params, opt, loss = sharded_cmax_train_step(
+            mesh, params, opt, xs, ys, ts, ps, variance_objective(),
+            linvel_warp(), SENSOR, lr=2.0)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], f"loss did not descend: {losses}"
+
+
+def test_sharded_grid_cmax(rng, mesh):
+    from test_cmax import synthetic_flow_events
+    xs, ys, ts, ps = synthetic_flow_events(rng, vx=12.0, vy=6.0,
+                                           n_events=6000, sensor=SENSOR)
+    params, origins, f_evals, valid = sharded_grid_cmax(
+        mesh, xs, ys, ts, ps, roi_size=(12, 16), img_size=SENSOR, maxiter=25)
+    p = np.asarray(params)[np.asarray(valid)]
+    med = np.median(p, axis=0)
+    np.testing.assert_allclose(med, [12.0, 6.0], atol=5.0)
