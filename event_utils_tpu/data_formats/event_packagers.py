@@ -146,9 +146,9 @@ class hdf5_packager(packager):
 
     def set_data_available(self, num_images, num_flow):
         if num_images > 0:
-            self.file.create_group("images")
+            self.file.require_group("images")
         if num_flow > 0:
-            self.file.create_group("flow")
+            self.file.require_group("flow")
 
     def close(self):
         self.file.close()

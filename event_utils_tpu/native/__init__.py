@@ -1,0 +1,164 @@
+"""Native (C++) host-side ingest runtime, loaded through ctypes.
+
+The TPU compute path is JAX/XLA/Pallas; ``libevio`` is the CPU runtime that
+keeps the chip fed: binary search over memory-mapped timestamp arrays,
+window-index construction, and multi-threaded assembly of fixed-capacity
+padded event batches — the operations the reference delegates to torch
+DataLoader workers and per-item Python loops.
+
+The library is compiled on first use (g++, cached beside this file); every
+entry point has a numpy fallback, so the package works without a toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "evio.cpp")
+_LIB_PATH = os.path.join(_HERE, "_libevio.so")
+_lock = threading.Lock()
+_lib = None
+_load_failed = False
+
+
+def _build():
+    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
+           _SRC, "-o", _LIB_PATH]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def _get_lib():
+    """Load (building if needed) libevio; returns None when unavailable."""
+    global _lib, _load_failed
+    if _lib is not None or _load_failed:
+        return _lib
+    with _lock:
+        if _lib is not None or _load_failed:
+            return _lib
+        try:
+            if (not os.path.exists(_LIB_PATH)
+                    or os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC)):
+                _build()
+            lib = ctypes.CDLL(_LIB_PATH)
+            lib.evio_searchsorted_f64.restype = ctypes.c_long
+            lib.evio_k_event_windows.restype = ctypes.c_long
+            lib.evio_t_second_windows.restype = ctypes.c_long
+            lib.evio_fill_padded_batches.restype = ctypes.c_long
+            lib.evio_fill_padded_batches_components.restype = ctypes.c_long
+            _lib = lib
+        except Exception:
+            _load_failed = True
+    return _lib
+
+
+def available() -> bool:
+    return _get_lib() is not None
+
+
+def _ptr(arr, ctype):
+    return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def searchsorted_f64(ts: np.ndarray, x: float, side: str = "left") -> int:
+    """Binary search over a sorted float64 array (memmap-friendly: only the
+    touched pages fault in)."""
+    lib = _get_lib()
+    ts = np.ascontiguousarray(ts, np.float64)
+    if lib is None:
+        return int(np.searchsorted(ts, x, side=side))
+    return int(lib.evio_searchsorted_f64(
+        _ptr(ts, ctypes.c_double), ctypes.c_long(len(ts)),
+        ctypes.c_double(x), ctypes.c_int(0 if side == "left" else 1)))
+
+
+def k_event_windows(num_events: int, k: int, overlap: int = 0) -> np.ndarray:
+    """(n, 2) fixed-count window index table."""
+    lib = _get_lib()
+    stride = k - overlap
+    max_windows = max(num_events // max(stride, 1) + 1, 1)
+    if lib is None:
+        starts = np.arange(0, num_events - k + 1, stride, dtype=np.int64)
+        return np.stack([starts, starts + k], axis=1)
+    idx0 = np.empty(max_windows, np.int64)
+    idx1 = np.empty(max_windows, np.int64)
+    n = lib.evio_k_event_windows(
+        ctypes.c_long(num_events), ctypes.c_long(k), ctypes.c_long(overlap),
+        _ptr(idx0, ctypes.c_long), _ptr(idx1, ctypes.c_long),
+        ctypes.c_long(max_windows))
+    return np.stack([idx0[:n], idx1[:n]], axis=1)
+
+
+def t_second_windows(ts: np.ndarray, t_width: float,
+                     overlap: float = 0.0) -> np.ndarray:
+    """(n, 2) fixed-duration window index table over sorted timestamps."""
+    lib = _get_lib()
+    ts = np.ascontiguousarray(ts, np.float64)
+    if lib is None or len(ts) == 0:
+        starts = np.arange(ts[0], ts[-1] - t_width + 1e-12,
+                           t_width - overlap) if len(ts) else np.zeros(0)
+        i0 = np.searchsorted(ts, starts)
+        i1 = np.searchsorted(ts, starts + t_width)
+        return np.stack([i0, i1], axis=1).astype(np.int64)
+    duration = ts[-1] - ts[0]
+    max_windows = int(duration / max(t_width - overlap, 1e-12)) + 2
+    idx0 = np.empty(max_windows, np.int64)
+    idx1 = np.empty(max_windows, np.int64)
+    n = lib.evio_t_second_windows(
+        _ptr(ts, ctypes.c_double), ctypes.c_long(len(ts)),
+        ctypes.c_double(t_width), ctypes.c_double(overlap),
+        _ptr(idx0, ctypes.c_long), _ptr(idx1, ctypes.c_long),
+        ctypes.c_long(max_windows))
+    return np.stack([idx0[:n], idx1[:n]], axis=1)
+
+
+def fill_padded_batches(t, xy, p, windows: np.ndarray, capacity: int,
+                        relative_time: bool = True,
+                        nthreads: int = 0):
+    """Assemble ``(B, capacity, 4)`` float32 events + ``(B, capacity)`` masks
+    from memmap'd t/xy/p components for the given ``(B, 2)`` window table.
+
+    Polarity {0,1} -> {-1,+1}; timestamps window-relative when
+    ``relative_time``. Returns ``(events, mask, truncated_events)``.
+    """
+    windows = np.ascontiguousarray(windows, np.int64)
+    B = len(windows)
+    events = np.empty((B, capacity, 4), np.float32)
+    mask = np.empty((B, capacity), np.float32)
+    lib = _get_lib()
+    t = np.ascontiguousarray(np.asarray(t).reshape(-1), np.float64)
+    xy = np.ascontiguousarray(np.asarray(xy).reshape(len(t), -1), np.int16)
+    p = np.ascontiguousarray(np.asarray(p).reshape(-1), np.uint8)
+    if lib is None:
+        truncated = 0
+        for w, (s, e) in enumerate(windows):
+            cnt = min(e - s, capacity)
+            truncated += max(e - s - capacity, 0)
+            tb = t[s] if (relative_time and cnt) else 0.0
+            events[w, :cnt, 0] = xy[s:s + cnt, 0]
+            events[w, :cnt, 1] = xy[s:s + cnt, 1]
+            events[w, :cnt, 2] = t[s:s + cnt] - tb
+            events[w, :cnt, 3] = np.where(p[s:s + cnt] > 0, 1.0, -1.0)
+            mask[w, :cnt] = 1.0
+            events[w, cnt:] = 0.0
+            events[w, cnt:, 2] = events[w, cnt - 1, 2] if cnt else 0.0
+            mask[w, cnt:] = 0.0
+        return events, mask, truncated
+    if nthreads <= 0:
+        nthreads = min(os.cpu_count() or 1, 16)
+    idx0 = np.ascontiguousarray(windows[:, 0])
+    idx1 = np.ascontiguousarray(windows[:, 1])
+    truncated = lib.evio_fill_padded_batches(
+        _ptr(t, ctypes.c_double), _ptr(xy, ctypes.c_int16),
+        _ptr(p, ctypes.c_uint8), ctypes.c_long(len(t)),
+        _ptr(idx0, ctypes.c_long), _ptr(idx1, ctypes.c_long),
+        ctypes.c_long(B), ctypes.c_long(capacity),
+        ctypes.c_int(1 if relative_time else 0),
+        _ptr(events, ctypes.c_float), _ptr(mask, ctypes.c_float),
+        ctypes.c_int(nthreads))
+    return events, mask, int(truncated)

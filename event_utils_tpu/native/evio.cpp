@@ -1,0 +1,215 @@
+// evio — native host-side event-ingest runtime.
+//
+// The TPU compute path is JAX/XLA/Pallas; this library is the CPU runtime
+// that keeps the chip fed: windowed batch assembly from memory-mapped event
+// files into the fixed-capacity padded layout XLA consumes, without Python
+// per-event loops. Exposed through ctypes (event_utils_tpu/native/__init__.py).
+//
+// Functions are plain-C ABI, operate on caller-owned buffers (numpy arrays /
+// np.memmap views), and use std::thread for parallel window assembly.
+
+#include <algorithm>
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+extern "C" {
+
+// Binary search over a sorted float64 array (the on-disk timestamp layout).
+// side = 0: leftmost insertion point; side = 1: rightmost.
+long evio_searchsorted_f64(const double* ts, long n, double x, int side) {
+    if (side == 0) {
+        return std::lower_bound(ts, ts + n, x) - ts;
+    }
+    return std::upper_bound(ts, ts + n, x) - ts;
+}
+
+// Vectorized search: m queries into one sorted array.
+void evio_searchsorted_f64_batch(const double* ts, long n, const double* xs,
+                                 long m, int side, long* out) {
+    for (long i = 0; i < m; ++i) {
+        out[i] = evio_searchsorted_f64(ts, n, xs[i], side);
+    }
+}
+
+// Window index tables ------------------------------------------------------
+
+// Fixed-count windows with overlap: idx[i] = (i*stride, i*stride + k).
+long evio_k_event_windows(long num_events, long k, long overlap,
+                          long* idx0, long* idx1, long max_windows) {
+    const long stride = k - overlap;
+    if (stride <= 0) return 0;
+    long count = 0;
+    for (long s = 0; s + k <= num_events && count < max_windows; s += stride) {
+        idx0[count] = s;
+        idx1[count] = s + k;
+        ++count;
+    }
+    return count;
+}
+
+// Fixed-duration windows with overlap over a sorted timestamp array.
+long evio_t_second_windows(const double* ts, long n, double t_width,
+                           double overlap, long* idx0, long* idx1,
+                           long max_windows) {
+    if (n == 0 || t_width <= overlap) return 0;
+    const double stride = t_width - overlap;
+    const double t0 = ts[0];
+    const double tk = ts[n - 1];
+    long count = 0;
+    for (double s = t0; s + t_width <= tk + 1e-12 && count < max_windows;
+         s += stride) {
+        idx0[count] = evio_searchsorted_f64(ts, n, s, 0);
+        idx1[count] = evio_searchsorted_f64(ts, n, s + t_width, 0);
+        ++count;
+    }
+    return count;
+}
+
+// Padded batch assembly ----------------------------------------------------
+//
+// Fill (nwin, capacity, 4) float32 events + (nwin, capacity) float32 masks
+// from the RPG memmap component layout: t float64 (n), xy int16 (n, 2),
+// p uint8 (n). Polarity maps {0,1} -> {-1,+1}; timestamps are shifted to
+// window-relative (t - t_first) when relative_time != 0 so float32 keeps
+// precision on long recordings. Windows overflowing capacity are truncated
+// (truncation count returned).
+long evio_fill_padded_batches(const double* t, const int16_t* xy,
+                              const uint8_t* p, long num_events,
+                              const long* idx0, const long* idx1, long nwin,
+                              long capacity, int relative_time,
+                              float* out_events, float* out_mask,
+                              int nthreads) {
+    std::atomic<long> truncated{0};
+    if (nthreads <= 0) nthreads = 1;
+
+    auto work = [&](long w_begin, long w_end) {
+        for (long w = w_begin; w < w_end; ++w) {
+            long s = idx0[w];
+            long e = idx1[w];
+            if (s < 0) s = 0;
+            if (e > num_events) e = num_events;
+            long count = e - s;
+            if (count > capacity) {
+                truncated.fetch_add(count - capacity,
+                                    std::memory_order_relaxed);
+                count = capacity;
+            }
+            float* ev = out_events + w * capacity * 4;
+            float* mk = out_mask + w * capacity;
+            const double t_base = (relative_time && count > 0) ? t[s] : 0.0;
+            for (long i = 0; i < count; ++i) {
+                const long src = s + i;
+                ev[i * 4 + 0] = static_cast<float>(xy[src * 2 + 0]);
+                ev[i * 4 + 1] = static_cast<float>(xy[src * 2 + 1]);
+                ev[i * 4 + 2] = static_cast<float>(t[src] - t_base);
+                ev[i * 4 + 3] = p[src] ? 1.0f : -1.0f;
+                mk[i] = 1.0f;
+            }
+            // pad: zero events, repeat last timestamp to keep sorts stable
+            const float t_last = count > 0 ? ev[(count - 1) * 4 + 2] : 0.0f;
+            for (long i = count; i < capacity; ++i) {
+                ev[i * 4 + 0] = 0.0f;
+                ev[i * 4 + 1] = 0.0f;
+                ev[i * 4 + 2] = t_last;
+                ev[i * 4 + 3] = 0.0f;
+                mk[i] = 0.0f;
+            }
+        }
+    };
+
+    if (nthreads == 1 || nwin < 2) {
+        work(0, nwin);
+    } else {
+        std::vector<std::thread> pool;
+        const long per = (nwin + nthreads - 1) / nthreads;
+        for (int th = 0; th < nthreads; ++th) {
+            const long b = th * per;
+            const long e = std::min(nwin, b + per);
+            if (b >= e) break;
+            pool.emplace_back(work, b, e);
+        }
+        for (auto& th : pool) th.join();
+    }
+    return truncated.load();
+}
+
+// Component-array variant (HDF5-style separate xs/ys arrays, any int type
+// pre-converted to int32 by the caller).
+long evio_fill_padded_batches_components(
+    const double* t, const int32_t* xs, const int32_t* ys, const uint8_t* p,
+    long num_events, const long* idx0, const long* idx1, long nwin,
+    long capacity, int relative_time, float* out_events, float* out_mask,
+    int nthreads) {
+    std::atomic<long> truncated{0};
+    if (nthreads <= 0) nthreads = 1;
+
+    auto work = [&](long w_begin, long w_end) {
+        for (long w = w_begin; w < w_end; ++w) {
+            long s = idx0[w];
+            long e = idx1[w];
+            if (s < 0) s = 0;
+            if (e > num_events) e = num_events;
+            long count = e - s;
+            if (count > capacity) {
+                truncated.fetch_add(count - capacity,
+                                    std::memory_order_relaxed);
+                count = capacity;
+            }
+            float* ev = out_events + w * capacity * 4;
+            float* mk = out_mask + w * capacity;
+            const double t_base = (relative_time && count > 0) ? t[s] : 0.0;
+            for (long i = 0; i < count; ++i) {
+                const long src = s + i;
+                ev[i * 4 + 0] = static_cast<float>(xs[src]);
+                ev[i * 4 + 1] = static_cast<float>(ys[src]);
+                ev[i * 4 + 2] = static_cast<float>(t[src] - t_base);
+                ev[i * 4 + 3] = p[src] ? 1.0f : -1.0f;
+                mk[i] = 1.0f;
+            }
+            const float t_last = count > 0 ? ev[(count - 1) * 4 + 2] : 0.0f;
+            for (long i = count; i < capacity; ++i) {
+                ev[i * 4 + 0] = 0.0f;
+                ev[i * 4 + 1] = 0.0f;
+                ev[i * 4 + 2] = t_last;
+                ev[i * 4 + 3] = 0.0f;
+                mk[i] = 0.0f;
+            }
+        }
+    };
+
+    if (nthreads == 1 || nwin < 2) {
+        work(0, nwin);
+    } else {
+        std::vector<std::thread> pool;
+        const long per = (nwin + nthreads - 1) / nthreads;
+        for (int th = 0; th < nthreads; ++th) {
+            const long b = th * per;
+            const long e = std::min(nwin, b + per);
+            if (b >= e) break;
+            pool.emplace_back(work, b, e);
+        }
+        for (auto& th : pool) th.join();
+    }
+    return truncated.load();
+}
+
+// ROI bucketing: per-event ROI ids + per-ROI counts (host side of
+// grid_cmax batching). rid = min(y/rh, ny-1)*nx + min(x/rw, nx-1).
+void evio_roi_ids(const int32_t* xs, const int32_t* ys, long n, int rh,
+                  int rw, int ny, int nx, int32_t* rid, int64_t* counts) {
+    std::memset(counts, 0, sizeof(int64_t) * (size_t)(ny * nx));
+    for (long i = 0; i < n; ++i) {
+        int by = ys[i] / rh;
+        int bx = xs[i] / rw;
+        if (by >= ny) by = ny - 1;
+        if (bx >= nx) bx = nx - 1;
+        const int id = by * nx + bx;
+        rid[i] = id;
+        ++counts[id];
+    }
+}
+
+}  // extern "C"

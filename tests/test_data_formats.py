@@ -1,0 +1,118 @@
+"""IO-layer tests: packagers, readers, converters (tmp-file roundtrips)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from event_utils_tpu.data_formats import (
+    BagExtractor, compute_indices, h5_to_memmap, hdf5_packager,
+    memmap_packager, read_h5_event_components, read_h5_events,
+    read_h5_events_dict, read_memmap_events, read_memmap_events_dict,
+    add_attribute, get_filepaths_from_path_or_file,
+)
+from conftest import make_events
+
+
+@pytest.fixture
+def h5_file(tmp_path, rng):
+    """A packaged H5 with events + frames, via the BagExtractor write path."""
+    xs, ys, ts, ps = make_events(rng, n=5000, sensor=(32, 48), t_max=1.0)
+    path = str(tmp_path / "scene.h5")
+    ep = hdf5_packager(path)
+    ex = BagExtractor(ep, max_buffer_size=1000)
+    ex.packager.set_data_available(3, 0)
+    ex.add_events(xs, ys, ts, ps > 0)
+    for i, ft in enumerate((0.25, 0.5, 0.75)):
+        ex.add_image(np.zeros((32, 48), np.uint8), ft)
+    ex.finalize()
+    ep.close()
+    return path, (xs, ys, ts, ps)
+
+
+def test_h5_roundtrip(h5_file):
+    path, (xs, ys, ts, ps) = h5_file
+    rx, ry, rt, rp = read_h5_event_components(path)
+    np.testing.assert_array_equal(rx, xs)
+    np.testing.assert_array_equal(ry, ys)
+    np.testing.assert_allclose(rt, ts)
+    np.testing.assert_array_equal(rp, ps)  # {0,1} on disk -> {-1,1}
+
+
+def test_h5_block_and_dict(h5_file):
+    path, (xs, ys, ts, ps) = h5_file
+    block = read_h5_events(path)
+    assert block.shape == (len(xs), 4)
+    d = read_h5_events_dict(path)
+    assert len(d["frames"]) == 3
+    assert len(d["frame_timestamps"]) == 3
+    assert (np.diff(d["frame_event_indices"]) >= 0).all()
+
+
+def test_h5_metadata_attrs(h5_file):
+    import h5py
+    path, (xs, ys, ts, ps) = h5_file
+    with h5py.File(path) as f:
+        assert f.attrs["num_events"] == len(xs)
+        assert f.attrs["num_pos"] == int((ps > 0).sum())
+        assert f.attrs["num_neg"] == int((ps <= 0).sum())
+        assert list(f.attrs["sensor_resolution"]) == [32, 48]
+        # chunked, reference dtypes (event_packagers.py:90-93)
+        assert f["events/xs"].dtype == np.int16
+        assert f["events/ts"].dtype == np.float64
+        assert f["events/ps"].dtype == np.bool_
+
+
+def test_h5_to_memmap_roundtrip(h5_file, tmp_path):
+    path, (xs, ys, ts, ps) = h5_file
+    out = h5_to_memmap(path, str(tmp_path / "mm"))
+    data = read_memmap_events(out, return_events=True)
+    np.testing.assert_array_equal(data["xy"][:, 0], xs)
+    np.testing.assert_allclose(data["t"], ts)
+    d = read_memmap_events_dict(out, return_events=True)
+    np.testing.assert_array_equal(d["xs"], xs)
+    assert os.path.exists(os.path.join(out, "metadata.json"))
+
+
+def test_memmap_packager(tmp_path, rng):
+    xs, ys, ts, ps = make_events(rng, n=1000, sensor=(32, 48))
+    out = str(tmp_path / "mmp")
+    mp = memmap_packager(out)
+    mp.package_events(xs, ys, ts, ps)
+    mp.package_image(np.zeros((32, 48), np.uint8), 0.5)
+    mp.add_metadata(len(xs), int((ps > 0).sum()), int((ps <= 0).sum()),
+                    ts[-1] - ts[0], ts[0], ts[-1], 1, 0, sensor_size=(32, 48))
+    data = read_memmap_events(out, return_events=True)
+    assert data["num_events"] == len(xs)
+    assert "index" in data
+
+
+def test_compute_indices():
+    ev = np.array([0.1, 0.2, 0.3, 0.4, 0.5]).reshape(-1, 1)
+    fr = np.array([0.15, 0.35, 0.55])
+    idx = compute_indices(ev, fr)
+    assert idx.shape == (2, 2)
+
+
+def test_add_attribute(h5_file):
+    import h5py
+    path, _ = h5_file
+    add_attribute([path], "source", "esim")
+    with h5py.File(path) as f:
+        assert f.attrs["source"] == "esim"
+    add_attribute([path], "would_be", "skipped", dry_run=True)
+
+
+def test_filepaths_resolution(tmp_path):
+    (tmp_path / "a.h5").touch()
+    (tmp_path / "b.h5").touch()
+    assert len(get_filepaths_from_path_or_file(str(tmp_path))) == 2
+    lst = tmp_path / "list.txt"
+    lst.write_text("x.h5\ny.h5\n")
+    assert get_filepaths_from_path_or_file(str(lst)) == ["x.h5", "y.h5"]
+
+
+def test_rosbag_gated():
+    from event_utils_tpu.data_formats import extract_rosbag
+    with pytest.raises(ImportError):
+        extract_rosbag("/nope.bag", "/tmp/x.h5", "/dvs/events")

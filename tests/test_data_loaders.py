@@ -1,0 +1,180 @@
+"""Dataset/loader stack tests: windowing semantics, collation, prefetch."""
+
+import numpy as np
+import pytest
+
+from event_utils_tpu.data_formats import hdf5_packager
+from event_utils_tpu.data_loaders import (
+    BaseVoxelDataset, CenterCrop, Compose, ConcatDataset, DynamicH5Dataset,
+    EventDataLoader, MemMapDataset, NpyDataset, RobustNorm, build_transform,
+    device_prefetch, unpack_batched_events,
+)
+from event_utils_tpu.data_formats.h5_to_memmap import h5_to_memmap
+from conftest import make_events
+
+SENSOR = (32, 48)
+
+
+@pytest.fixture(scope="module")
+def h5_path(tmp_path_factory):
+    rng = np.random.default_rng(0)
+    xs, ys, ts, ps = make_events(rng, n=8000, sensor=SENSOR, t_max=1.0)
+    path = str(tmp_path_factory.mktemp("data") / "scene.h5")
+    ep = hdf5_packager(path)
+    ep.set_data_available(4, 0)
+    ep.package_events(xs, ys, ts, ps > 0)
+    for i, ft in enumerate(np.linspace(0.2, 0.8, 4)):
+        ep.package_image(np.full(SENSOR, i, np.uint8), ft, i)
+    ep.add_metadata(len(xs), int((ps > 0).sum()), int((ps <= 0).sum()),
+                    ts[-1] - ts[0], ts[0], ts[-1], 4, 0, sensor_size=SENSOR)
+    ep.close()
+    return path
+
+
+def test_k_events_windowing(h5_path):
+    ds = DynamicH5Dataset(h5_path, voxel_method={"method": "k_events",
+                                                 "k": 1000,
+                                                 "sliding_window_w": 0},
+                          return_events=True, return_frame=False,
+                          return_flow=False)
+    assert len(ds) == 8
+    item = ds[0]
+    assert item["idx1"] - item["idx0"] == 1000
+    assert item["voxel"].shape == (2 * ds.num_bins,) + SENSOR  # split pol
+    # overlap
+    ds2 = DynamicH5Dataset(h5_path, voxel_method={"method": "k_events",
+                                                  "k": 1000,
+                                                  "sliding_window_w": 500},
+                           return_events=True, return_frame=False,
+                           return_flow=False)
+    i0 = ds2[0]
+    i1 = ds2[1]
+    assert i1["idx0"] == i0["idx0"] + 500
+
+
+def test_t_seconds_windowing(h5_path):
+    ds = DynamicH5Dataset(h5_path, voxel_method={"method": "t_seconds",
+                                                 "t": 0.25,
+                                                 "sliding_window_t": 0},
+                          return_events=True, return_frame=False,
+                          return_flow=False, combined_voxel_channels=True)
+    item = ds[0]
+    ev = item["events"]
+    assert ev[:, 2].max() - ev[:, 2].min() <= 0.25 + 1e-6
+    assert item["voxel"].shape == (ds.num_bins,) + SENSOR
+
+
+def test_between_frames_windowing(h5_path):
+    ds = DynamicH5Dataset(h5_path, return_events=True)
+    assert len(ds) == 3  # num_frames - 1
+    item = ds[1]
+    assert "frame" in item and item["frame"].shape[-2:] == SENSOR
+    assert "flow" in item  # zeros when absent
+    assert item["flow"].shape == (2,) + SENSOR
+
+
+def test_fixed_frames_windowing(h5_path):
+    ds = DynamicH5Dataset(h5_path, voxel_method={"method": "fixed_frames",
+                                                 "num_frames": 5},
+                          return_frame=False, return_flow=False)
+    assert len(ds) == 5
+
+
+def test_collate_fn_and_padded(h5_path):
+    ds = DynamicH5Dataset(h5_path, voxel_method={"method": "k_events",
+                                                 "k": 900,
+                                                 "sliding_window_w": 0},
+                          return_events=True, return_frame=False,
+                          return_flow=False)
+    items = [ds[i] for i in range(3)]
+    ragged = BaseVoxelDataset.collate_fn(items)
+    assert ragged["events"].shape == (2700, 4)
+    assert list(ragged["events_batch_indices"]) == [900, 1800, 2700]
+    padded = BaseVoxelDataset.collate_padded(items)
+    assert padded["events"].shape == (3, 1024, 4)  # 900 -> pow2 bucket
+    assert padded["events_mask"].sum() == 2700
+
+    unpacked, mask = unpack_batched_events(ragged["events"],
+                                           ragged["events_batch_indices"])
+    assert unpacked.shape == (3, 900, 4)
+    np.testing.assert_allclose(mask.sum(), 2700)
+
+
+def test_loader_and_prefetch(h5_path):
+    ds = DynamicH5Dataset(h5_path, voxel_method={"method": "k_events",
+                                                 "k": 1000,
+                                                 "sliding_window_w": 0},
+                          return_events=True, return_frame=False,
+                          return_flow=False)
+    loader = EventDataLoader(ds, batch_size=3, shuffle=True, num_workers=1,
+                             rng=np.random.default_rng(0))
+    batches = list(device_prefetch(loader, prefetch_depth=2))
+    assert len(batches) == len(loader) == 3
+    assert batches[0]["voxel"].shape[0] == 3
+
+
+def test_memmap_dataset_equivalence(h5_path, tmp_path):
+    mm = h5_to_memmap(h5_path, str(tmp_path / "mm"))
+    vm = {"method": "k_events", "k": 1000, "sliding_window_w": 0}
+    ds_h5 = DynamicH5Dataset(h5_path, voxel_method=vm, return_events=True,
+                             return_frame=False, return_flow=False)
+    ds_mm = MemMapDataset(mm, voxel_method=vm, return_events=True,
+                          return_frame=False, return_flow=False)
+    a = ds_h5[2]
+    b = ds_mm[2]
+    np.testing.assert_allclose(np.asarray(a["voxel"]), np.asarray(b["voxel"]),
+                               atol=1e-4)
+
+
+def test_npy_dataset(tmp_path, rng):
+    xs, ys, ts, ps = make_events(rng, n=2000, sensor=SENSOR)
+    arr = np.stack([xs, ys, (ps > 0).astype(float), ts * 1e6], axis=1)
+    path = str(tmp_path / "ev.npy")
+    np.save(path, arr)
+    ds = NpyDataset(path, voxel_method={"method": "k_events", "k": 500,
+                                        "sliding_window_w": 0},
+                    return_events=True, return_frame=False, return_flow=False)
+    assert len(ds) == 4
+    item = ds[0]
+    assert set(np.unique(item["events"][:, 3])) <= {-1.0, 1.0}
+
+
+def test_concat_dataset(h5_path):
+    vm = {"method": "k_events", "k": 2000, "sliding_window_w": 0}
+    d1 = DynamicH5Dataset(h5_path, voxel_method=vm, return_frame=False,
+                          return_flow=False)
+    d2 = DynamicH5Dataset(h5_path, voxel_method=vm, return_frame=False,
+                          return_flow=False)
+    cat = ConcatDataset([d1, d2])
+    assert len(cat) == len(d1) + len(d2)
+    assert cat[len(d1)]["idx0"] == d2[0]["idx0"]
+
+
+def test_transforms():
+    x = np.random.default_rng(0).normal(size=(3, 20, 30)).astype(np.float32)
+    crop = CenterCrop((10, 12))
+    assert crop(x).shape == (3, 10, 12)
+    rn = RobustNorm()
+    out = rn(x)
+    # reference formula: (clamped - min) / (max + eps)  (data_augmentation.py
+    # :122-128 — divides by max, not max-min; replicated for parity)
+    t_max = RobustNorm.percentile(x, 95)
+    t_min = RobustNorm.percentile(x, 0)
+    clamped = np.clip(x, t_min, t_max)
+    want = (clamped - clamped.min()) / (clamped.max() + 1e-6)
+    np.testing.assert_allclose(out, want, atol=1e-6)
+    comp = Compose([crop, rn])
+    assert comp(x).shape == (3, 10, 12)
+    with pytest.raises(KeyError):
+        build_transform("Nope")
+
+
+def test_transform_via_dataset(h5_path):
+    ds = DynamicH5Dataset(h5_path,
+                          transforms={"RobustNorm": {},
+                                      "CenterCrop": {"size": (16, 24)}},
+                          voxel_method={"method": "k_events", "k": 2000,
+                                        "sliding_window_w": 0},
+                          return_frame=False, return_flow=False)
+    v = np.asarray(ds[0]["voxel"])
+    assert v.shape[-2:] == (16, 24)

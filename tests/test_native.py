@@ -1,0 +1,108 @@
+"""Native (C++) ingest runtime tests — compiled vs numpy fallback parity."""
+
+import numpy as np
+import pytest
+
+from event_utils_tpu import native
+from conftest import make_events
+
+
+def test_library_builds():
+    assert native.available(), "libevio failed to build (g++ required)"
+
+
+def test_searchsorted_parity(rng):
+    ts = np.sort(rng.uniform(0, 10, 5000))
+    for x in (0.0, 3.3, 10.5, float(ts[17])):
+        for side in ("left", "right"):
+            assert native.searchsorted_f64(ts, x, side) == int(
+                np.searchsorted(ts, x, side=side))
+
+
+def test_k_event_windows():
+    win = native.k_event_windows(10000, 1000, 0)
+    assert win.shape == (10, 2)
+    assert (win[:, 1] - win[:, 0] == 1000).all()
+    win = native.k_event_windows(10000, 1000, 500)
+    assert (np.diff(win[:, 0]) == 500).all()
+
+
+def test_t_second_windows(rng):
+    ts = np.sort(rng.uniform(0, 1.0, 10000))
+    win = native.t_second_windows(ts, 0.25, 0.0)
+    assert len(win) >= 3
+    for s, e in win:
+        if e > s:
+            assert ts[e - 1] - ts[s] <= 0.25 + 1e-9
+
+
+def test_fill_padded_batches_parity(rng):
+    n = 5000
+    t = np.sort(rng.uniform(0, 1, n)).astype(np.float64)
+    xy = rng.integers(0, 200, (n, 2)).astype(np.int16)
+    p = (rng.uniform(size=n) > 0.5).astype(np.uint8)
+    windows = native.k_event_windows(n, 1000, 0)
+    ev, mask, trunc = native.fill_padded_batches(t, xy, p, windows, 1024)
+    assert ev.shape == (5, 1024, 4)
+    assert trunc == 0
+    assert mask.sum() == 5000
+    # spot-check window 2 against numpy
+    s, e = windows[2]
+    np.testing.assert_allclose(ev[2, :1000, 0], xy[s:e, 0])
+    np.testing.assert_allclose(ev[2, :1000, 2], t[s:e] - t[s], atol=1e-6)
+    np.testing.assert_allclose(ev[2, :1000, 3], np.where(p[s:e], 1, -1))
+    # padding carries last timestamp + zero mask
+    assert (mask[2, 1000:] == 0).all()
+    np.testing.assert_allclose(ev[2, 1000:, 2], ev[2, 999, 2])
+
+
+def test_fill_padded_truncation(rng):
+    n = 3000
+    t = np.sort(rng.uniform(0, 1, n))
+    xy = rng.integers(0, 100, (n, 2)).astype(np.int16)
+    p = (rng.uniform(size=n) > 0.5).astype(np.uint8)
+    windows = np.array([[0, 3000]], np.int64)
+    ev, mask, trunc = native.fill_padded_batches(t, xy, p, windows, 2048)
+    assert trunc == 3000 - 2048
+    assert mask.sum() == 2048
+
+
+def test_threaded_matches_single(rng):
+    n = 20000
+    t = np.sort(rng.uniform(0, 1, n))
+    xy = rng.integers(0, 300, (n, 2)).astype(np.int16)
+    p = (rng.uniform(size=n) > 0.5).astype(np.uint8)
+    windows = native.k_event_windows(n, 512, 0)
+    a = native.fill_padded_batches(t, xy, p, windows, 512, nthreads=1)
+    b = native.fill_padded_batches(t, xy, p, windows, 512, nthreads=8)
+    np.testing.assert_array_equal(a[0], b[0])
+    np.testing.assert_array_equal(a[1], b[1])
+
+
+def test_native_windowed_loader(tmp_path, rng):
+    from event_utils_tpu.data_formats import memmap_packager
+    from event_utils_tpu.data_loaders import NativeWindowedLoader
+    xs, ys, ts, ps = make_events(rng, n=10000, sensor=(32, 48), t_max=1.0)
+    out = str(tmp_path / "mm")
+    mp = memmap_packager(out)
+    mp.package_events(xs, ys, ts, ps)
+    mp.add_metadata(len(xs), 0, 0, 1.0, 0.0, 1.0, 0, 0, sensor_size=(32, 48))
+
+    loader = NativeWindowedLoader(out, method="k_events", k=1000,
+                                  batch_size=4)
+    batches = list(loader)
+    assert len(batches) == 3  # 10 windows / 4
+    b0 = batches[0]
+    assert b0["events"].shape == (4, 1024, 4)
+    assert b0["events_mask"].sum() == 4000
+    # window-relative timestamps start at 0 and stay sorted
+    assert b0["events"][0, 0, 2] == 0.0
+    assert (np.diff(b0["events"][0, :1000, 2]) >= 0).all()
+    # feeds the jitted voxel kernel directly
+    import jax.numpy as jnp
+    from event_utils_tpu.representations import events_to_voxel
+    ev = b0["events"]
+    vox = events_to_voxel(ev[0, :, 0], ev[0, :, 1], ev[0, :, 2], ev[0, :, 3],
+                          5, sensor_size=(32, 48),
+                          mask=jnp.asarray(b0["events_mask"][0]))
+    assert np.isfinite(np.asarray(vox)).all()
