@@ -394,6 +394,93 @@ def grid_search_refine(loss_fn: Callable, dims: int,
 # ROI-tiled contrast maximisation (grid_cmax)
 # ---------------------------------------------------------------------------
 
+def make_patch_variance_loss(warpfunc, roi_size, patch=(64, 128),
+                             blur_sigma: float = 1.0,
+                             full_pixels: Optional[int] = None):
+    """MXU-fast per-ROI variance loss: patch-local IWE as ONE matmul.
+
+    Bilinear splatting factorizes — ``tap(y, x) = wy(y) * wx(x) * w`` — so
+    the whole 4-tap image of warped events is a single (PH, C) x (C, PW)
+    product of one-hot row/column matrices carrying the bilinear fractions:
+
+        A[r, n] = (1-dy_n)[y0_n = r] + dy_n[y0_n + 1 = r]
+        V[n, c] = w_n ((1-dx_n)[x0_n = c] + dx_n[x0_n + 1 = c])
+        IWE     = A @ V
+
+    Coordinates are patch-local (the ROI centered in a ``patch`` window), and
+    the variance of the *full-frame* IWE is recovered analytically from patch
+    sums (pixels outside the patch are zero): with FP = full pixel count,
+    ``var = sum(IWE^2)/FP - (sum(IWE)/FP)^2``.
+
+    Divergence (documented): events warped beyond the patch are dropped
+    (the reference drops only beyond the sensor). With the default patch a
+    20x20 ROI keeps all events for |v| * dt <= ~22 px; larger warps lose
+    mass, which lowers contrast and steers the optimizer back — the same
+    shape of penalty the sensor boundary applies in the reference.
+
+    Returns ``loss(params, ex, ey, et, ep, mask, origin_yx) -> scalar``,
+    fully differentiable (gradients flow through the bilinear fractions,
+    exactly as for scatter-based IWEs).
+    """
+    from ..ops.blur import gaussian_kernel1d
+
+    PH, PW = patch
+    rh, rw = roi_size
+    blur_k = (jnp.asarray(gaussian_kernel1d(blur_sigma), jnp.float32)
+              if blur_sigma and blur_sigma > 0 else None)
+
+    def loss(params, ex, ey, et, ep, mask, origin_yx):
+        mask = jnp.asarray(mask, jnp.float32)
+        t0 = jnp.max(jnp.where(mask != 0, et, -jnp.inf))
+        xw, yw = warpfunc.warp_fn(params, ex, ey, et, t0)
+        px = xw - (origin_yx[1] + rw / 2.0 - PW / 2.0)
+        py = yw - (origin_yx[0] + rh / 2.0 - PH / 2.0)
+        w = ep * mask
+
+        x0 = jnp.floor(px)
+        y0 = jnp.floor(py)
+        dx = (px - x0).astype(jnp.float32)
+        dy = (py - y0).astype(jnp.float32)
+        ix0 = x0.astype(jnp.int32)
+        iy0 = y0.astype(jnp.int32)
+        okx = (ix0 >= 0) & (ix0 + 1 < PW)
+        oky = (iy0 >= 0) & (iy0 + 1 < PH)
+        w = jnp.where(okx & oky, w, 0.0)
+        ix0 = jnp.clip(ix0, 0, PW - 2)
+        iy0 = jnp.clip(iy0, 0, PH - 2)
+
+        C = ex.shape[0]
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (PH, C), 0)
+        col_iota = jax.lax.broadcasted_iota(jnp.int32, (C, PW), 1)
+        A = ((row_iota == iy0[None, :]).astype(jnp.float32) * (1 - dy)[None]
+             + (row_iota == (iy0 + 1)[None, :]).astype(jnp.float32) * dy[None])
+        V = ((col_iota == ix0[:, None]).astype(jnp.float32)
+             * (w * (1 - dx))[:, None]
+             + (col_iota == (ix0 + 1)[:, None]).astype(jnp.float32)
+             * (w * dx)[:, None])
+        iwe = jax.lax.dot_general(
+            A.astype(jnp.bfloat16), V.astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+        if blur_k is not None:
+            r = blur_k.shape[0]
+            iwe = jax.lax.conv_general_dilated(
+                iwe[None, None], blur_k[None, None, :, None],
+                (1, 1), [(r // 2, r // 2), (0, 0)],
+                dimension_numbers=("NCHW", "OIHW", "NCHW"))[0, 0]
+            iwe = jax.lax.conv_general_dilated(
+                iwe[None, None], blur_k[None, None, None, :],
+                (1, 1), [(0, 0), (r // 2, r // 2)],
+                dimension_numbers=("NCHW", "OIHW", "NCHW"))[0, 0]
+
+        FP = jnp.float32(full_pixels if full_pixels is not None else PH * PW)
+        S = jnp.sum(iwe)
+        Q = jnp.sum(iwe * iwe)
+        return -(Q / FP - (S / FP) ** 2)
+
+    return loss
+
+
 def grid_cmax(xs, ys, ts, ps, roi_size=(20, 20), step=None, warp=None,
               obj=None, min_events: int = 10, img_size=None):
     """Per-ROI contrast maximisation, host loop (reference events_cmax.py:28-76).
@@ -438,43 +525,57 @@ def grid_cmax(xs, ys, ts, ps, roi_size=(20, 20), step=None, warp=None,
 
 
 def bucket_events_by_roi(xs, ys, ts, ps, resolution, roi_size,
-                         capacity: Optional[int] = None):
+                         capacity: Optional[int] = None,
+                         capacity_cap: Optional[int] = 2048,
+                         rng: Optional[np.random.Generator] = None):
     """Bucket events into fixed-capacity per-ROI batches (host side).
 
-    Returns ``(bx, by, bt, bp, bmask, roi_origins)`` where each ``b*`` is
-    ``(R, capacity)`` and ``roi_origins`` is ``(R, 2)`` = (y0, x0). Events
-    beyond a ROI's capacity are dropped (log-free truncation is reported via
-    the returned ``overflow`` count).
+    Returns ``(bx, by, bt, bp, bmask, roi_origins, overflow)`` where each
+    ``b*`` is ``(R, capacity)`` and ``roi_origins`` is ``(R, 2)`` = (y0, x0).
+    ROIs holding more than ``capacity`` events are *uniformly subsampled*
+    (time order preserved) rather than truncated — the contrast objective is
+    statistically unchanged while the solve cost stays bounded; ``overflow``
+    counts the subsampled-away events. Default capacity is the max ROI count
+    rounded up to a power of two, clipped to ``capacity_cap``.
     """
     H, W = resolution
     rh, rw = roi_size
     ny = (H + rh - 1) // rh
     nx = (W + rw - 1) // rw
     R = ny * nx
+    rng = np.random.default_rng(0) if rng is None else rng
     xs, ys, ts, ps = map(np.asarray, (xs, ys, ts, ps))
     rid = (np.minimum(ys.astype(np.int64) // rh, ny - 1) * nx
            + np.minimum(xs.astype(np.int64) // rw, nx - 1))
     order = np.argsort(rid, kind="stable")
-    rid_s = rid[order]
-    counts = np.bincount(rid_s, minlength=R)
+    counts = np.bincount(rid[order], minlength=R)
     if capacity is None:
         capacity = int(counts.max()) if len(counts) else 1
         capacity = max(1, int(2 ** np.ceil(np.log2(max(capacity, 1)))))
+        if capacity_cap is not None:
+            capacity = min(capacity, capacity_cap)
     starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
 
-    def pack(arr, fill=0.0):
-        out = np.full((R, capacity), fill, dtype=np.float32)
-        a = arr[order]
-        for r in range(R):
-            n = min(counts[r], capacity)
-            out[r, :n] = a[starts[r]:starts[r] + n]
+    # per-ROI source indices (subsampled when over capacity)
+    sel_idx = []
+    for r in range(R):
+        src = order[starts[r]:starts[r] + counts[r]]
+        if len(src) > capacity:
+            keep = np.sort(rng.choice(len(src), size=capacity, replace=False))
+            src = src[keep]
+        sel_idx.append(src)
+
+    def pack(arr):
+        out = np.zeros((R, capacity), dtype=np.float32)
+        for r, src in enumerate(sel_idx):
+            out[r, :len(src)] = arr[src]
         return out
 
     bx, by = pack(xs), pack(ys)
     bt, bp = pack(ts), pack(ps)
     bmask = np.zeros((R, capacity), np.float32)
-    for r in range(R):
-        bmask[r, :min(counts[r], capacity)] = 1.0
+    for r, src in enumerate(sel_idx):
+        bmask[r, :len(src)] = 1.0
     oy, ox = np.divmod(np.arange(R), nx)
     roi_origins = np.stack([oy * rh, ox * rw], axis=-1)
     overflow = int(np.maximum(counts - capacity, 0).sum())
@@ -486,14 +587,20 @@ def bucket_events_by_roi(xs, ys, ts, ps, resolution, roi_size,
 def grid_cmax_batched(xs, ys, ts, ps, roi_size=(20, 20), warp=None,
                       obj=None, min_events: int = 10, img_size=None,
                       blur_sigma: float = 1.0, maxiter: int = 50,
-                      capacity: Optional[int] = None):
+                      capacity: Optional[int] = None,
+                      solver: str = "gd", gd_lr: float = 4.0):
     """All-ROIs-at-once contrast maximisation: one vmapped, jitted solve.
 
     TPU-first replacement for the reference's Python ROI loop
     (events_cmax.py:53-67): events are bucketed by ROI into fixed-capacity
-    batches; a coarse-to-fine grid search plus a BFGS refine runs for *every*
-    ROI in parallel on the device.
+    batches (subsampled above the capacity cap); a coarse-to-fine grid
+    search plus a refine stage runs for *every* ROI in parallel.
 
+    @param solver ``'gd'`` (default): fixed-``maxiter`` normalized-gradient
+        descent with momentum — every ROI takes exactly the same compiled
+        step count, which maps far better onto lockstep vmapping than
+        ``'bfgs'`` (jax BFGS line searches run to the slowest ROI's
+        convergence). Both refine the grid-search init inside one basin.
     Returns ``(params (R, dims), rois (R, 4), f_evals (R,), valid (R,))``.
     """
     warp = linvel_warp() if warp is None else warp
@@ -503,20 +610,56 @@ def grid_cmax_batched(xs, ys, ts, ps, roi_size=(20, 20), warp=None,
 
     bx, by, bt, bp, bmask, origins, overflow = bucket_events_by_roi(
         xs, ys, ts, ps, resolution, roi_size, capacity)
-    loss = make_objective_loss(obj, warp, tuple(resolution), blur_sigma)
 
-    def solve_one(ex, ey, et, ep, emask):
+    # The variance objective (grid_cmax's default) gets the MXU fast path:
+    # patch-local single-matmul IWE with analytic full-frame variance.
+    use_patch = obj.name == "variance"
+    if use_patch:
+        patch_loss = make_patch_variance_loss(
+            warp, roi_size, blur_sigma=blur_sigma,
+            full_pixels=(resolution[0] + 1) * (resolution[1] + 1))
+    else:
+        full_loss = make_objective_loss(obj, warp, tuple(resolution),
+                                        blur_sigma)
+
+    def solve_one(ex, ey, et, ep, emask, origin):
         def f(p):
-            return loss(p, ex, ey, et, ep, emask)
+            if use_patch:
+                return patch_loss(p, ex, ey, et, ep, emask, origin)
+            return full_loss(p, ex, ey, et, ep, emask)
 
         x0, _ = grid_search_refine(f, warp.dims, init_range=150.0,
                                    num_samples_per_param=5, iters=6)
-        res = jax_minimize(f, x0, method="BFGS",
-                                          options={"maxiter": maxiter,
-                                                   "gtol": 1e-6})
-        return res.x, f(res.x)
+        if solver == "bfgs":
+            res = jax_minimize(f, x0, method="BFGS",
+                               options={"maxiter": maxiter, "gtol": 1e-6})
+            return res.x, f(res.x)
 
-    params, f_evals = jax.jit(jax.vmap(solve_one))(bx, by, bt, bp, bmask)
+        # normalized-gradient descent with momentum and cosine lr decay:
+        # fixed iteration count -> perfectly lockstep under vmap.
+        vg = jax.value_and_grad(f)
+
+        def step(i, state):
+            p, m, best_p, best_v = state
+            v, g = vg(p)
+            better = v < best_v
+            best_p = jnp.where(better, p, best_p)
+            best_v = jnp.where(better, v, best_v)
+            g = g / (jnp.linalg.norm(g) + 1e-12)
+            m = 0.8 * m + g
+            lr = gd_lr * 0.5 * (1 + jnp.cos(jnp.pi * i / maxiter))
+            return p - lr * m, m, best_p, best_v
+
+        init = (x0, jnp.zeros_like(x0), x0, f(x0))
+        p, _, best_p, best_v = jax.lax.fori_loop(0, maxiter, step, init)
+        v_final = f(p)
+        final_better = v_final < best_v
+        best_p = jnp.where(final_better, p, best_p)
+        best_v = jnp.where(final_better, v_final, best_v)
+        return best_p, best_v
+
+    params, f_evals = jax.jit(jax.vmap(solve_one))(
+        bx, by, bt, bp, bmask, jnp.asarray(origins, jnp.float32))
     valid = jnp.sum(bmask, axis=1) > min_events
     rois = jnp.concatenate(
         [origins, jnp.tile(jnp.asarray([[rh, rw]]), (origins.shape[0], 1))],
