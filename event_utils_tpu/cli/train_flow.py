@@ -1,0 +1,68 @@
+"""Self-supervised optical-flow training CLI (BASELINE config 5 shape:
+streaming voxel dataloader feeding an EV-FlowNet-style net).
+
+Example:
+    python -m event_utils_tpu.cli.train_flow outdoor_day1_memmap \\
+        --sensor 256 256 --k 20000 --batch_size 8 --epochs 2 \\
+        --ckpt_dir /tmp/flow_ckpt
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Train EV-FlowNet self-supervised on an event file")
+    parser.add_argument("path", help="memmap dir (or H5 file)")
+    parser.add_argument("--sensor", nargs=2, type=int, default=(64, 64),
+                        help="crop/pad target (multiples of 8)")
+    parser.add_argument("--num_bins", type=int, default=5)
+    parser.add_argument("--k", type=int, default=20000,
+                        help="events per window")
+    parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument("--epochs", type=int, default=1)
+    parser.add_argument("--lr", type=float, default=1e-4)
+    parser.add_argument("--ckpt_dir", default=None)
+    parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--data_parallel", action="store_true",
+                        help="shard the batch over all devices")
+    args = parser.parse_args(argv)
+
+    import os
+
+    import numpy as np
+
+    from ..data_loaders import NativeWindowedLoader
+    from ..training import FlowTrainer
+
+    if os.path.isdir(args.path):
+        loader = NativeWindowedLoader(args.path, method="k_events", k=args.k,
+                                      batch_size=args.batch_size,
+                                      shuffle=True)
+    else:
+        raise SystemExit("train_flow currently streams from memmap dirs; "
+                         "convert H5 with "
+                         "python -m event_utils_tpu.data_formats.h5_to_memmap")
+
+    mesh = None
+    if args.data_parallel:
+        from ..parallel import make_mesh
+        mesh = make_mesh(axis_name="batch")
+        print(f"data-parallel over {mesh.devices.size} devices")
+
+    trainer = FlowTrainer(sensor_size=tuple(args.sensor),
+                          num_bins=args.num_bins, learning_rate=args.lr,
+                          mesh=mesh)
+    if args.resume and args.ckpt_dir:
+        step = trainer.restore_checkpoint(args.ckpt_dir)
+        print(f"resumed from step {step}")
+
+    losses = trainer.fit(loader, epochs=args.epochs, num_bins=args.num_bins,
+                         ckpt_dir=args.ckpt_dir)
+    print(f"final loss: {np.mean(losses[-10:]):.5f} over {len(losses)} steps")
+
+
+if __name__ == "__main__":
+    main()

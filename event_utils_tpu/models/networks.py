@@ -1,0 +1,167 @@
+"""Neural model family consuming voxel-grid batches.
+
+The reference keeps networks in sibling repos (reference README.md:153
+points at event_cnn_minimal); this framework ships compact flax versions of
+the two architectures its data pipeline exists to feed (BASELINE config 5):
+
+- ``EVFlowNet``  — encoder-decoder optical-flow net (Zhu et al., EV-FlowNet)
+  trained self-supervised with the contrast-maximisation loss this
+  framework computes natively.
+- ``E2VID``      — recurrent encoder-decoder intensity reconstruction net
+  (Rebecq et al., E2VID) with ConvGRU state.
+
+Both take ``(B, C, H, W)`` voxel grids (C = 2*num_bins polarity-split or
+num_bins combined, exactly what ``BaseVoxelDataset``/``NativeWindowedLoader``
+emit) and are sized so tp/pp-free data parallelism over the batch axis is
+the right sharding (these are small convnets; the batch dimension is where
+the scale is — see parallel/sharding.py).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def _conv(features, kernel=3, stride=1):
+    return nn.Conv(features, (kernel, kernel), strides=(stride, stride),
+                   padding="SAME")
+
+
+class ConvGRU(nn.Module):
+    """Convolutional GRU cell (the E2VID recurrent state)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, h, x):
+        if h is None:
+            h = jnp.zeros(x.shape[:-1] + (self.features,), x.dtype)
+        zr = nn.sigmoid(_conv(2 * self.features)(jnp.concatenate([x, h], -1)))
+        z, r = jnp.split(zr, 2, axis=-1)
+        cand = nn.tanh(_conv(self.features)(jnp.concatenate([x, r * h], -1)))
+        return (1 - z) * h + z * cand
+
+
+class _Encoder(nn.Module):
+    features: Sequence[int]
+
+    @nn.compact
+    def __call__(self, x):
+        skips = []
+        for f in self.features:
+            x = nn.relu(_conv(f, kernel=3, stride=2)(x))
+            skips.append(x)
+        return x, skips
+
+
+class _Decoder(nn.Module):
+    features: Sequence[int]
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x, skips):
+        for f, skip in zip(self.features, reversed(skips[:-1])):
+            B, H, W, C = x.shape
+            x = jax.image.resize(x, (B, H * 2, W * 2, C), "bilinear")
+            x = nn.relu(_conv(f)(x))
+            if skip.shape[1:3] == x.shape[1:3]:
+                x = jnp.concatenate([x, skip], axis=-1)
+        B, H, W, C = x.shape
+        x = jax.image.resize(x, (B, H * 2, W * 2, C), "bilinear")
+        return _conv(self.out_channels)(x)
+
+
+class EVFlowNet(nn.Module):
+    """Encoder-decoder optical flow from voxel grids.
+
+    Input  ``(B, C, H, W)`` voxel grid (H, W multiples of 2^depth — use
+    ``utils.util.CropParameters`` to pad arbitrary sensors).
+    Output ``(B, 2, H, W)`` flow field (u, v) in px/s.
+    """
+
+    base_features: int = 32
+    depth: int = 3
+
+    @nn.compact
+    def __call__(self, voxel):
+        x = jnp.transpose(voxel, (0, 2, 3, 1))  # NCHW -> NHWC
+        feats = [self.base_features * (2 ** i) for i in range(self.depth)]
+        x, skips = _Encoder(feats)(x)
+        x = nn.relu(_conv(feats[-1])(x))
+        flow = _Decoder(list(reversed(feats[:-1])) or [self.base_features],
+                        2)(x, skips)
+        return jnp.transpose(flow, (0, 3, 1, 2)) * 10.0  # flow-scale init
+
+
+class E2VID(nn.Module):
+    """Recurrent intensity reconstruction from voxel grids.
+
+    ``apply(params, voxel, state) -> (image (B, 1, H, W) in [0, 1], state)``.
+    Pass ``state=None`` for the first window of a sequence.
+    """
+
+    base_features: int = 32
+    depth: int = 3
+
+    @nn.compact
+    def __call__(self, voxel, state=None):
+        x = jnp.transpose(voxel, (0, 2, 3, 1))
+        feats = [self.base_features * (2 ** i) for i in range(self.depth)]
+        x, skips = _Encoder(feats)(x)
+        gru = ConvGRU(feats[-1])
+        state = gru(state, x)
+        x = nn.relu(_conv(feats[-1])(state))
+        img = _Decoder(list(reversed(feats[:-1])) or [self.base_features],
+                       1)(x, skips)
+        img = nn.sigmoid(jnp.transpose(img, (0, 3, 1, 2)))
+        return img, state
+
+
+# ---------------------------------------------------------------------------
+# Self-supervised losses (the framework's native training signals)
+# ---------------------------------------------------------------------------
+
+def contrast_flow_loss(flow, events, events_mask, sensor_size,
+                       blur_sigma: float = 1.0,
+                       smoothness_weight: float = 0.5):
+    """Self-supervised EV-FlowNet loss: warp the raw events of each window by
+    the predicted dense flow and maximise IWE contrast (variance), plus a
+    total-variation smoothness prior on the flow.
+
+    @param flow ``(B, 2, H, W)`` predicted flow
+    @param events ``(B, N, 4)`` padded raw events (x, y, t, p)
+    @param events_mask ``(B, N)`` validity
+    """
+    from ..ops.blur import gaussian_blur_image
+    from ..ops.scatter import bilinear_scatter
+    from ..transforms.optic_flow import warp_events_flow
+
+    H, W = sensor_size
+
+    def one(flow_b, ev, mask):
+        xs, ys, ts, ps = ev[:, 0], ev[:, 1], ev[:, 2], ev[:, 3]
+        t_last = jnp.max(jnp.where(mask != 0, ts, -jnp.inf))
+        xw, yw = warp_events_flow(xs, ys, ts, ps, flow_b, t0=t_last,
+                                  mask=mask)
+        valid = ((xw >= 0) & (xw < W) & (yw >= 0) & (yw < H)
+                 & (mask != 0))
+        iwe = bilinear_scatter(xw, yw, ps * mask, (H, W), mask=valid)
+        iwe = gaussian_blur_image(iwe, blur_sigma)
+        return -jnp.var(iwe)
+
+    contrast = jnp.mean(jax.vmap(one)(flow, events, events_mask))
+    tv = (jnp.mean(jnp.abs(jnp.diff(flow, axis=-1)))
+          + jnp.mean(jnp.abs(jnp.diff(flow, axis=-2))))
+    return contrast + smoothness_weight * tv
+
+
+def reconstruction_loss(pred, target, lpips_weight: float = 0.0):
+    """E2VID supervision: L1 + (optional) feature loss placeholder."""
+    del lpips_weight
+    return jnp.mean(jnp.abs(pred - target))
