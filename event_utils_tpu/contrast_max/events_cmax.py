@@ -65,14 +65,17 @@ def _compiled_loss(obj_key, warp_cls, img_size, blur_sigma, use_polarity,
 def make_objective_loss(objective: objective_function,
                         warpfunc: warp_function,
                         img_size: Tuple[int, int],
-                        blur_sigma: Optional[float]) -> Callable:
+                        blur_sigma: Optional[float],
+                        iwe_impl: Optional[str] = None) -> Callable:
     """Pure jittable ``loss(params, xs, ys, ts, ps, mask)`` for an
     objective/warp pair (autodiff path). Not cached — use directly inside
-    larger jitted programs."""
+    larger jitted programs. ``iwe_impl='matmul'`` forms the IWE on the MXU
+    (~8x faster, ~2e-3 relative)."""
 
     def loss(params, xs, ys, ts, ps, mask=None):
         iwe, _ = get_iwe(params, xs, ys, ts, ps, warpfunc, img_size,
-                         use_polarity=objective.use_polarity, mask=mask)
+                         use_polarity=objective.use_polarity, mask=mask,
+                         impl=iwe_impl)
         if blur_sigma and blur_sigma > 0:
             iwe = gaussian_filter(iwe, blur_sigma)
         return objective.loss_fn(iwe)
@@ -199,14 +202,17 @@ def optimize_contrast_jit(xs, ys, ts, ps, warpfunc, objective,
                           x0=None, blur_sigma: Optional[float] = 1.0,
                           img_size=(180, 240), mask=None,
                           grid_search_init: bool = False,
-                          maxiter: int = 100):
+                          maxiter: int = 100,
+                          iwe_impl: Optional[str] = "matmul"):
     """Whole-solve-on-device BFGS (``jax.scipy.optimize.minimize``).
 
     One XLA program: warp → scatter → blur → loss, differentiated by
-    autodiff, iterated by a compiled BFGS with line search. Returns the
-    optimal parameters as a jax array.
+    autodiff, iterated by a compiled BFGS with line search; the IWE forms
+    on the MXU by default (``iwe_impl='matmul'``; pass None for the exact
+    scatter). Returns the optimal parameters as a jax array.
     """
-    loss = make_objective_loss(objective, warpfunc, img_size, blur_sigma)
+    loss = make_objective_loss(objective, warpfunc, img_size, blur_sigma,
+                               iwe_impl=iwe_impl)
     xs = jnp.asarray(xs, jnp.float32)
     ys = jnp.asarray(ys, jnp.float32)
     ts = jnp.asarray(ts, jnp.float32)

@@ -1,0 +1,135 @@
+"""Pure-XLA one-hot-matmul bilinear scatter (full-frame IWE fast path).
+
+Bilinear splatting factorizes — ``tap(y, x) = wy(y) * wx(x) * w`` — so the
+4-tap image of a chunk of events is ONE matmul of one-hot factor matrices
+carrying the fractional weights:
+
+    A[r, n] = (1-dy_n)[y0_n = r] + dy_n[y0_n+1 = r]          (HP, C)
+    V[n, c] = w_n ((1-dx_n)[x0_n = c] + dx_n [x0_n+1 = c])   (C, WP)
+    IWE    += A @ V
+
+Implemented as a ``lax.scan`` over fixed-size chunks with an (HP, WP) f32
+carry — no Pallas needed; XLA maps the products onto the MXU. Unlike the
+Pallas voxel kernel this path needs no sorted timestamps and is fully
+differentiable by construction (gradients flow through the bilinear
+fractions; the one-hot comparisons are piecewise-constant, exactly like the
+scatter formulation).
+
+Precision: factors are bf16, f32-accumulated — ~1e-3 relative. Use
+``precision='hilo'`` (weight hi/lo split on the column factor, 2 matmuls)
+for ~1e-4, or the exact XLA scatter (``ops.scatter.bilinear_scatter``) for
+bit-level parity.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+DEFAULT_CHUNK = 8192
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=("shape", "chunk", "precision"))
+def bilinear_scatter_matmul(x, y, w, shape: Tuple[int, int],
+                            mask: Optional[Array] = None,
+                            chunk: int = DEFAULT_CHUNK,
+                            precision: str = "bf16") -> Array:
+    """4-tap bilinear scatter-add via factorized one-hot matmuls.
+
+    Matches ``bilinear_scatter`` (taps outside ``shape`` dropped) to the
+    stated precision. ``(H, W)`` output.
+    """
+    H, W = shape
+    HP = _round_up(H, 8)
+    WP = _round_up(W, 128)
+    x = jnp.asarray(x, jnp.float32)
+    y = jnp.asarray(y, jnp.float32)
+    w = jnp.asarray(w, jnp.float32)
+    if mask is not None:
+        w = w * jnp.asarray(mask, jnp.float32)
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    dx = x - x0
+    dy = y - y0
+    ix0 = x0.astype(jnp.int32)
+    iy0 = y0.astype(jnp.int32)
+    # Taps beyond the image must vanish. Row taps handle it per one-hot (an
+    # out-of-range row simply matches nothing in [0, HP)); only fully
+    # out-of-domain events (either column tap outside) need the weight
+    # zeroed per tap, folded into the column factor.
+    okx0 = (ix0 >= 0) & (ix0 < W)
+    okx1 = (ix0 + 1 >= 0) & (ix0 + 1 < W)
+    oky = (iy0 + 1 >= 0) & (iy0 < H)  # at least one row tap in range
+    wx0 = jnp.where(okx0 & oky, w * (1 - dx), 0.0)
+    wx1 = jnp.where(okx1 & oky, w * dx, 0.0)
+    # clamp ids so one-hots stay well-formed (weights already zeroed)
+    ix1 = jnp.clip(ix0 + 1, 0, W - 1)
+    ix0 = jnp.clip(ix0, 0, W - 1)
+
+    n = x.shape[0]
+    pad = (-n) % chunk
+    def padded(a, fill=0.0):
+        return jnp.pad(a, (0, pad), constant_values=fill).reshape(-1, chunk)
+
+    iy0c = padded(iy0, -10)
+    ix0c = padded(ix0, 0)
+    ix1c = padded(ix1, 0)
+    dyc = padded(dy)
+    wx0c = padded(wx0)
+    wx1c = padded(wx1)
+
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (HP, chunk), 0)
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, WP), 1)
+
+    def body(acc, inp):
+        iy0b, ix0b, ix1b, dyb, w0b, w1b = inp
+        O0 = (row_iota == iy0b[None, :]).astype(jnp.bfloat16)
+        O1 = (row_iota == (iy0b + 1)[None, :]).astype(jnp.bfloat16)
+        C0 = (col_iota == ix0b[:, None]).astype(jnp.bfloat16)
+        C1 = (col_iota == ix1b[:, None]).astype(jnp.bfloat16)
+
+        def rowfac(a, b):
+            return O0 * a[None, :] + O1 * b[None, :]
+
+        def colfac(w0, w1):
+            return C0 * w0[:, None] + C1 * w1[:, None]
+
+        def dot(A, V):
+            return jax.lax.dot_general(A, V, (((1,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+
+        ay = 1 - dyb
+        if precision == "hilo":
+            # hi/lo split on BOTH factors; the lo*lo cross term (~2^-18
+            # relative) is dropped: 3 matmuls.
+            ah = ay.astype(jnp.bfloat16)
+            bh = dyb.astype(jnp.bfloat16)
+            al = (ay - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+            bl = (dyb - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+            w0h = w0b.astype(jnp.bfloat16)
+            w1h = w1b.astype(jnp.bfloat16)
+            w0l = (w0b - w0h.astype(jnp.float32)).astype(jnp.bfloat16)
+            w1l = (w1b - w1h.astype(jnp.float32)).astype(jnp.bfloat16)
+            Ah = rowfac(ah, bh)
+            o = dot(Ah, colfac(w0h, w1h))
+            o = o + dot(Ah, colfac(w0l, w1l))
+            o = o + dot(rowfac(al, bl), colfac(w0h, w1h))
+        else:
+            A = rowfac(ay.astype(jnp.bfloat16), dyb.astype(jnp.bfloat16))
+            o = dot(A, colfac(w0b.astype(jnp.bfloat16),
+                              w1b.astype(jnp.bfloat16)))
+        return acc + o, None
+
+    acc0 = jnp.zeros((HP, WP), jnp.float32)
+    acc, _ = jax.lax.scan(body, acc0,
+                          (iy0c, ix0c, ix1c, dyc, wx0c, wx1c))
+    return acc[:H, :W]

@@ -169,7 +169,17 @@ def bilinear_scatter(x: Array, y: Array, w: Array, shape: Tuple[int, int], *,
     TPU-native equivalent of reference ``interpolate_to_image``
     (image.py:102-115). Differentiable in ``x``, ``y`` and ``w``.
     Out-of-image taps are dropped (no wraparound, no origin-pixel dumping).
+
+    ``impl='matmul'`` / ``'matmul_hilo'`` select the MXU one-hot-matmul fast
+    path (~8x / ~3x the XLA scatter throughput at ~2e-3 / ~3e-5 relative
+    precision); the default XLA scatter is exact.
     """
+    impl = impl or _DEFAULT_IMPL
+    if impl in ("matmul", "matmul_bf16", "matmul_hilo"):
+        from .matmul_scatter import bilinear_scatter_matmul
+        return bilinear_scatter_matmul(
+            x, y, w, shape, mask=mask,
+            precision="hilo" if impl == "matmul_hilo" else "bf16")
     H, W = shape
     idxs, ws = _bilinear_taps(x, y, w, shape, mask)
     flat_idx = jnp.concatenate(idxs)
