@@ -29,4 +29,4 @@ __version__ = "0.1.0"
 
 from . import ops, utils, representations, models, contrast_max  # noqa: F401
 from . import transforms, augmentation, data_formats, data_loaders  # noqa: F401
-from . import parallel, visualization  # noqa: F401
+from . import parallel, visualization, native, training  # noqa: F401

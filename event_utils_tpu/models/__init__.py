@@ -25,3 +25,9 @@ from .objectives import (  # noqa: F401
     variance_objective,
     zhu_timestamp_objective,
 )
+from .networks import (  # noqa: F401
+    E2VID,
+    EVFlowNet,
+    contrast_flow_loss,
+    reconstruction_loss,
+)

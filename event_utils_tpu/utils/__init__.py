@@ -13,3 +13,18 @@ from .event_util import (  # noqa: F401
     lifespan_mask,
     remove_hot_pixels,
 )
+from .util import (  # noqa: F401
+    CropParameters,
+    ensure_dir,
+    flow2bgr_np,
+    format_power,
+    inf_loop,
+    normalize_image,
+    optimal_crop_size,
+    plot_image,
+    plot_image_grid,
+    read_json,
+    save_image,
+    write_json,
+)
+from .profiling import ThroughputMeter, log_metrics, timed, trace  # noqa: F401

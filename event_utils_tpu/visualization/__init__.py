@@ -27,3 +27,4 @@ from .visualizers import (  # noqa: F401
     VoxelVisualizer,
     get_visualizer,
 )
+from .draw_plane import draw_plane_figure  # noqa: F401

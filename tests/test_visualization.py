@@ -1,0 +1,114 @@
+"""Visualization smoke tests (headless Agg backend)."""
+
+import os
+
+import matplotlib
+
+matplotlib.use("Agg")
+
+import numpy as np
+import pytest
+
+from conftest import make_events
+
+SENSOR = (32, 48)
+
+
+def test_plot_events(tmp_path, rng):
+    from event_utils_tpu.visualization import plot_events
+    xs, ys, ts, ps = make_events(rng, n=800, sensor=SENSOR)
+    out = str(tmp_path / "ev.png")
+    plot_events(xs, ys, ts, ps, save_path=out, num_show=400, dpi=80,
+                img_size=SENSOR)
+    assert os.path.getsize(out) > 1000
+
+
+def test_plot_events_with_frame(tmp_path, rng):
+    from event_utils_tpu.visualization import plot_events
+    xs, ys, ts, ps = make_events(rng, n=500, sensor=SENSOR)
+    frame = rng.integers(0, 255, SENSOR).astype(np.uint8)
+    out = str(tmp_path / "evf.png")
+    plot_events(xs, ys, ts, ps, save_path=out, num_show=300, dpi=80,
+                imgs=[frame], img_ts=[float(ts[len(ts) // 2])],
+                img_size=SENSOR)
+    assert os.path.getsize(out) > 1000
+
+
+def test_plot_voxel_grid_3d(tmp_path, rng):
+    from event_utils_tpu.visualization import plot_voxel_grid
+    xs, ys, ts, ps = make_events(rng, n=800, sensor=SENSOR)
+    out = str(tmp_path / "vox.png")
+    plot_voxel_grid(xs, ys, ts, ps, bins=3, sensor_size=SENSOR,
+                    save_path=out, show_plot=False, downsample=8)
+    assert os.path.getsize(out) > 500
+
+
+def test_visualizer_registry(tmp_path, rng):
+    from event_utils_tpu.visualization import get_visualizer
+    xs, ys, ts, ps = make_events(rng, n=600, sensor=SENSOR)
+    data = {"events": np.stack([xs, ys, ts, ps], 1),
+            "frame": [], "frame_ts": []}
+    for name in ("event_image", "ts_image", "voxel_image"):
+        viz = get_visualizer(name, SENSOR)
+        out = str(tmp_path / f"{name}.png")
+        viz.plot_events(data, out)
+        assert os.path.getsize(out) > 500
+    with pytest.raises(KeyError):
+        get_visualizer("nope", SENSOR)
+
+
+def test_motion_compensate(tmp_path, rng):
+    from event_utils_tpu.visualization import motion_compensate
+    xs, ys, ts, ps = make_events(rng, n=500, sensor=SENSOR, int_coords=False)
+    flow = np.zeros((2,) + SENSOR, np.float32)
+    out = str(tmp_path / "mc.png")
+    img = motion_compensate(xs, ys, ts, ps, flow, fname=out)
+    assert img.shape == (SENSOR[0] + 1, SENSOR[1] + 1)
+    assert os.path.getsize(out) > 500
+
+
+def test_flow2bgr(rng):
+    from event_utils_tpu.utils import flow2bgr_np
+    u = rng.normal(size=SENSOR)
+    v = rng.normal(size=SENSOR)
+    bgr = flow2bgr_np(u, v)
+    assert bgr.shape == SENSOR + (3,)
+    assert bgr.dtype == np.uint8
+
+
+def test_draw_plane(tmp_path):
+    from event_utils_tpu.visualization import draw_plane_figure
+    out = str(tmp_path / "plane.png")
+    draw_plane_figure(save_path=out)
+    assert os.path.getsize(out) > 1000
+
+
+def test_parse_crop():
+    from event_utils_tpu.visualization import crop_to_size, parse_crop
+    assert parse_crop("100x80+10+20") == [20, 100, 10, 110]
+    assert crop_to_size([20, 100, 10, 110]) == [80, 100]
+    with pytest.raises(ValueError):
+        parse_crop("garbage")
+
+
+def test_incremental_accumulators(rng):
+    from event_utils_tpu.representations import EventImage, TimestampImage
+    xs, ys, ts, ps = make_events(rng, n=500, sensor=SENSOR)
+    ti = TimestampImage(SENSOR)
+    ti.add_events(xs, ys, ts, ps)
+    img = ti.get_image()
+    assert img.shape == SENSOR and 0 <= img.min() and img.max() <= 1
+
+    ei = EventImage(SENSOR)
+    ei.add_events(xs, ys, ts, ps)
+    norm = ei.get_image()
+    assert norm.shape == SENSOR and norm.max() <= 1
+
+
+def test_crop_parameters():
+    from event_utils_tpu.utils import CropParameters
+    cp = CropParameters(240, 180, num_encoders=3)
+    x = np.zeros((1, 180, 240))
+    padded = cp.pad(x)
+    assert padded.shape[-2] % 8 == 0 and padded.shape[-1] % 8 == 0
+    assert cp.crop(padded).shape == x.shape
