@@ -617,16 +617,40 @@ def grid_cmax_batched(xs, ys, ts, ps, roi_size=(20, 20), warp=None,
     bx, by, bt, bp, bmask, origins, overflow = bucket_events_by_roi(
         xs, ys, ts, ps, resolution, roi_size, capacity)
 
-    # The variance objective (grid_cmax's default) gets the MXU fast path:
-    # patch-local single-matmul IWE with analytic full-frame variance.
+    solver_key = (type(warp).__name__, obj.name,
+                  getattr(obj, "thresh", None), getattr(obj, "p", None),
+                  tuple(resolution), tuple(roi_size), float(blur_sigma),
+                  int(maxiter), solver, float(gd_lr))
+    solve = _roi_solver_cache.get(solver_key)
+    if solve is None:
+        solve = _build_roi_solver(warp, obj, tuple(resolution), roi_size,
+                                  blur_sigma, maxiter, solver, gd_lr)
+        _roi_solver_cache[solver_key] = solve
+    params, f_evals = solve(bx, by, bt, bp, bmask,
+                            jnp.asarray(origins, jnp.float32))
+    valid = jnp.sum(bmask, axis=1) > min_events
+    rois = jnp.concatenate(
+        [origins, jnp.tile(jnp.asarray([[rh, rw]]), (origins.shape[0], 1))],
+        axis=-1)
+    del overflow
+    return params, rois, f_evals, valid
+
+
+_roi_solver_cache: dict = {}
+
+
+def _build_roi_solver(warp, obj, resolution, roi_size, blur_sigma, maxiter,
+                      solver, gd_lr):
+    """Compile the vmapped per-ROI grid-search + refine solver once per
+    configuration (rebuilding the jit per call would recompile every time —
+    compile over a device tunnel costs seconds)."""
     use_patch = obj.name == "variance"
     if use_patch:
         patch_loss = make_patch_variance_loss(
             warp, roi_size, blur_sigma=blur_sigma,
             full_pixels=(resolution[0] + 1) * (resolution[1] + 1))
     else:
-        full_loss = make_objective_loss(obj, warp, tuple(resolution),
-                                        blur_sigma)
+        full_loss = make_objective_loss(obj, warp, resolution, blur_sigma)
 
     def solve_one(ex, ey, et, ep, emask, origin):
         def f(p):
@@ -664,14 +688,7 @@ def grid_cmax_batched(xs, ys, ts, ps, roi_size=(20, 20), warp=None,
         best_v = jnp.where(final_better, v_final, best_v)
         return best_p, best_v
 
-    params, f_evals = jax.jit(jax.vmap(solve_one))(
-        bx, by, bt, bp, bmask, jnp.asarray(origins, jnp.float32))
-    valid = jnp.sum(bmask, axis=1) > min_events
-    rois = jnp.concatenate(
-        [origins, jnp.tile(jnp.asarray([[rh, rw]]), (origins.shape[0], 1))],
-        axis=-1)
-    del overflow
-    return params, rois, f_evals, valid
+    return jax.jit(jax.vmap(solve_one))
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,80 @@
+"""CLI entry-point smoke tests (in-process, headless)."""
+
+import os
+
+import matplotlib
+
+matplotlib.use("Agg")
+
+import numpy as np
+import pytest
+
+from conftest import make_events
+
+SENSOR = (24, 32)
+
+
+@pytest.fixture(scope="module")
+def h5_path(tmp_path_factory):
+    from event_utils_tpu.data_formats import hdf5_packager
+    rng = np.random.default_rng(0)
+    xs, ys, ts, ps = make_events(rng, n=4000, sensor=SENSOR, t_max=0.5)
+    path = str(tmp_path_factory.mktemp("cli") / "scene.h5")
+    ep = hdf5_packager(path)
+    ep.set_data_available(3, 0)
+    ep.package_events(xs, ys, ts, ps > 0)
+    for i, ft in enumerate((0.1, 0.25, 0.4)):
+        ep.package_image(np.zeros(SENSOR, np.uint8), ft, i)
+    ep.add_metadata(len(xs), int((ps > 0).sum()), int((ps <= 0).sum()),
+                    0.5, 0.0, 0.5, 3, 0, sensor_size=SENSOR)
+    ep.close()
+    return path
+
+
+def test_visualize_cli_voxel_image(h5_path, tmp_path):
+    from event_utils_tpu.cli.visualize import main
+    out = str(tmp_path / "viz")
+    main([h5_path, "--output_path", out, "--visualization", "voxel_image",
+          "--w_width", "0.2", "--end_frame", "1"])
+    assert len(os.listdir(out)) == 1
+
+
+def test_visualize_cli_event_image(h5_path, tmp_path):
+    from event_utils_tpu.cli.visualize import main
+    out = str(tmp_path / "viz2")
+    main([h5_path, "--output_path", out, "--visualization", "event_image",
+          "--w_width", "0.2", "--end_frame", "2"])
+    assert len(os.listdir(out)) == 2
+
+
+def test_h5_to_memmap_cli(h5_path, tmp_path):
+    from event_utils_tpu.data_formats.h5_to_memmap import main
+    out = str(tmp_path / "mm")
+    main([h5_path, "--output_dir", out])
+    sub = os.path.join(out, "scene")
+    assert os.path.exists(os.path.join(sub, "t.npy"))
+    assert os.path.exists(os.path.join(sub, "metadata.json"))
+
+
+def test_add_attribute_cli(h5_path):
+    import h5py
+    from event_utils_tpu.data_formats.add_hdf5_attribute import main
+    main([h5_path, "myattr", "42", "--type", "int"])
+    with h5py.File(h5_path) as f:
+        assert f.attrs["myattr"] == 42
+
+
+def test_cmax_demo_cli(h5_path, capsys):
+    from event_utils_tpu.cli.cmax_demo import main
+    main([h5_path, "--start_idx", "0", "--num_events", "1500",
+          "--img_size", str(SENSOR[0]), str(SENSOR[1])])
+    out = capsys.readouterr().out
+    assert "variance" in out and "sosa" in out
+
+
+def test_visualize_events_cli_sliding(h5_path, tmp_path):
+    from event_utils_tpu.cli.visualize_events import main
+    out = str(tmp_path / "ev3d")
+    main([h5_path, "--output_path", out, "--plot_method", "t_seconds",
+          "--w_width", "0.2", "--num_show", "200"])
+    assert len(os.listdir(out)) >= 1
