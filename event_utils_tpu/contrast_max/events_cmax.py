@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import copy
 import functools
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -44,13 +44,15 @@ Array = jax.Array
 
 @functools.lru_cache(maxsize=256)
 def _compiled_loss(obj_key, warp_cls, img_size, blur_sigma, use_polarity,
-                   obj_cls, obj_args):
+                   obj_cls, obj_kwargs):
     """Build and cache jitted (loss, value_and_grad) for a configuration.
 
-    ``blur_sigma`` is static (the Gaussian kernel size depends on it).
+    ``blur_sigma`` is static (the Gaussian kernel size depends on it);
+    ``obj_kwargs`` carries the objective's tuning knobs (thresh, p, ...) so
+    non-default objectives compile their own loss.
     """
     warpfunc = warp_cls()
-    objective = obj_cls(*obj_args)
+    objective = obj_cls(**dict(obj_kwargs))
 
     def loss(params, xs, ys, ts, ps, mask):
         iwe, _ = get_iwe(params, xs, ys, ts, ps, warpfunc, img_size,
@@ -86,13 +88,17 @@ def make_objective_loss(objective: objective_function,
 def _get_jitted(objective, warpfunc, img_size, blur_sigma):
     """lru-cached compiled loss for the host-driven optimizer."""
     sigma = objective.default_blur if blur_sigma is None else blur_sigma
-    obj_args = ()
+    obj_kwargs = []
     if isinstance(objective, variance_objective):
-        obj_args = (False, objective.minimum_events)
-    key = (objective.name, getattr(objective, "thresh", None),
-           getattr(objective, "p", None))
+        obj_kwargs.append(("minimum_events", objective.minimum_events))
+    if hasattr(objective, "thresh"):
+        obj_kwargs.append(("thresh", objective.thresh))
+    if hasattr(objective, "p"):
+        obj_kwargs.append(("p", objective.p))
+    obj_kwargs = tuple(obj_kwargs)
+    key = (objective.name, obj_kwargs)
     return _compiled_loss(key, type(warpfunc), tuple(img_size), float(sigma),
-                          objective.use_polarity, type(objective), obj_args)
+                          objective.use_polarity, type(objective), obj_kwargs)
 
 
 # ---------------------------------------------------------------------------

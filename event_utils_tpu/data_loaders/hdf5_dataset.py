@@ -2,8 +2,6 @@
 
 from __future__ import annotations
 
-import numpy as np
-
 from ..utils.event_util import binary_search_h5_dset
 from .base_dataset import BaseVoxelDataset
 from .data_util import data_sources

@@ -20,9 +20,7 @@ reflect padding; fuses cleanly under jit.
 
 from __future__ import annotations
 
-import math
-from functools import partial
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -12,22 +12,22 @@ Here they are rebuilt TPU-first:
 * Static shapes: all functions take fixed-capacity arrays plus an optional
   validity ``mask``; invalid events scatter *nowhere* (index ``drop`` mode),
   not to pixel (0, 0) like the reference's coord-zeroing trick
-  (reference objectives.py:188, image.py:83-85) — set ``legacy_mask_coord_zero``
-  in callers that need exact legacy output.
-* One flattened 1-D scatter over ``H*W`` pixel ids per image — XLA lowers this
-  to its native scatter-add; a Pallas kernel (``ops.pallas_scatter``) can be
-  selected with ``impl='pallas'`` for the hot path.
+  (reference objectives.py:188, image.py:83-85) — representation-layer
+  callers expose ``legacy_mask=True`` where exact legacy output matters.
+* One flattened 1-D scatter over ``H*W`` pixel ids per image — XLA lowers
+  this to its native scatter-add; the MXU one-hot-matmul fast paths are
+  selected with ``impl='matmul'``/``'matmul_hilo'`` (see matmul_scatter.py
+  and pallas_scatter.py).
 * Fully differentiable: gradients w.r.t. ``x``, ``y`` and ``w`` flow through
   the bilinear weights (the scatter-add VJP is a gather), so a jitted
   ``jax.grad`` of any IWE objective works out of the box.
 * Deterministic: XLA TPU scatter-add accumulates in a fixed order, unlike
   CUDA atomics — bitwise-reproducible results are a stated guarantee
-  (tested in tests/test_determinism.py).
+  (tested in tests/test_ops.py::test_scatter_determinism).
 """
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax

@@ -18,7 +18,7 @@ route dumps the unmasked weight onto pixel (0, 0); integer route with
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -29,7 +29,6 @@ from ..ops.scatter import (
     bilinear_scatter,
     bilinear_scatter_derivative,
     scatter_add_2d,
-    scatter_add_flat,
 )
 
 Array = jax.Array
