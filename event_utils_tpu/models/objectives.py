@@ -31,6 +31,7 @@ from ..representations.image import (events_to_image_drv,
                                      events_to_timestamp_image,
                                      image_to_event_weights)
 from ..utils.event_util import events_bounds_mask
+from ..utils.event_util import cut_events_to_lifespan  # noqa: F401  (reference objectives.py:143 parity)
 
 Array = jax.Array
 

@@ -50,7 +50,7 @@ def _round_up(x, m):
 # ---------------------------------------------------------------------------
 
 def _voxel_kernel(scalars_ref, x_ref, y_ref, t_ref, p_ref, out_ref,
-                  *, B, H, W, HP, WP, hilo):
+                  *, B, H, W, HP, WP, precision):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -64,8 +64,10 @@ def _voxel_kernel(scalars_ref, x_ref, y_ref, t_ref, p_ref, out_ref,
     C = x.shape[0]
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (HP, C), 0)
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (C, WP), 1)
-    A = (row_iota == y[None, :]).astype(jnp.bfloat16)   # (HP, C) one-hot rows
-    Bx = (col_iota == x[:, None]).astype(jnp.bfloat16)  # (C, WP)
+    int8_mode = precision == "int8"
+    oh_dtype = jnp.int8 if int8_mode else jnp.bfloat16
+    A = (row_iota == y[None, :]).astype(oh_dtype)   # (HP, C) one-hot rows
+    Bx = (col_iota == x[:, None]).astype(oh_dtype)  # (C, WP)
 
     blo = scalars_ref[i, 0]
     crosses = scalars_ref[i, 1]
@@ -75,19 +77,36 @@ def _voxel_kernel(scalars_ref, x_ref, y_ref, t_ref, p_ref, out_ref,
         """Temporal-bilinear tap weight for (possibly dynamic) bin b."""
         return p * jnp.maximum(0.0, 1.0 - jnp.abs(t - b.astype(jnp.float32)))
 
+    def _dot(Aw, Bm, acc_dtype):
+        return jax.lax.dot_general(Aw, Bm, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=acc_dtype)
+
     def weighted(w, exact=False):
-        if hilo and not exact:
+        if int8_mode:
+            # Two-level int8 quantization of w in [-1, 1]:
+            #   w ~= q1/127 + q2/(127*254),  |error| <= 1/(2*127*254) ~ 1.6e-5
+            # Polarity (exact +-1) folds into q1 as +-127; int8 matmuls run
+            # at 2x the bf16 MXU rate.
+            w127 = w * 127.0
+            q1 = jnp.round(w127)
+            q2 = jnp.round((w127 - q1) * 254.0)
+            # Mosaic lacks int8 vector multiply; weight in i32, then truncate.
+            A32 = A.astype(jnp.int32)
+            o1 = _dot((A32 * q1.astype(jnp.int32)[None, :]).astype(jnp.int8),
+                      Bx, jnp.int32)
+            if exact:
+                return o1.astype(jnp.float32) * (1.0 / 127.0)
+            o2 = _dot((A32 * q2.astype(jnp.int32)[None, :]).astype(jnp.int8),
+                      Bx, jnp.int32)
+            return (o1.astype(jnp.float32) * (1.0 / 127.0)
+                    + o2.astype(jnp.float32) * (1.0 / (127.0 * 254.0)))
+        if precision == "hilo" and not exact:
             hi = w.astype(jnp.bfloat16)
             lo = (w - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            o = jax.lax.dot_general(A * hi[None, :], Bx,
-                                    (((1,), (0,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-            return o + jax.lax.dot_general(A * lo[None, :], Bx,
-                                           (((1,), (0,)), ((), ())),
-                                           preferred_element_type=jnp.float32)
+            o = _dot(A * hi[None, :], Bx, jnp.float32)
+            return o + _dot(A * lo[None, :], Bx, jnp.float32)
         Aw = A * w.astype(jnp.bfloat16)[None, :]
-        return jax.lax.dot_general(Aw, Bx, (((1,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
+        return _dot(Aw, Bx, jnp.float32)
 
     def accum(b, o):
         off = pl.multiple_of(b * HP, 8)
@@ -134,8 +153,9 @@ def voxel_matmul(xs, ys, ts, ps, B: int, sensor_size=(180, 240),
     """(B, H, W) temporally-bilinear voxel grid of *time-sorted* events.
 
     Matches ``events_to_voxel(..., temporal_bilinear=True)`` (integer
-    spatial coordinates) to ``precision``:
-    'hilo' ~1e-5 relative, 'bf16' ~4e-3 relative.
+    spatial coordinates) to ``precision``: 'hilo' ~1e-5 relative (2 bf16
+    matmuls/tap), 'int8' ~2e-5 (2 int8 matmuls/tap at 2x MXU rate),
+    'bf16' ~4e-3 (1 matmul/tap).
     Out-of-image events are dropped; masked events contribute nothing.
     ``interpret`` runs the kernel in the Pallas interpreter (CPU testing).
     """
@@ -189,7 +209,7 @@ def voxel_matmul(xs, ys, ts, ps, B: int, sensor_size=(180, 240),
     scalars = jnp.stack([blo, crosses, span2, blast], axis=1)
 
     kernel = functools.partial(_voxel_kernel, B=B, H=H, W=W, HP=HP, WP=WP,
-                               hilo=(precision == "hilo"))
+                               precision=precision)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nch,),

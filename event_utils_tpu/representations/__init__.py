@@ -9,6 +9,8 @@ from .image import (  # noqa: F401
     events_to_timestamp_image,
     events_to_timestamp_image_torch,
     image_to_event_weights,
+    interpolate_to_image,
+    interpolate_to_derivative_img,
 )
 from .voxel_grid import (  # noqa: F401
     events_to_neg_pos_voxel,

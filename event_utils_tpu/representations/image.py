@@ -147,6 +147,31 @@ def events_to_image(xs, ys, ps, sensor_size=(180, 240),
     return img[0:H, 0:W]
 
 
+def interpolate_to_image(pxs, pys, dxs, dys, weights, img):
+    """Signature-compatible shim for the reference's hot kernel
+    (image.py:102-115): accumulate bilinear taps into ``img``.
+
+    JAX arrays are immutable, so unlike the reference this *returns* the
+    updated image rather than mutating in place; prefer
+    ``ops.bilinear_scatter`` in new code.
+    """
+    x = jnp.asarray(pxs, jnp.float32) + jnp.asarray(dxs, jnp.float32)
+    y = jnp.asarray(pys, jnp.float32) + jnp.asarray(dys, jnp.float32)
+    return jnp.asarray(img) + bilinear_scatter(
+        x, y, jnp.asarray(weights, jnp.float32), tuple(jnp.asarray(img).shape))
+
+
+def interpolate_to_derivative_img(pxs, pys, dxs, dys, d_img, w1, w2):
+    """Signature-compatible shim for reference image.py:117-136 (returns the
+    updated derivative-image stack; see ``ops.bilinear_scatter_derivative``)."""
+    x = jnp.asarray(pxs, jnp.float32) + jnp.asarray(dxs, jnp.float32)
+    y = jnp.asarray(pys, jnp.float32) + jnp.asarray(dys, jnp.float32)
+    d_img = jnp.asarray(d_img)
+    return d_img + bilinear_scatter_derivative(
+        x, y, jnp.asarray(w1, jnp.float32), jnp.asarray(w2, jnp.float32),
+        jnp.ones(x.shape, jnp.float32), tuple(d_img.shape[1:]))
+
+
 # ---------------------------------------------------------------------------
 # IWE + analytic derivative images
 # ---------------------------------------------------------------------------

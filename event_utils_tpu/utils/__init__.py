@@ -2,6 +2,7 @@
 
 from .event_util import (  # noqa: F401
     binary_search_array,
+    binary_search_torch_tensor,
     binary_search_h5_dset,
     binary_search_h5_timestamp,
     clip_events_to_bounds,

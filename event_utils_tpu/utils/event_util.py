@@ -182,6 +182,11 @@ def binary_search_array(t, x, l=0, r=None, side="left"):
     return int(jnp.searchsorted(t[l:r], x, side=side)) + l
 
 
+# Reference-name alias (event_util.py:141: binary_search_torch_tensor).
+def binary_search_torch_tensor(t, l, r, x, side="left"):
+    return binary_search_array(t, x, l=l or 0, r=r, side=side)
+
+
 def remove_hot_pixels(xs, ys, ts, ps, sensor_size=(180, 240), num_hot: int = 50):
     """Remove events from the ``num_hot`` highest-count pixels
     (reference event_util.py:166-187). Host-side."""

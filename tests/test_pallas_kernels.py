@@ -16,13 +16,15 @@ def _oracle(xs, ys, ts, ps, B, sensor):
 
 
 @pytest.mark.parametrize("B", [2, 5, 16])
-def test_voxel_matmul_parity(rng, B):
+@pytest.mark.parametrize("precision", ["hilo", "int8"])
+def test_voxel_matmul_parity(rng, B, precision):
     xs, ys, ts, ps = make_events(rng, n=3000, sensor=SENSOR)
     got = np.asarray(voxel_matmul(xs, ys, ts.astype(np.float32),
                                   ps.astype(np.float32), B, SENSOR,
-                                  chunk=512, interpret=True))
+                                  chunk=512, precision=precision,
+                                  interpret=True))
     np.testing.assert_allclose(got, _oracle(xs, ys, ts, ps, B, SENSOR),
-                               atol=2e-4)
+                               atol=5e-4)
 
 
 def test_voxel_matmul_span_many_bins(rng):
