@@ -625,6 +625,9 @@ def grid_cmax_batched(xs, ys, ts, ps, roi_size=(20, 20), warp=None,
 
     solver_key = (type(warp).__name__, obj.name,
                   getattr(obj, "thresh", None), getattr(obj, "p", None),
+                  getattr(obj, "adaptive_lifespan", False),
+                  getattr(obj, "pixel_crossings", 5),
+                  getattr(obj, "minimum_events", 105),
                   tuple(resolution), tuple(roi_size), float(blur_sigma),
                   int(maxiter), solver, float(gd_lr))
     solve = _roi_solver_cache.get(solver_key)
@@ -658,22 +661,45 @@ def _build_roi_solver(warp, obj, resolution, roi_size, blur_sigma, maxiter,
     else:
         full_loss = make_objective_loss(obj, warp, resolution, blur_sigma)
 
+    adaptive = getattr(obj, "adaptive_lifespan", False)
+    pixel_crossings = getattr(obj, "pixel_crossings", 5)
+    min_events = getattr(obj, "minimum_events", 105)
+
     def solve_one(ex, ey, et, ep, emask, origin):
-        def f(p):
+        def f_masked(p, m):
             if use_patch:
-                return patch_loss(p, ex, ey, et, ep, emask, origin)
-            return full_loss(p, ex, ey, et, ep, emask)
+                return patch_loss(p, ex, ey, et, ep, m, origin)
+            return full_loss(p, ex, ey, et, ep, m)
+
+        def f(p):
+            return f_masked(p, emask)
 
         x0, _ = grid_search_refine(f, warp.dims, init_range=150.0,
                                    num_samples_per_param=5, iters=6)
+
+        # Adaptive lifespan (reference events_cmax.py:29: grid_cmax uses
+        # variance_objective(adaptive_lifespan=True)): after grid init, trim
+        # the event window to pixel_crossings/|v| seconds as a mask update
+        # so the linearized warp stays valid for fast ROIs.
+        refine_mask = emask
+        if adaptive:
+            refine_mask = emask * lifespan_mask(
+                et, x0, pixel_crossings, minimum_events=min_events,
+                drop_last=False)
+            # never optimize against an (almost) empty window
+            enough = jnp.sum(refine_mask) >= jnp.minimum(
+                jnp.sum(emask), float(min_events))
+            refine_mask = jnp.where(enough, refine_mask, emask)
+
         if solver == "bfgs":
-            res = jax_minimize(f, x0, method="BFGS",
+            res = jax_minimize(lambda p: f_masked(p, refine_mask), x0,
+                               method="BFGS",
                                options={"maxiter": maxiter, "gtol": 1e-6})
             return res.x, f(res.x)
 
         # normalized-gradient descent with momentum and cosine lr decay:
         # fixed iteration count -> perfectly lockstep under vmap.
-        vg = jax.value_and_grad(f)
+        vg = jax.value_and_grad(lambda p: f_masked(p, refine_mask))
 
         def step(i, state):
             p, m, best_p, best_v = state
@@ -686,13 +712,16 @@ def _build_roi_solver(warp, obj, resolution, roi_size, blur_sigma, maxiter,
             lr = gd_lr * 0.5 * (1 + jnp.cos(jnp.pi * i / maxiter))
             return p - lr * m, m, best_p, best_v
 
-        init = (x0, jnp.zeros_like(x0), x0, f(x0))
+        init = (x0, jnp.zeros_like(x0), x0,
+                f_masked(x0, refine_mask))
         p, _, best_p, best_v = jax.lax.fori_loop(0, maxiter, step, init)
-        v_final = f(p)
+        v_final = f_masked(p, refine_mask)
         final_better = v_final < best_v
         best_p = jnp.where(final_better, p, best_p)
         best_v = jnp.where(final_better, v_final, best_v)
-        return best_p, best_v
+        # report the final objective over the FULL window (reference
+        # convention: f_eval over all events, events_cmax.py:68-74)
+        return best_p, f(best_p)
 
     return jax.jit(jax.vmap(solve_one))
 
