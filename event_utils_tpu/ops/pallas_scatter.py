@@ -187,22 +187,32 @@ def voxel_matmul(xs, ys, ts, ps, B: int, sensor_size=(180, 240),
     dt = t1 - t0
     t_norm = (ts - t0) / jnp.where(dt == 0, 1.0, dt) * (B - 1)
 
-    pad = (-n) % chunk
+    return _voxel_core(xs, ys, t_norm, ps,
+                       (B, H, W, HP, WP, chunk, precision, interpret))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _voxel_core(xs, ys, t_norm, ps, cfg):
+    """Pallas forward with a gather-based custom VJP.
+
+    The backward of a scatter-add is a gather: grads flow to ``ps`` (tap
+    weights) and ``t_norm`` (the temporal bilinear fraction); integer
+    coordinates get zero cotangents, like floor() in the scatter
+    formulation.
+    """
+    B, H, W, HP, WP, chunk, precision, interpret = cfg
+    pad = (-xs.shape[0]) % chunk
     xs = jnp.pad(xs, (0, pad))
     ys = jnp.pad(ys, (0, pad))
     t_norm = jnp.pad(t_norm, (0, pad), constant_values=-100.0)
     ps = jnp.pad(ps, (0, pad))
     nch = xs.shape[0] // chunk
-
-    xs = xs.reshape(nch, chunk)
-    ys = ys.reshape(nch, chunk)
-    t_norm = t_norm.reshape(nch, chunk)
-    ps = ps.reshape(nch, chunk)
+    t2 = t_norm.reshape(nch, chunk)
 
     # Per-chunk base bin from the first (smallest) timestamp; pads carry
     # t_norm = -100 and ps = 0 so they never contribute.
-    blo = jnp.clip(jnp.floor(t_norm[:, 0]).astype(jnp.int32), 0, B - 1)
-    t_last = jnp.max(jnp.where(t_norm > -50.0, t_norm, -100.0), axis=1)
+    blo = jnp.clip(jnp.floor(t2[:, 0]).astype(jnp.int32), 0, B - 1)
+    t_last = jnp.max(jnp.where(t2 > -50.0, t2, -100.0), axis=1)
     blast = jnp.clip(jnp.floor(t_last).astype(jnp.int32), 0, B - 1)
     crosses = (blast == blo + 1).astype(jnp.int32)
     span2 = (blast > blo + 1).astype(jnp.int32)
@@ -221,9 +231,36 @@ def voxel_matmul(xs, ys, ts, ps, B: int, sensor_size=(180, 240),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(((B + 2) * HP, W), jnp.float32),
         interpret=interpret,
-    )(scalars, xs.reshape(-1), ys.reshape(-1), t_norm.reshape(-1),
-      ps.reshape(-1))
+    )(scalars, xs, ys, t_norm, ps)
     return out.reshape(B + 2, HP, W)[:B, :H]
+
+
+def _voxel_core_fwd(xs, ys, t_norm, ps, cfg):
+    out = _voxel_core(xs, ys, t_norm, ps, cfg)
+    return out, (xs, ys, t_norm, ps)
+
+
+def _voxel_core_bwd(cfg, res, g):
+    B, H, W, HP, WP, chunk, precision, interpret = cfg
+    xs, ys, t_norm, ps = res
+    b0 = jnp.floor(t_norm)
+    fb = (t_norm - b0).astype(jnp.float32)
+    ib0 = jnp.clip(b0.astype(jnp.int32), -1, B)
+
+    def tap_cot(ib):
+        ok = (ib >= 0) & (ib < B)
+        return jnp.where(
+            ok, g[jnp.clip(ib, 0, B - 1), jnp.clip(ys, 0, H - 1),
+                  jnp.clip(xs, 0, W - 1)], 0.0)
+
+    g0 = tap_cot(ib0)        # cotangent at bin floor(t)
+    g1 = tap_cot(ib0 + 1)    # cotangent at bin floor(t)+1
+    g_ps = (1.0 - fb) * g0 + fb * g1
+    g_tnorm = ps * (g1 - g0)
+    return None, None, g_tnorm, g_ps
+
+
+_voxel_core.defvjp(_voxel_core_fwd, _voxel_core_bwd)
 
 
 # ---------------------------------------------------------------------------

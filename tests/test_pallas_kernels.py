@@ -70,3 +70,33 @@ def test_events_to_voxel_matmul_impl_routing(rng):
     src = inspect.getsource(events_to_voxel)
     assert "voxel_matmul" in src
     assert a.shape == (5,) + SENSOR
+
+
+def test_voxel_matmul_custom_vjp(rng):
+    """Pallas voxel gradients (custom VJP gathers) must match the
+    differentiable XLA scatter implementation."""
+    import jax
+    import jax.numpy as jnp
+    from event_utils_tpu.representations import events_to_voxel
+
+    xs, ys, ts, ps = make_events(rng, n=1000, sensor=SENSOR)
+    B = 4
+    tgt = jnp.asarray(rng.normal(size=(B,) + SENSOR), jnp.float32)
+    ts32 = jnp.asarray(ts, jnp.float32)
+
+    def loss_pallas(p, t):
+        v = voxel_matmul(xs, ys, t, p, B, SENSOR, chunk=256, interpret=True,
+                         t0=ts32[0], t1=ts32[-1])
+        return jnp.sum(v * tgt)
+
+    def loss_xla(p, t):
+        v = events_to_voxel(xs, ys, t, p, B, sensor_size=SENSOR,
+                            t0=ts32[0], t1=ts32[-1])
+        return jnp.sum(v * tgt)
+
+    p0 = jnp.asarray(ps, jnp.float32)
+    gp1, gt1 = jax.grad(loss_pallas, argnums=(0, 1))(p0, ts32)
+    gp2, gt2 = jax.grad(loss_xla, argnums=(0, 1))(p0, ts32)
+    np.testing.assert_allclose(np.asarray(gp1), np.asarray(gp2), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gt1), np.asarray(gt2),
+                               rtol=1e-4, atol=1e-3)
