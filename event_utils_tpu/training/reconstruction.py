@@ -1,0 +1,120 @@
+"""E2VID reconstruction training: recurrent voxel-to-intensity supervision.
+
+Complements ``FlowTrainer``: the E2VID model is recurrent, so training runs
+over *sequences* of voxel grids with ConvGRU state threaded through and the
+loss summed over the unrolled window (truncated BPTT). Supervision comes
+from the time-synchronized frames the dataset layer already loads
+(``between_frames`` windowing).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+class ReconstructionTrainer:
+    """Supervised E2VID trainer over (sequence, batch, C, H, W) voxel
+    sequences and (sequence, batch, 1, H, W) target frames."""
+
+    def __init__(self, sensor_size=(64, 64), num_bins: int = 5,
+                 combined_channels: bool = False,
+                 learning_rate: float = 1e-4, mesh: Optional[Mesh] = None,
+                 seed: int = 0):
+        from ..models.networks import E2VID, reconstruction_loss
+
+        self.sensor_size = tuple(sensor_size)
+        self.model = E2VID()
+        channels = num_bins if combined_channels else 2 * num_bins
+        dummy = jnp.zeros((1, channels) + self.sensor_size, jnp.float32)
+        self.params = self.model.init(jax.random.PRNGKey(seed), dummy, None)
+        self.tx = optax.adam(learning_rate)
+        self.opt_state = self.tx.init(self.params)
+        self.step = 0
+
+        def seq_loss(params, voxels, frames):
+            def scan_fn(state, inp):
+                vox, frame = inp
+                pred, state = self.model.apply(params, vox, state)
+                return state, reconstruction_loss(pred, frame)
+
+            # init state from the first window's shapes
+            _, state0 = self.model.apply(params, voxels[0], None)
+            state0 = jnp.zeros_like(state0)
+            _, losses = jax.lax.scan(scan_fn, state0, (voxels, frames))
+            return jnp.mean(losses)
+
+        def train_step(params, opt_state, voxels, frames):
+            loss, grads = jax.value_and_grad(seq_loss)(params, voxels, frames)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        if mesh is not None:
+            axis = mesh.axis_names[0]
+            batch_sh = NamedSharding(mesh, P(None, axis))  # (seq, batch, ...)
+            repl = NamedSharding(mesh, P())
+            self.params = jax.device_put(self.params, repl)
+            self.opt_state = jax.device_put(self.opt_state, repl)
+            self._train_step = jax.jit(
+                train_step,
+                in_shardings=(repl, repl, batch_sh, batch_sh),
+                out_shardings=(repl, repl, repl),
+                donate_argnums=(0, 1))
+        else:
+            self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
+
+    def train_sequence(self, voxels, frames) -> float:
+        """One truncated-BPTT step over an unrolled window.
+
+        @param voxels ``(T, B, C, H, W)`` voxel-grid sequence
+        @param frames ``(T, B, 1, H, W)`` target frames in [0, 1]
+        """
+        self.params, self.opt_state, loss = self._train_step(
+            self.params, self.opt_state, jnp.asarray(voxels, jnp.float32),
+            jnp.asarray(frames, jnp.float32))
+        self.step += 1
+        return float(loss)
+
+    def reconstruct(self, voxels, state=None):
+        """Run inference over a ``(T, B, C, H, W)`` sequence; returns
+        ``(images (T, B, 1, H, W), final_state)``."""
+        voxels = jnp.asarray(voxels, jnp.float32)
+
+        def scan_fn(state, vox):
+            pred, state = self.model.apply(self.params, vox, state)
+            return state, pred
+
+        if state is None:
+            _, state = self.model.apply(self.params, voxels[0], None)
+            state = jnp.zeros_like(state)
+        state, preds = jax.lax.scan(scan_fn, state, voxels)
+        return preds, state
+
+    # checkpointing mirrors FlowTrainer
+    def save_checkpoint(self, ckpt_dir: str):
+        import os
+
+        import orbax.checkpoint as ocp
+        with ocp.CheckpointManager(os.path.abspath(ckpt_dir)) as mngr:
+            mngr.save(self.step, args=ocp.args.StandardSave(
+                {"params": self.params, "opt_state": self.opt_state}))
+            mngr.wait_until_finished()
+
+    def restore_checkpoint(self, ckpt_dir: str, step: Optional[int] = None):
+        import os
+
+        import orbax.checkpoint as ocp
+        with ocp.CheckpointManager(os.path.abspath(ckpt_dir)) as mngr:
+            step = mngr.latest_step() if step is None else step
+            restored = mngr.restore(step, args=ocp.args.StandardRestore(
+                {"params": self.params, "opt_state": self.opt_state}))
+        self.params = restored["params"]
+        self.opt_state = restored["opt_state"]
+        self.step = step
+        return step

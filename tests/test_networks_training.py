@@ -91,3 +91,18 @@ def test_flow_trainer_sharded(rng):
     solo = FlowTrainer(sensor_size=SENSOR, num_bins=BINS)
     loss_solo = solo.train_batch(vox, events, mask)
     np.testing.assert_allclose(loss, loss_solo, rtol=1e-4)
+
+
+def test_reconstruction_trainer_descends(rng):
+    from event_utils_tpu.training import ReconstructionTrainer
+    trainer = ReconstructionTrainer(sensor_size=SENSOR, num_bins=BINS,
+                                    learning_rate=2e-3)
+    T, Bt = 3, 2
+    voxels = np.stack([np.asarray(_voxel_batch(rng)[0]) for _ in range(T)])
+    # target: smoothed polarity sum as a stand-in intensity
+    frames = np.clip(voxels.sum(axis=2, keepdims=True) * 0.2 + 0.5, 0, 1)
+    losses = [trainer.train_sequence(voxels, frames) for _ in range(30)]
+    assert np.mean(losses[-3:]) < np.mean(losses[:3]), f"no descent: {losses}"
+    preds, state = trainer.reconstruct(voxels)
+    assert preds.shape == (T, Bt, 1) + SENSOR
+    assert state is not None
