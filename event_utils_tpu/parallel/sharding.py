@@ -71,6 +71,9 @@ def shard_events(mesh: Mesh, xs, ys, ts, ps, mask=None, axis_name="events"):
     return tuple(out)
 
 
+_sharded_voxel_cache: dict = {}
+
+
 def sharded_events_to_voxel(mesh: Mesh, xs, ys, ts, ps, B: int,
                             sensor_size=(180, 240), mask=None,
                             axis_name: str = "events",
@@ -80,27 +83,34 @@ def sharded_events_to_voxel(mesh: Mesh, xs, ys, ts, ps, B: int,
     Each device scatter-adds its event shard into a local (B, H, W)
     accumulator; one ``psum`` over ICI produces the full grid — the
     event-domain analogue of DP gradient reduction. The time window (t0, t1)
-    is computed globally first so per-shard binning agrees.
+    is computed globally first so per-shard binning agrees. The compiled
+    program is cached per (mesh, config).
     """
     from ..representations.voxel_grid import events_to_voxel
     from jax import shard_map
 
     xs, ys, ts, ps, mask = shard_events(mesh, xs, ys, ts, ps, mask, axis_name)
-    big = jnp.float32(3.4e38)
+    key = (id(mesh), B, tuple(sensor_size), axis_name, temporal_bilinear)
+    fn = _sharded_voxel_cache.get(key)
+    if fn is None:
+        big = jnp.float32(3.4e38)
 
-    def local(xs, ys, ts, ps, mask):
-        # global window over valid events
-        t0 = jax.lax.pmin(jnp.min(jnp.where(mask != 0, ts, big)), axis_name)
-        t1 = jax.lax.pmax(jnp.max(jnp.where(mask != 0, ts, -big)), axis_name)
-        vox = events_to_voxel(xs, ys, ts, ps, B, sensor_size=sensor_size,
-                              temporal_bilinear=temporal_bilinear, mask=mask,
-                              t0=t0, t1=t1)
-        return jax.lax.psum(vox, axis_name)
+        def local(xs, ys, ts, ps, mask):
+            # global window over valid events
+            t0 = jax.lax.pmin(jnp.min(jnp.where(mask != 0, ts, big)),
+                              axis_name)
+            t1 = jax.lax.pmax(jnp.max(jnp.where(mask != 0, ts, -big)),
+                              axis_name)
+            vox = events_to_voxel(xs, ys, ts, ps, B, sensor_size=sensor_size,
+                                  temporal_bilinear=temporal_bilinear,
+                                  mask=mask, t0=t0, t1=t1)
+            return jax.lax.psum(vox, axis_name)
 
-    fn = shard_map(local, mesh=mesh,
-                   in_specs=(P(axis_name),) * 5,
-                   out_specs=P())
-    return jax.jit(fn)(xs, ys, ts, ps, mask)
+        fn = jax.jit(shard_map(local, mesh=mesh,
+                               in_specs=(P(axis_name),) * 5,
+                               out_specs=P()))
+        _sharded_voxel_cache[key] = fn
+    return fn(xs, ys, ts, ps, mask)
 
 
 def sharded_iwe(mesh: Mesh, params, xs, ys, ts, ps, warpfunc, img_size,
@@ -112,19 +122,29 @@ def sharded_iwe(mesh: Mesh, params, xs, ys, ts, ps, warpfunc, img_size,
     from jax import shard_map
 
     xs, ys, ts, ps, mask = shard_events(mesh, xs, ys, ts, ps, mask, axis_name)
-    big = jnp.float32(3.4e38)
+    key = (id(mesh), type(warpfunc).__name__, tuple(img_size), axis_name,
+           use_polarity)
+    fn = _sharded_iwe_cache.get(key)
+    if fn is None:
+        big = jnp.float32(3.4e38)
 
-    def local(params, xs, ys, ts, ps, mask):
-        t0 = jax.lax.pmax(jnp.max(jnp.where(mask != 0, ts, -big)), axis_name)
-        iwe, _ = get_iwe(params, xs, ys, ts, ps, warpfunc, img_size,
-                         use_polarity=use_polarity, mask=mask, t0=t0)
-        return jax.lax.psum(iwe, axis_name)
+        def local(params, xs, ys, ts, ps, mask):
+            t0 = jax.lax.pmax(jnp.max(jnp.where(mask != 0, ts, -big)),
+                              axis_name)
+            iwe, _ = get_iwe(params, xs, ys, ts, ps, warpfunc, img_size,
+                             use_polarity=use_polarity, mask=mask, t0=t0)
+            return jax.lax.psum(iwe, axis_name)
 
-    fn = shard_map(local, mesh=mesh,
-                   in_specs=(P(), P(axis_name), P(axis_name), P(axis_name),
-                             P(axis_name), P(axis_name)),
-                   out_specs=P())
-    return jax.jit(fn)(jnp.asarray(params, jnp.float32), xs, ys, ts, ps, mask)
+        fn = jax.jit(shard_map(local, mesh=mesh,
+                               in_specs=(P(), P(axis_name), P(axis_name),
+                                         P(axis_name), P(axis_name),
+                                         P(axis_name)),
+                               out_specs=P()))
+        _sharded_iwe_cache[key] = fn
+    return fn(jnp.asarray(params, jnp.float32), xs, ys, ts, ps, mask)
+
+
+_sharded_iwe_cache: dict = {}
 
 
 def make_sharded_cmax_train_step(mesh: Mesh, objective, warpfunc, img_size,
@@ -230,24 +250,30 @@ def sharded_grid_cmax(mesh: Mesh, xs, ys, ts, ps, roi_size=(20, 20),
     bp, _ = pad_to_multiple(bp, n_dev)
     bmask, _ = pad_to_multiple(bmask, n_dev)
 
-    loss = make_objective_loss(obj, warp, tuple(resolution), blur_sigma)
+    key = (id(mesh), type(warp).__name__, obj.name, tuple(resolution),
+           float(blur_sigma), int(maxiter), axis_name)
+    fn = _sharded_cmax_cache.get(key)
+    if fn is None:
+        loss = make_objective_loss(obj, warp, tuple(resolution), blur_sigma)
 
-    def solve_one(ex, ey, et, ep, emask):
-        def f(p):
-            return loss(p, ex, ey, et, ep, emask)
-        x0, _ = grid_search_refine(f, warp.dims, iters=6)
-        res = jax_minimize_bfgs(f, x0, maxiter)
-        return res, f(res)
+        def solve_one(ex, ey, et, ep, emask):
+            def f(p):
+                return loss(p, ex, ey, et, ep, emask)
 
-    def jax_minimize_bfgs(f, x0, maxiter):
-        from jax.scipy.optimize import minimize
-        return minimize(f, x0, method="BFGS",
-                        options={"maxiter": maxiter, "gtol": 1e-6}).x
+            from jax.scipy.optimize import minimize
+            x0, _ = grid_search_refine(f, warp.dims, iters=6)
+            res = minimize(f, x0, method="BFGS",
+                           options={"maxiter": maxiter, "gtol": 1e-6}).x
+            return res, f(res)
 
-    sharding = NamedSharding(mesh, P(axis_name))
-    fn = jax.jit(jax.vmap(solve_one),
-                 in_shardings=(sharding,) * 5,
-                 out_shardings=(sharding, sharding))
+        sharding = NamedSharding(mesh, P(axis_name))
+        fn = jax.jit(jax.vmap(solve_one),
+                     in_shardings=(sharding,) * 5,
+                     out_shardings=(sharding, sharding))
+        _sharded_cmax_cache[key] = fn
     params, f_evals = fn(bx, by, bt, bp, bmask)
     return (params[:R], origins, f_evals[:R],
             jnp.sum(bmask[:R], axis=1) > 0)
+
+
+_sharded_cmax_cache: dict = {}
