@@ -193,7 +193,7 @@ def remove_hot_pixels(xs, ys, ts, ps, sensor_size=(180, 240), num_hot: int = 50)
     from ..representations.image import events_to_image
 
     xs, ys, ts, ps = map(np.asarray, (xs, ys, ts, ps))
-    img = np.asarray(events_to_image(xs, ys, ps, sensor_size=sensor_size))
+    img = np.array(events_to_image(xs, ys, ps, sensor_size=sensor_size))
     hot_mask = np.zeros(len(xs), dtype=bool)
     for _ in range(num_hot):
         maxc = np.unravel_index(np.argmax(img), sensor_size)

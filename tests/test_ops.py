@@ -231,3 +231,28 @@ def test_gaussian_filter_axes_subset(rng):
     got = np.asarray(gaussian_filter(jnp.array(x), 1.5, axes=(-2, -1)))
     want = np.stack([sp_gaussian(x[i], 1.5) for i in range(2)])
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_remove_hot_pixels(rng):
+    from event_utils_tpu.utils import remove_hot_pixels
+    n = 2000
+    xs = rng.integers(0, 32, n).astype(float)
+    ys = rng.integers(0, 24, n).astype(float)
+    xs[:500] = 5.0  # hot pixel at (5, 7)
+    ys[:500] = 7.0
+    ts = np.sort(rng.uniform(0, 1, n))
+    ps = np.ones(n)
+    nx, ny, nt, np_ = remove_hot_pixels(xs, ys, ts, ps, sensor_size=(24, 32),
+                                        num_hot=1)
+    assert not ((nx == 5) & (ny == 7)).any()
+    assert len(nx) <= n - 500  # random events may also hit the hot pixel
+
+
+def test_get_events_from_mask(rng):
+    from event_utils_tpu.utils import get_events_from_mask
+    mask = np.zeros((10, 10))
+    mask[3, 4] = 1.0
+    xs = np.array([4.0, 5.0, 4.0])
+    ys = np.array([3.0, 3.0, 6.0])
+    idx = get_events_from_mask(mask, xs, ys)
+    assert np.atleast_1d(idx).tolist() == [0]
