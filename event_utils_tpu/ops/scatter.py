@@ -117,6 +117,12 @@ def scatter_add_2d(ix: Array, iy: Array, w: Array, shape: Tuple[int, int], *,
     oob = (ix < 0) | (ix >= W) | (iy < 0) | (iy >= H)
     if mask is not None:
         oob = oob | (mask == 0)
+    if (impl or _DEFAULT_IMPL) in ("matmul", "matmul_hilo"):
+        from .pallas_scatter import image_matmul
+        w = jnp.where(oob, 0.0, jnp.asarray(w, jnp.float32))
+        return image_matmul(jnp.where(oob, 0, ix), jnp.where(oob, 0, iy), w,
+                            shape, precision="hilo" if impl == "matmul_hilo"
+                            else "bf16")
     flat = jnp.where(oob, -1, iy * W + ix)
     img = scatter_add_flat(flat, w, H * W, impl=impl)
     return img.reshape(H, W)
