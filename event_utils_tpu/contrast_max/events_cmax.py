@@ -408,7 +408,8 @@ def grid_search_refine(loss_fn: Callable, dims: int,
 
 def make_patch_variance_loss(warpfunc, roi_size, patch=(64, 128),
                              blur_sigma: float = 1.0,
-                             full_pixels: Optional[int] = None):
+                             full_pixels: Optional[int] = None,
+                             objective: str = "variance"):
     """MXU-fast per-ROI variance loss: patch-local IWE as ONE matmul.
 
     Bilinear splatting factorizes — ``tap(y, x) = wy(y) * wx(x) * w`` — so
@@ -486,8 +487,12 @@ def make_patch_variance_loss(warpfunc, roi_size, patch=(64, 128),
                 dimension_numbers=("NCHW", "OIHW", "NCHW"))[0, 0]
 
         FP = jnp.float32(full_pixels if full_pixels is not None else PH * PW)
-        S = jnp.sum(iwe)
         Q = jnp.sum(iwe * iwe)
+        if objective in ("sos", "rms"):
+            # mean(IWE^2) over the full frame == Q / FP (empty pixels are 0);
+            # the reference's sos and rms losses are the same expression.
+            return -Q / FP
+        S = jnp.sum(iwe)
         return -(Q / FP - (S / FP) ** 2)
 
     return loss
@@ -653,11 +658,12 @@ def _build_roi_solver(warp, obj, resolution, roi_size, blur_sigma, maxiter,
     """Compile the vmapped per-ROI grid-search + refine solver once per
     configuration (rebuilding the jit per call would recompile every time —
     compile over a device tunnel costs seconds)."""
-    use_patch = obj.name == "variance"
+    use_patch = obj.name in ("variance", "sos", "rms")
     if use_patch:
         patch_loss = make_patch_variance_loss(
             warp, roi_size, blur_sigma=blur_sigma,
-            full_pixels=(resolution[0] + 1) * (resolution[1] + 1))
+            full_pixels=(resolution[0] + 1) * (resolution[1] + 1),
+            objective=obj.name)
     else:
         full_loss = make_objective_loss(obj, warp, resolution, blur_sigma)
 

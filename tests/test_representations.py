@@ -179,3 +179,18 @@ def test_jit_and_vmap_compatibility(rng):
     pb = jnp.stack([jnp.array(ps)] * 4)
     out = batch(xb, yb, tb, pb)
     assert out.shape == (4, 3) + SENSOR
+
+
+def test_timestamp_image_matmul_impl(rng):
+    """MXU fast path for timestamp images (impl threads through to the
+    factorized matmul scatter)."""
+    xs, ys, ts, ps = make_events(rng, n=3000, sensor=SENSOR, int_coords=False)
+    ref_p, ref_n = events_to_timestamp_image(xs, ys, ts, ps,
+                                             sensor_size=SENSOR)
+    got_p, got_n = events_to_timestamp_image(xs, ys, ts, ps,
+                                             sensor_size=SENSOR,
+                                             impl="matmul_hilo")
+    np.testing.assert_allclose(np.asarray(got_p), np.asarray(ref_p),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_n), np.asarray(ref_n),
+                               atol=2e-4)
