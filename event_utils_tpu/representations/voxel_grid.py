@@ -53,15 +53,15 @@ def events_to_voxel(xs, ys, ts, ps, B: int, sensor_size=(180, 240),
     ts = jnp.asarray(ts, jnp.float32)
     ps = jnp.asarray(ps, jnp.float32)
 
-    if impl in ("matmul", "matmul_bf16") and temporal_bilinear \
+    if impl in ("matmul", "matmul_bf16", "matmul_int8") and temporal_bilinear \
             and spatial_interpolation is None:
         # Pallas MXU kernel (ops/pallas_scatter.py): requires time-sorted
         # events (true for every reader/loader in this framework).
         from ..ops.pallas_scatter import voxel_matmul
-        return voxel_matmul(
-            xs, ys, ts, ps, B, sensor_size=sensor_size, mask=mask,
-            t0=t0, t1=t1,
-            precision="bf16" if impl == "matmul_bf16" else "hilo")
+        precision = {"matmul": "hilo", "matmul_bf16": "bf16",
+                     "matmul_int8": "int8"}[impl]
+        return voxel_matmul(xs, ys, ts, ps, B, sensor_size=sensor_size,
+                            mask=mask, t0=t0, t1=t1, precision=precision)
 
     if t0 is None or t1 is None:
         if mask is None:

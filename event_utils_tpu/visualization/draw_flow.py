@@ -126,7 +126,9 @@ def plot_between_frames(xs, ys, ts, ps, flows, flow_imgs, flow_ts, args,
         flow_ts = frame_stamps_to_start_end(flow_ts)
     flow_event_idx = get_frame_indices(ts, flow_ts)
 
-    for i in range(0, len(flows), args.skip_frames):
+    # n flow frames span n-1 intervals
+    for i in range(0, min(len(flows), len(flow_event_idx)),
+                   args.skip_frames):
         flow = flows[i]
         s, e = (int(flow_event_idx[i, 0]), int(flow_event_idx[i, 1]))
         if e <= s:

@@ -78,3 +78,18 @@ def test_visualize_events_cli_sliding(h5_path, tmp_path):
     main([h5_path, "--output_path", out, "--plot_method", "t_seconds",
           "--w_width", "0.2", "--num_show", "200"])
     assert len(os.listdir(out)) >= 1
+
+
+def test_visualize_flow_cli(h5_path, tmp_path):
+    from event_utils_tpu.cli.visualize_flow import main
+    flow_dir = tmp_path / "flows"
+    flow_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        np.save(str(flow_dir / f"flow_{i:04d}.npy"),
+                rng.normal(size=(2,) + SENSOR).astype(np.float32))
+    np.savetxt(str(flow_dir / "timestamps.txt"), np.array([0.1, 0.25, 0.4]))
+    out = str(tmp_path / "fviz")
+    main([h5_path, "--flow_path", str(flow_dir), "--output_path", out,
+          "--num_show", "200"])
+    assert len(os.listdir(out)) >= 1
