@@ -38,13 +38,20 @@ def main(argv=None):
     from ..training import FlowTrainer
 
     if os.path.isdir(args.path):
+        # data-parallel sharding needs every batch full
         loader = NativeWindowedLoader(args.path, method="k_events", k=args.k,
                                       batch_size=args.batch_size,
-                                      shuffle=True)
+                                      shuffle=True,
+                                      drop_last=args.data_parallel)
     else:
         raise SystemExit("train_flow currently streams from memmap dirs; "
                          "convert H5 with "
                          "python -m event_utils_tpu.data_formats.h5_to_memmap")
+
+    if len(loader) == 0:
+        raise SystemExit(
+            "No full batches: reduce --batch_size or --k (the recording has "
+            f"{len(loader.windows)} windows of {args.k} events)")
 
     mesh = None
     if args.data_parallel:

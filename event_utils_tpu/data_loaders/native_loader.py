@@ -40,7 +40,7 @@ class NativeWindowedLoader:
                  batch_size: int = 8, capacity: Optional[int] = None,
                  shuffle: bool = False, relative_time: bool = True,
                  rng: Optional[np.random.Generator] = None,
-                 nthreads: int = 0):
+                 nthreads: int = 0, drop_last: bool = False):
         data = read_memmap_events(memmap_path)
         self.t = data["t"]
         self.xy = data["xy"]
@@ -48,6 +48,7 @@ class NativeWindowedLoader:
         self.num_events = data["num_events"]
         self.batch_size = batch_size
         self.shuffle = shuffle
+        self.drop_last = drop_last
         self.relative_time = relative_time
         self.rng = rng or np.random.default_rng()
         self.nthreads = nthreads
@@ -70,6 +71,8 @@ class NativeWindowedLoader:
         self.truncated_events = 0
 
     def __len__(self):
+        if self.drop_last:
+            return len(self.windows) // self.batch_size
         return (len(self.windows) + self.batch_size - 1) // self.batch_size
 
     def __iter__(self) -> Iterator[dict]:
@@ -78,6 +81,8 @@ class NativeWindowedLoader:
             self.rng.shuffle(order)
         t_flat = np.asarray(self.t).reshape(-1)
         for s in range(0, len(order), self.batch_size):
+            if self.drop_last and s + self.batch_size > len(order):
+                return
             sel = self.windows[order[s:s + self.batch_size]]
             events, mask, trunc = native.fill_padded_batches(
                 self.t, self.xy, self.p, sel, self.capacity,
