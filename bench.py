@@ -98,8 +98,10 @@ def main():
     log(f"pallas voxel_matmul (hilo): {mevs:.0f} Mev/s "
         f"(runs: {[round(r) for r in runs]})")
 
-    # secondary diagnostics
+    # secondary diagnostics (opt-in: they add ~2-3 min of tunnel time)
     try:
+        if os.environ.get("BENCH_DIAG", "0") != "1":
+            raise RuntimeError("set BENCH_DIAG=1 for bf16/xla diagnostics")
         bf16 = throughput_mevs(
             lambda x, y, t, p: voxel_matmul(x, y, t, p, B, (H, W),
                                             precision="bf16"),
