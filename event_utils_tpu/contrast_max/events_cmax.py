@@ -444,7 +444,11 @@ def make_patch_variance_loss(warpfunc, roi_size, patch=(64, 128),
 
     def loss(params, ex, ey, et, ep, mask, origin_yx):
         mask = jnp.asarray(mask, jnp.float32)
-        t0 = jnp.max(jnp.where(mask != 0, et, -jnp.inf))
+        # Empty ROIs (all-zero mask) would give t0 = -inf -> NaN coords ->
+        # NaN loss; pin t0 to 0 so they produce a finite (zero-IWE) loss.
+        any_valid = jnp.any(mask != 0)
+        t0 = jnp.where(any_valid,
+                       jnp.max(jnp.where(mask != 0, et, -jnp.inf)), 0.0)
         xw, yw = warpfunc.warp_fn(params, ex, ey, et, t0)
         px = xw - (origin_yx[1] + rw / 2.0 - PW / 2.0)
         py = yw - (origin_yx[0] + rh / 2.0 - PH / 2.0)
@@ -689,9 +693,12 @@ def _build_roi_solver(warp, obj, resolution, roi_size, blur_sigma, maxiter,
         # so the linearized warp stays valid for fast ROIs.
         refine_mask = emask
         if adaptive:
-            refine_mask = emask * lifespan_mask(
+            # base_mask=emask: bucketed ROI batches are zero-padded at the
+            # tail, so lifespan_mask must search over the *valid* prefix
+            # (pads sent to +inf) and count valid events for its fallback.
+            refine_mask = lifespan_mask(
                 et, x0, pixel_crossings, minimum_events=min_events,
-                drop_last=False)
+                base_mask=emask, drop_last=False)
             # never optimize against an (almost) empty window
             enough = jnp.sum(refine_mask) >= jnp.minimum(
                 jnp.sum(emask), float(min_events))

@@ -47,12 +47,15 @@ class MemMapDataset(BaseVoxelDataset):
                 if not fname.endswith(".npy"):
                     continue
                 path = os.path.join(subroot, fname)
-                if fname.endswith(timestamp_fname):
+                # exact-match names: 'optic_flow_timestamps.npy' must not be
+                # swallowed by an endswith('timestamps.npy') test (the bug
+                # read_events.read_memmap_events avoids with == matching)
+                if fname == optic_flow_stamps_fname:
+                    data["optic_flow_stamps"] = np.load(path)
+                elif fname == timestamp_fname:
                     data["frame_stamps"] = np.load(path)
                 elif fname.endswith(image_fname):
                     data["images"] = np.load(path, mmap_mode="r")
-                elif fname.endswith(optic_flow_stamps_fname):
-                    data["optic_flow_stamps"] = np.load(path)
                 elif fname.endswith(optic_flow_fname):
                     data["optic_flow"] = np.load(path, mmap_mode="r")
                     self.has_flow = True

@@ -41,6 +41,7 @@ class NativeWindowedLoader:
                  shuffle: bool = False, relative_time: bool = True,
                  rng: Optional[np.random.Generator] = None,
                  nthreads: int = 0, drop_last: bool = False):
+        native.build()  # explicit opt-in compile (numpy fallback if it fails)
         data = read_memmap_events(memmap_path)
         self.t = data["t"]
         self.xy = data["xy"]

@@ -232,7 +232,13 @@ class variance_objective(objective_function):
 
 class rms_objective(objective_function):
     """Squared L2 norm per pixel (reference objectives.py:266-306).
-    loss = -||IWE||^2 / num_pix; grad_k = -2 mean(IWE * dIWE_k)."""
+    loss = -||IWE||_F^2 / num_pix; grad_k = -2 mean(IWE * dIWE_k).
+
+    Divergence (documented): the reference's VALUE computes
+    ``np.linalg.norm(iwe, 2)`` (objectives.py:289) which on a 2-D array is
+    the spectral norm — inconsistent with its own Frobenius gradient and
+    its docstring. The intent (Frobenius) is implemented; pinned by
+    tests/test_reference_parity.py::test_rms_objective_vs_reference."""
 
     def __init__(self):
         super().__init__(name="rms", use_polarity=True, has_derivative=True,

@@ -6,8 +6,9 @@ window-index construction, and multi-threaded assembly of fixed-capacity
 padded event batches — the operations the reference delegates to torch
 DataLoader workers and per-item Python loops.
 
-The library is compiled on first use (g++, cached beside this file); every
-entry point has a numpy fallback, so the package works without a toolchain.
+Compilation is explicit: call :func:`build` once (g++, cached beside this
+file) — nothing shells out at import or first call. Every entry point has a
+numpy fallback, so the package works without a toolchain or without building.
 """
 
 from __future__ import annotations
@@ -27,14 +28,43 @@ _lib = None
 _load_failed = False
 
 
-def _build():
-    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
-           _SRC, "-o", _LIB_PATH]
-    subprocess.run(cmd, check=True, capture_output=True)
+def build(force: bool = False) -> bool:
+    """Compile (if needed) and load libevio. The ONLY entry point that runs
+    the compiler — import and the accessor functions never shell out.
+    Returns True when the native library is ready, False on failure (every
+    caller then uses the numpy fallbacks)."""
+    global _lib, _load_failed
+    with _lock:
+        if _lib is not None and not force:
+            return True
+        try:
+            stale = (not os.path.exists(_LIB_PATH)
+                     or os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC))
+            if force or stale:
+                cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+                       "-pthread", _SRC, "-o", _LIB_PATH]
+                subprocess.run(cmd, check=True, capture_output=True)
+            _lib = _load(_LIB_PATH)
+            _load_failed = False
+            return True
+        except Exception:
+            _load_failed = True
+            return False
+
+
+def _load(path):
+    lib = ctypes.CDLL(path)
+    lib.evio_searchsorted_f64.restype = ctypes.c_long
+    lib.evio_k_event_windows.restype = ctypes.c_long
+    lib.evio_t_second_windows.restype = ctypes.c_long
+    lib.evio_fill_padded_batches.restype = ctypes.c_long
+    lib.evio_fill_padded_batches_components.restype = ctypes.c_long
+    return lib
 
 
 def _get_lib():
-    """Load (building if needed) libevio; returns None when unavailable."""
+    """Load a *pre-built* libevio; returns None when absent or stale (call
+    :func:`build` to compile)."""
     global _lib, _load_failed
     if _lib is not None or _load_failed:
         return _lib
@@ -42,22 +72,16 @@ def _get_lib():
         if _lib is not None or _load_failed:
             return _lib
         try:
-            if (not os.path.exists(_LIB_PATH)
-                    or os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC)):
-                _build()
-            lib = ctypes.CDLL(_LIB_PATH)
-            lib.evio_searchsorted_f64.restype = ctypes.c_long
-            lib.evio_k_event_windows.restype = ctypes.c_long
-            lib.evio_t_second_windows.restype = ctypes.c_long
-            lib.evio_fill_padded_batches.restype = ctypes.c_long
-            lib.evio_fill_padded_batches_components.restype = ctypes.c_long
-            _lib = lib
+            if (os.path.exists(_LIB_PATH)
+                    and os.path.getmtime(_LIB_PATH) >= os.path.getmtime(_SRC)):
+                _lib = _load(_LIB_PATH)
         except Exception:
             _load_failed = True
     return _lib
 
 
 def available() -> bool:
+    """True when the native library is loaded or loadable (pre-built)."""
     return _get_lib() is not None
 
 

@@ -30,7 +30,7 @@ image kernel has no such requirement.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -43,6 +43,14 @@ DEFAULT_CHUNK = 4096
 
 def _round_up(x, m):
     return ((x + m - 1) // m) * m
+
+
+def _resolve_interpret(interpret):
+    """Pallas kernels only compile for TPU; on the CPU backend (tests, fake
+    meshes) fall back to the interpreter automatically."""
+    if interpret is not None:
+        return interpret
+    return jax.default_backend() == "cpu"
 
 
 # ---------------------------------------------------------------------------
@@ -149,7 +157,8 @@ def _voxel_kernel(scalars_ref, x_ref, y_ref, t_ref, p_ref, out_ref,
                                              "precision", "interpret"))
 def voxel_matmul(xs, ys, ts, ps, B: int, sensor_size=(180, 240),
                  chunk: int = DEFAULT_CHUNK, precision: str = "hilo",
-                 mask=None, t0=None, t1=None, interpret: bool = False):
+                 mask=None, t0=None, t1=None,
+                 interpret: Optional[bool] = None):
     """(B, H, W) temporally-bilinear voxel grid of *time-sorted* events.
 
     Matches ``events_to_voxel(..., temporal_bilinear=True)`` (integer
@@ -188,7 +197,8 @@ def voxel_matmul(xs, ys, ts, ps, B: int, sensor_size=(180, 240),
     t_norm = (ts - t0) / jnp.where(dt == 0, 1.0, dt) * (B - 1)
 
     return _voxel_core(xs, ys, t_norm, ps,
-                       (B, H, W, HP, WP, chunk, precision, interpret))
+                       (B, H, W, HP, WP, chunk, precision,
+                        _resolve_interpret(interpret)))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
@@ -298,9 +308,11 @@ def _image_kernel(x_ref, y_ref, w_ref, out_ref, *, H, W, HP, WP, hilo):
     out_ref[:, :] = out_ref[:, :] + o[:H, :W]
 
 
-@functools.partial(jax.jit, static_argnames=("shape", "chunk", "precision"))
+@functools.partial(jax.jit, static_argnames=("shape", "chunk", "precision",
+                                             "interpret"))
 def image_matmul(ix, iy, w, shape: Tuple[int, int],
-                 chunk: int = DEFAULT_CHUNK, precision: str = "hilo"):
+                 chunk: int = DEFAULT_CHUNK, precision: str = "hilo",
+                 interpret: Optional[bool] = None):
     """(H, W) integer scatter-add via one-hot matmul.
 
     Drop-in fast path for ``scatter_add_2d`` on TPU; out-of-range ids must
@@ -327,6 +339,7 @@ def image_matmul(ix, iy, w, shape: Tuple[int, int],
         in_specs=[pl.BlockSpec((chunk,), lambda i: (i,))] * 3,
         out_specs=pl.BlockSpec((H, W), lambda i: (0, 0)),
         out_shape=jax.ShapeDtypeStruct((H, W), jnp.float32),
+        interpret=_resolve_interpret(interpret),
     )(ix, iy, w)
     return out
 

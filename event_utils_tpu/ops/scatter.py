@@ -36,7 +36,17 @@ import jax.numpy as jnp
 Array = jax.Array
 
 _IMPLEMENTATIONS = ("xla", "sort", "pallas")
+# MXU one-hot-matmul routes accepted by the 2-D/bilinear entry points.
+# Unified semantics (same string -> same precision everywhere):
+#   'matmul'       = hi/lo split, ~1e-5 relative   (the default fast path)
+#   'matmul_hilo'  = explicit alias of 'matmul'
+#   'matmul_bf16'  = single bf16 pass, ~2e-3 relative (fastest, opt-in)
+_MATMUL_IMPLS = ("matmul", "matmul_hilo", "matmul_bf16")
 _DEFAULT_IMPL = "xla"
+
+
+def _matmul_precision(impl: str) -> str:
+    return "bf16" if impl == "matmul_bf16" else "hilo"
 
 
 def set_default_impl(impl: str) -> None:
@@ -63,6 +73,11 @@ def scatter_add_flat(idx: Array, w: Array, num_buckets: int, *,
     single primitive behind every image/voxel accumulation.
     """
     impl = impl or _DEFAULT_IMPL
+    if impl not in _IMPLEMENTATIONS:
+        raise ValueError(
+            f"scatter_add_flat impl must be one of {_IMPLEMENTATIONS}, got "
+            f"{impl!r} (the matmul fast paths exist only for the 2-D/bilinear "
+            "entry points — a flat scatter has no factorized form)")
     idx = idx.astype(jnp.int32)
     # JAX wraps negative indices before the drop-mode bounds check; remap all
     # invalid ids to num_buckets so they are reliably dropped.
@@ -117,12 +132,11 @@ def scatter_add_2d(ix: Array, iy: Array, w: Array, shape: Tuple[int, int], *,
     oob = (ix < 0) | (ix >= W) | (iy < 0) | (iy >= H)
     if mask is not None:
         oob = oob | (mask == 0)
-    if (impl or _DEFAULT_IMPL) in ("matmul", "matmul_hilo"):
+    if (impl or _DEFAULT_IMPL) in _MATMUL_IMPLS:
         from .pallas_scatter import image_matmul
         w = jnp.where(oob, 0.0, jnp.asarray(w, jnp.float32))
         return image_matmul(jnp.where(oob, 0, ix), jnp.where(oob, 0, iy), w,
-                            shape, precision="hilo" if impl == "matmul_hilo"
-                            else "bf16")
+                            shape, precision=_matmul_precision(impl))
     flat = jnp.where(oob, -1, iy * W + ix)
     img = scatter_add_flat(flat, w, H * W, impl=impl)
     return img.reshape(H, W)
@@ -176,16 +190,15 @@ def bilinear_scatter(x: Array, y: Array, w: Array, shape: Tuple[int, int], *,
     (image.py:102-115). Differentiable in ``x``, ``y`` and ``w``.
     Out-of-image taps are dropped (no wraparound, no origin-pixel dumping).
 
-    ``impl='matmul'`` / ``'matmul_hilo'`` select the MXU one-hot-matmul fast
-    path (~8x / ~3x the XLA scatter throughput at ~2e-3 / ~3e-5 relative
-    precision); the default XLA scatter is exact.
+    ``impl='matmul'`` (alias ``'matmul_hilo'``, ~3e-5 relative) and
+    ``'matmul_bf16'`` (~2e-3 relative, fastest) select the MXU
+    one-hot-matmul fast paths; the default XLA scatter is exact.
     """
     impl = impl or _DEFAULT_IMPL
-    if impl in ("matmul", "matmul_bf16", "matmul_hilo"):
+    if impl in _MATMUL_IMPLS:
         from .matmul_scatter import bilinear_scatter_matmul
         return bilinear_scatter_matmul(
-            x, y, w, shape, mask=mask,
-            precision="hilo" if impl == "matmul_hilo" else "bf16")
+            x, y, w, shape, mask=mask, precision=_matmul_precision(impl))
     H, W = shape
     idxs, ws = _bilinear_taps(x, y, w, shape, mask)
     flat_idx = jnp.concatenate(idxs)

@@ -30,6 +30,17 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 Array = jax.Array
 
 
+def _mesh_key(mesh: Mesh):
+    """Stable cache-key identity for a mesh.
+
+    ``id(mesh)`` can be recycled after garbage collection, which would hand a
+    stale executable (compiled for a dead device set) to a new mesh; device
+    ids + axis layout cannot.
+    """
+    return (tuple(d.id for d in mesh.devices.flat), mesh.axis_names,
+            mesh.devices.shape)
+
+
 def make_mesh(n_devices: Optional[int] = None, axis_name: str = "events"):
     """1-D device mesh over the first ``n_devices`` devices."""
     devices = jax.devices()
@@ -90,7 +101,7 @@ def sharded_events_to_voxel(mesh: Mesh, xs, ys, ts, ps, B: int,
     from jax import shard_map
 
     xs, ys, ts, ps, mask = shard_events(mesh, xs, ys, ts, ps, mask, axis_name)
-    key = (id(mesh), B, tuple(sensor_size), axis_name, temporal_bilinear)
+    key = (_mesh_key(mesh), B, tuple(sensor_size), axis_name, temporal_bilinear)
     fn = _sharded_voxel_cache.get(key)
     if fn is None:
         big = jnp.float32(3.4e38)
@@ -122,7 +133,7 @@ def sharded_iwe(mesh: Mesh, params, xs, ys, ts, ps, warpfunc, img_size,
     from jax import shard_map
 
     xs, ys, ts, ps, mask = shard_events(mesh, xs, ys, ts, ps, mask, axis_name)
-    key = (id(mesh), type(warpfunc).__name__, tuple(img_size), axis_name,
+    key = (_mesh_key(mesh), type(warpfunc).__name__, tuple(img_size), axis_name,
            use_polarity)
     fn = _sharded_iwe_cache.get(key)
     if fn is None:
@@ -202,7 +213,7 @@ def sharded_cmax_train_step(mesh: Mesh, params, opt_state, xs, ys, ts, ps,
     """Convenience one-shot wrapper around
     :func:`make_sharded_cmax_train_step` (shards the events, builds/caches
     the step for this config, runs one update)."""
-    key = (id(mesh), objective.name, type(warpfunc).__name__,
+    key = (_mesh_key(mesh), objective.name, type(warpfunc).__name__,
            tuple(img_size), blur_sigma, lr, axis_name)
     step = _train_step_cache.get(key)
     if step is None:
@@ -250,7 +261,7 @@ def sharded_grid_cmax(mesh: Mesh, xs, ys, ts, ps, roi_size=(20, 20),
     bp, _ = pad_to_multiple(bp, n_dev)
     bmask, _ = pad_to_multiple(bmask, n_dev)
 
-    key = (id(mesh), type(warp).__name__, obj.name, tuple(resolution),
+    key = (_mesh_key(mesh), type(warp).__name__, obj.name, tuple(resolution),
            float(blur_sigma), int(maxiter), axis_name)
     fn = _sharded_cmax_cache.get(key)
     if fn is None:

@@ -311,9 +311,8 @@ def events_to_timestamp_image(xn, yn, ts, pn, sensor_size=(180, 240),
         gx, gy, gm = xs, ys, valid
 
     def acc(w):
-        wm = gm if gm is None else gm
-        if wm is not None:
-            w = w * wm.astype(w.dtype)
+        if gm is not None:
+            w = w * gm.astype(w.dtype)
         return bilinear_scatter(gx, gy, w, img_size, impl=impl)
 
     img_pos = acc(normalized_ts * pos_mask)

@@ -53,13 +53,13 @@ def events_to_voxel(xs, ys, ts, ps, B: int, sensor_size=(180, 240),
     ts = jnp.asarray(ts, jnp.float32)
     ps = jnp.asarray(ps, jnp.float32)
 
-    if impl in ("matmul", "matmul_bf16", "matmul_int8") and temporal_bilinear \
-            and spatial_interpolation is None:
+    if impl in ("matmul", "matmul_hilo", "matmul_bf16", "matmul_int8") \
+            and temporal_bilinear and spatial_interpolation is None:
         # Pallas MXU kernel (ops/pallas_scatter.py): requires time-sorted
         # events (true for every reader/loader in this framework).
         from ..ops.pallas_scatter import voxel_matmul
-        precision = {"matmul": "hilo", "matmul_bf16": "bf16",
-                     "matmul_int8": "int8"}[impl]
+        precision = {"matmul": "hilo", "matmul_hilo": "hilo",
+                     "matmul_bf16": "bf16", "matmul_int8": "int8"}[impl]
         return voxel_matmul(xs, ys, ts, ps, B, sensor_size=sensor_size,
                             mask=mask, t0=t0, t1=t1, precision=precision)
 
@@ -121,6 +121,15 @@ def events_to_voxel(xs, ys, ts, ps, B: int, sensor_size=(180, 240),
 
     # Equal-duration slice binning (non-bilinear).
     bin_idx = jnp.clip(((ts - t0) / dt * B).astype(jnp.int32), 0, B - 1)
+    if impl in ("matmul", "matmul_hilo", "matmul_bf16"):
+        # MXU route: flat id bin*H*W + iy*W + ix == (bin*H + iy)*W + ix, so
+        # the whole grid is one (B*H, W) image scatter; out-of-image events
+        # get row -1 (dropped) so they cannot alias into another bin's rows.
+        from ..ops.scatter import scatter_add_2d
+        iy_eff = jnp.where(in_img, bin_idx * H + iys, -1)
+        img = scatter_add_2d(jnp.where(in_img, ixs, -1), iy_eff, ps,
+                             (B * H, W), impl=impl)
+        return img.reshape(B, H, W)
     ok = in_img
     ids = jnp.where(ok, bin_idx * (H * W) + iys * W + ixs, -1)
     flat = scatter_add_flat(ids, ps, B * H * W, impl=impl)

@@ -127,18 +127,24 @@ def lifespan_mask(ts: Array, params: Array, pixel_crossings: float,
     n = ts.shape[0]
     if base_mask is None:
         base_mask = jnp.ones_like(ts)
+    valid = base_mask != 0
     magnitude = jnp.linalg.norm(jnp.atleast_1d(jnp.asarray(params)))
     dt = jnp.where(magnitude == 0, 5.0, pixel_crossings / jnp.maximum(magnitude, 1e-30))
-    t_last = jnp.max(jnp.where(base_mask != 0, ts, -jnp.inf))
-    s_idx = jnp.searchsorted(ts, t_last - dt)
-    num_valid = jnp.sum((base_mask != 0)).astype(s_idx.dtype)
-    s_idx = jnp.where(n - s_idx < minimum_events,
-                      jnp.maximum(n - minimum_events, 0), s_idx)
+    t_last = jnp.max(jnp.where(valid, ts, -jnp.inf))
+    # Padded batches (e.g. bucket_events_by_roi) zero-fill the tail, so the
+    # raw ts array is NOT sorted; search over pad-slots-sent-to-+inf instead
+    # (valid events form a sorted prefix, so the effective array is sorted).
+    ts_eff = jnp.where(valid, ts, jnp.inf)
+    s_idx = jnp.searchsorted(ts_eff, t_last - dt)
+    num_valid = jnp.sum(valid).astype(s_idx.dtype)
+    # Minimum-events fallback counts *valid* events, not array capacity.
+    s_idx = jnp.where(num_valid - s_idx < minimum_events,
+                      jnp.maximum(num_valid - minimum_events, 0), s_idx)
     pos = jnp.arange(n)
     keep = pos >= s_idx
     if drop_last:
-        keep = keep & (pos < n - 1)
-    del num_valid  # count-based fallback uses array positions (sorted input)
+        last_valid = jnp.max(jnp.where(valid, pos, -1))
+        keep = keep & (pos < last_valid)
     return base_mask * keep.astype(base_mask.dtype)
 
 

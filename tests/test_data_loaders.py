@@ -178,3 +178,26 @@ def test_transform_via_dataset(h5_path):
                           return_frame=False, return_flow=False)
     v = np.asarray(ds[0]["voxel"])
     assert v.shape[-2:] == (16, 24)
+
+
+def test_memmap_flow_stamps_not_confused_with_frame_stamps(tmp_path):
+    """ADVICE r1 (low): optic_flow_timestamps.npy must not be stored as
+    frame_stamps by the endswith('timestamps.npy') match."""
+    import numpy as np
+    from event_utils_tpu.data_loaders.memmap_dataset import MemMapDataset
+
+    d = tmp_path / "mm"
+    d.mkdir()
+    n = 500
+    t = np.sort(np.random.default_rng(0).uniform(0, 1, n))
+    np.save(d / "t.npy", t[:, None])
+    xy = np.random.default_rng(1).integers(0, 30, (n, 2)).astype(np.int16)
+    np.save(d / "xy.npy", xy)
+    np.save(d / "p.npy", np.random.default_rng(2).integers(0, 2, (n, 1)).astype(np.uint8))
+    flow_stamps = np.asarray([0.25, 0.75])
+    np.save(d / "optic_flow_timestamps.npy", flow_stamps)
+    ds = MemMapDataset(str(d), voxel_method={"method": "k_events", "k": 100,
+                                             "sliding_window_w": 0})
+    # flow stamps land in optic_flow_stamps; frame stamps stay empty
+    assert len(ds.frame_ts) == 0
+    assert np.allclose(ds.filehandle["optic_flow_stamps"], flow_stamps)

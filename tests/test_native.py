@@ -8,7 +8,8 @@ from conftest import make_events
 
 
 def test_library_builds():
-    assert native.available(), "libevio failed to build (g++ required)"
+    assert native.build(), "libevio failed to build (g++ required)"
+    assert native.available()
 
 
 def test_searchsorted_parity(rng):

@@ -256,3 +256,32 @@ def test_get_events_from_mask(rng):
     ys = np.array([3.0, 3.0, 6.0])
     idx = get_events_from_mask(mask, xs, ys)
     assert np.atleast_1d(idx).tolist() == [0]
+
+
+def test_scatter_add_flat_rejects_unknown_impl():
+    """Unknown impl strings raise instead of silently using the XLA path."""
+    idx = jnp.zeros(4, jnp.int32)
+    w = jnp.ones(4, jnp.float32)
+    with pytest.raises(ValueError, match="impl"):
+        scatter_add_flat(idx, w, 8, impl="matmul")
+    with pytest.raises(ValueError, match="impl"):
+        scatter_add_flat(idx, w, 8, impl="nope")
+
+
+def test_matmul_impl_precision_unified(rng):
+    """'matmul' means the hi/lo (~1e-5) path at EVERY entry point; bf16 is the
+    explicit 'matmul_bf16' opt-in (ADVICE r1)."""
+    n = 2000
+    x = jnp.asarray(rng.uniform(0, 99, n), jnp.float32)
+    y = jnp.asarray(rng.uniform(0, 79, n), jnp.float32)
+    w = jnp.asarray(rng.uniform(0.1, 1.0, n), jnp.float32)
+    exact = np.asarray(bilinear_scatter(x, y, w, (80, 100)))
+    scale = np.abs(exact).max()
+    for fn in (bilinear_scatter,
+               lambda *a, **k: scatter_add_2d(a[0], a[1], a[2], a[3], **k)):
+        got_mm = np.asarray(fn(x, y, w, (80, 100), impl="matmul"))
+        got_hl = np.asarray(fn(x, y, w, (80, 100), impl="matmul_hilo"))
+        assert np.allclose(got_mm, got_hl), "matmul must alias matmul_hilo"
+    rel = np.abs(np.asarray(bilinear_scatter(x, y, w, (80, 100), impl="matmul"))
+                 - exact).max() / scale
+    assert rel < 1e-4, rel

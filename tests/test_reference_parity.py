@@ -1,0 +1,528 @@
+"""Direct parity against the ACTUAL reference implementation.
+
+Every other test in this suite pins the rebuild to independently-written
+oracles (tests/oracles.py). These tests remove the remaining trust gap by
+importing ``/root/reference/lib`` itself (torch CPU) and asserting the JAX
+rebuild reproduces the reference's own outputs on random event streams —
+representations, kernels, warps, dense-flow warping, and objective
+values + analytic gradients.
+
+The reference's ``contrast_max/{objectives,warps}.py`` are syntactically
+corrupted as mounted (class docstrings at column 0, a stray token, an import
+of a nonexistent module — see SURVEY.md §0/§7); ``_load_patched_module``
+repairs exactly those transcription defects (plus the two undefined names
+``find_lifespan`` / ``events_to_zhu_timestamp_image`` catalogued in SURVEY.md
+§7.2) without altering any executable statement.
+
+Known, documented divergences NOT asserted here (see module docstrings):
+- negative-coordinate wraparound (torch ``index_put_`` wraps, we drop), so
+  parity streams use coords >= 0;
+- the reference's numpy ``events_to_neg_pos_voxel`` polarity bug
+  (``np.where(ps,1,0)``);
+- zhu objective behaviour for events masked out of bounds (the reference
+  zeroes their ts/coords, piling weight at the origin; we drop them), so the
+  zhu parity stream keeps every warped event in bounds.
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+torch = pytest.importorskip("torch")
+
+REF_ROOT = "/root/reference"
+pytestmark = pytest.mark.skipif(not os.path.isdir(os.path.join(REF_ROOT, "lib")),
+                                reason="reference tree not mounted")
+
+if REF_ROOT not in sys.path:
+    sys.path.insert(0, REF_ROOT)
+
+SENSOR = (60, 80)
+
+
+# ---------------------------------------------------------------------------
+# Reference loading (repairing the mounted-copy corruption, SURVEY.md §0)
+# ---------------------------------------------------------------------------
+
+def _repair_reference_source(src: str) -> str:
+    """Fix transcription defects only: indent class docstrings that sit at
+    column 0, drop the stray ``{not:timeslice}`` token and the import of the
+    nonexistent ``event_utils`` module (SURVEY.md §7.1/7.2)."""
+    lines = src.split("\n")
+    out = []
+    i = 0
+    while i < len(lines):
+        line = lines[i]
+        if line.strip() == "{not:timeslice}":
+            i += 1
+            continue
+        if line.startswith("from event_utils import"):
+            i += 1
+            continue
+        if (line.startswith('"""') and out
+                and out[-1].rstrip().endswith(":")):
+            out.append("    " + line)
+            closed = line.count('"""') >= 2
+            while not closed:
+                i += 1
+                out.append("    " + lines[i])
+                closed = '"""' in lines[i]
+            i += 1
+            continue
+        out.append(line)
+        i += 1
+    return "\n".join(out)
+
+
+_ref_cache = {}
+
+
+def _load_patched_module(dotted_name: str, relpath: str):
+    if dotted_name in _ref_cache:
+        return _ref_cache[dotted_name]
+    path = os.path.join(REF_ROOT, relpath)
+    with open(path) as f:
+        src = _repair_reference_source(f.read())
+    mod = types.ModuleType(dotted_name)
+    mod.__package__ = dotted_name.rsplit(".", 1)[0]
+    mod.__file__ = path
+    sys.modules[dotted_name] = mod
+    exec(compile(src, path, "exec"), mod.__dict__)
+    return _ref_cache.setdefault(dotted_name, mod)
+
+
+@pytest.fixture(scope="module")
+def ref_image():
+    import lib.representations.image as m
+    return m
+
+
+@pytest.fixture(scope="module")
+def ref_voxel():
+    import lib.representations.voxel_grid as m
+    return m
+
+
+@pytest.fixture(scope="module")
+def ref_flow():
+    import lib.transforms.optic_flow as m
+    return m
+
+
+@pytest.fixture(scope="module")
+def ref_warps():
+    return _load_patched_module("lib.contrast_max.warps_ref",
+                                "lib/contrast_max/warps.py")
+
+
+@pytest.fixture(scope="module")
+def ref_objectives(ref_warps):
+    mod = _load_patched_module("lib.contrast_max.objectives_ref",
+                               "lib/contrast_max/objectives.py")
+    # SURVEY.md §7.2 undefined names, resolved to their documented intent:
+    if not hasattr(mod, "events_to_zhu_timestamp_image"):
+        mod.events_to_zhu_timestamp_image = (
+            lambda xs, ys, ts, ps, compute_gradient=False, showimg=False:
+            mod.events_to_timestamp_image(xs, ys, ts, ps))
+    if not hasattr(mod, "find_lifespan"):
+        mod.find_lifespan = lambda ts, params, pixel_crossings: (None, 0)
+    return mod
+
+
+def _stream(rng, n=4000, sensor=SENSOR, frac_oob=0.0, int_coords=False):
+    """Random event stream; coords in [0, W) (+ optional above-range tail —
+    never negative, see module docstring)."""
+    H, W = sensor
+    xs = rng.uniform(0, W - 1.001, n)
+    ys = rng.uniform(0, H - 1.001, n)
+    if frac_oob > 0:
+        k = int(n * frac_oob)
+        idx = rng.choice(n, k, replace=False)
+        half = k // 2
+        xs[idx[:half]] = rng.uniform(W - 1, W + 4, half)
+        ys[idx[half:]] = rng.uniform(H - 1, H + 4, k - half)
+    if int_coords:
+        xs = np.floor(xs)
+        ys = np.floor(ys)
+    ts = np.sort(rng.uniform(0.0, 0.5, n))
+    ps = rng.choice([-1.0, 1.0], n)
+    return xs.astype(np.float64), ys.astype(np.float64), ts, ps
+
+
+def _close(ours, ref, rtol=2e-5, label=""):
+    ours = np.asarray(ours, np.float64)
+    ref = np.asarray(ref, np.float64)
+    assert ours.shape == ref.shape, (label, ours.shape, ref.shape)
+    scale = max(np.abs(ref).max(), 1e-12)
+    err = np.abs(ours - ref).max() / scale
+    assert err < rtol, f"{label}: rel err {err:.3e} (tol {rtol})"
+
+
+# ---------------------------------------------------------------------------
+# Representations: event image (reference lib/representations/image.py)
+# ---------------------------------------------------------------------------
+
+def test_events_to_image_numpy_integer(rng, ref_image):
+    from event_utils_tpu.representations.image import events_to_image
+
+    xs, ys, ts, ps = _stream(rng, int_coords=True)
+    ref = ref_image.events_to_image(xs.astype(int), ys.astype(int), ps,
+                                    sensor_size=SENSOR)
+    ours = events_to_image(xs, ys, ps, sensor_size=SENSOR)
+    _close(ours, ref, label="events_to_image int")
+
+
+def test_events_to_image_numpy_meanval(rng, ref_image):
+    from event_utils_tpu.representations.image import events_to_image
+
+    xs, ys, ts, ps = _stream(rng, int_coords=True)
+    ref = ref_image.events_to_image(xs.astype(int), ys.astype(int), ps,
+                                    sensor_size=SENSOR, meanval=True,
+                                    default=-7.0)
+    ours = events_to_image(xs, ys, ps, sensor_size=SENSOR, meanval=True,
+                           default=-7.0)
+    _close(ours, ref, label="events_to_image meanval")
+
+
+@pytest.mark.parametrize("padding", [True, False])
+def test_events_to_image_torch_bilinear(rng, ref_image, padding):
+    from event_utils_tpu.representations.image import events_to_image_torch
+
+    xs, ys, ts, ps = _stream(rng, frac_oob=0.15)
+    ref = ref_image.events_to_image_torch(
+        torch.from_numpy(xs).float(), torch.from_numpy(ys).float(),
+        torch.from_numpy(ps).float(), sensor_size=SENSOR,
+        clip_out_of_range=True, interpolation="bilinear",
+        padding=padding).numpy()
+    ours = events_to_image_torch(xs, ys, ps, sensor_size=SENSOR,
+                                 clip_out_of_range=True,
+                                 interpolation="bilinear", padding=padding,
+                                 legacy_mask=True)
+    _close(ours, ref, label=f"events_to_image_torch bilinear pad={padding}")
+
+
+def test_events_to_image_torch_integer_origin_dump(rng, ref_image):
+    """The reference's integer route dumps out-of-range events' weight onto
+    pixel (0, 0) (image.py:94-95); legacy_mask replicates it exactly."""
+    from event_utils_tpu.representations.image import events_to_image_torch
+
+    xs, ys, ts, ps = _stream(rng, frac_oob=0.15, int_coords=True)
+    ref = ref_image.events_to_image_torch(
+        torch.from_numpy(xs).float(), torch.from_numpy(ys).float(),
+        torch.from_numpy(ps).float(), sensor_size=SENSOR,
+        clip_out_of_range=True, interpolation=None, padding=True).numpy()
+    ours = events_to_image_torch(xs, ys, ps, sensor_size=SENSOR,
+                                 clip_out_of_range=True, interpolation=None,
+                                 padding=True, legacy_mask=True)
+    _close(ours, ref, label="events_to_image_torch int legacy")
+
+
+def test_interpolate_to_image_kernel(rng, ref_image):
+    """THE hot kernel (image.py:102-115) head-to-head."""
+    from event_utils_tpu.ops.scatter import bilinear_scatter
+
+    xs, ys, ts, ps = _stream(rng)
+    pxs = np.floor(xs)
+    pys = np.floor(ys)
+    dxs = xs - pxs
+    dys = ys - pys
+    img = torch.zeros((SENSOR[0] + 1, SENSOR[1] + 1))
+    ref_image.interpolate_to_image(
+        torch.from_numpy(pxs).long(), torch.from_numpy(pys).long(),
+        torch.from_numpy(dxs).float(), torch.from_numpy(dys).float(),
+        torch.from_numpy(ps).float(), img)
+    ours = bilinear_scatter(xs, ys, ps, (SENSOR[0] + 1, SENSOR[1] + 1))
+    _close(ours, img.numpy(), label="interpolate_to_image")
+
+
+def test_interpolate_to_derivative_img_kernel(rng, ref_image):
+    """Jacobian scatter kernel (image.py:117-136) head-to-head."""
+    from event_utils_tpu.ops.scatter import bilinear_scatter_derivative
+
+    xs, ys, ts, ps = _stream(rng, n=2000)
+    jx = rng.normal(0, 1, (2, len(xs)))
+    jy = rng.normal(0, 1, (2, len(xs)))
+    w1 = jx * ps
+    w2 = jy * ps
+    pxs = np.floor(xs)
+    pys = np.floor(ys)
+    d_img = torch.zeros((2, SENSOR[0] + 1, SENSOR[1] + 1))
+    ref_image.interpolate_to_derivative_img(
+        torch.from_numpy(pxs).long(), torch.from_numpy(pys).long(),
+        torch.from_numpy(xs - pxs).float(), torch.from_numpy(ys - pys).float(),
+        d_img, torch.from_numpy(w1).float(), torch.from_numpy(w2).float())
+    ours = bilinear_scatter_derivative(xs, ys, jx, jy, ps,
+                                       (SENSOR[0] + 1, SENSOR[1] + 1))
+    _close(ours, d_img.numpy(), rtol=5e-5, label="interpolate_to_derivative")
+
+
+def test_image_to_event_weights(rng, ref_image):
+    from event_utils_tpu.representations.image import image_to_event_weights
+
+    xs, ys, ts, ps = _stream(rng, frac_oob=0.1)
+    img = rng.normal(0, 1, (SENSOR[0] + 1, SENSOR[1] + 1))
+    ref = ref_image.image_to_event_weights(xs, ys, img)
+    ours = image_to_event_weights(xs, ys, img)
+    _close(ours, ref, label="image_to_event_weights")
+
+
+# ---------------------------------------------------------------------------
+# Representations: timestamp images
+# ---------------------------------------------------------------------------
+
+def test_timestamp_image_numpy(rng, ref_image):
+    from event_utils_tpu.representations.image import events_to_timestamp_image
+
+    xs, ys, ts, ps = _stream(rng, frac_oob=0.1)
+    ref_pos, ref_neg = ref_image.events_to_timestamp_image(
+        xs, ys, ts, ps, sensor_size=SENSOR)
+    pos, neg = events_to_timestamp_image(xs, ys, ts, ps, sensor_size=SENSOR,
+                                         legacy_mask=True)
+    _close(pos, ref_pos, label="ts image pos")
+    _close(neg, ref_neg, label="ts image neg")
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_timestamp_image_torch(rng, ref_image, reverse):
+    from event_utils_tpu.representations.image import (
+        events_to_timestamp_image_torch)
+
+    xs, ys, ts, ps = _stream(rng, frac_oob=0.1)
+    ref_pos, ref_neg = ref_image.events_to_timestamp_image_torch(
+        torch.from_numpy(xs).float(), torch.from_numpy(ys).float(),
+        torch.from_numpy(ts).float(), torch.from_numpy(ps).float(),
+        sensor_size=SENSOR, timestamp_reverse=reverse)
+    pos, neg = events_to_timestamp_image_torch(
+        xs, ys, ts, ps, sensor_size=SENSOR, timestamp_reverse=reverse,
+        legacy_mask=True)
+    _close(pos, ref_pos.numpy(), label=f"ts image torch pos rev={reverse}")
+    _close(neg, ref_neg.numpy(), label=f"ts image torch neg rev={reverse}")
+
+
+def test_timestamp_image_matmul_impl_vs_reference(rng, ref_image):
+    """The MXU route of the timestamp image, pinned to the reference."""
+    from event_utils_tpu.representations.image import events_to_timestamp_image
+
+    xs, ys, ts, ps = _stream(rng)
+    ref_pos, ref_neg = ref_image.events_to_timestamp_image(
+        xs, ys, ts, ps, sensor_size=SENSOR)
+    pos, neg = events_to_timestamp_image(xs, ys, ts, ps, sensor_size=SENSOR,
+                                         legacy_mask=True, impl="matmul")
+    _close(pos, ref_pos, rtol=2e-4, label="ts image matmul pos")
+    _close(neg, ref_neg, rtol=2e-4, label="ts image matmul neg")
+
+
+# ---------------------------------------------------------------------------
+# Representations: voxel grids
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("B", [2, 5, 9])
+def test_events_to_voxel_torch(rng, ref_voxel, B):
+    from event_utils_tpu.representations.voxel_grid import events_to_voxel
+
+    xs, ys, ts, ps = _stream(rng)
+    ref = ref_voxel.events_to_voxel_torch(
+        torch.from_numpy(xs).float(), torch.from_numpy(ys).float(),
+        torch.from_numpy(ts).float(), torch.from_numpy(ps).float(),
+        B, sensor_size=SENSOR).numpy()
+    ours = events_to_voxel(xs, ys, ts, ps, B, sensor_size=SENSOR)
+    _close(ours, ref, label=f"events_to_voxel B={B}")
+
+
+def test_events_to_voxel_matmul_vs_reference(rng, ref_voxel):
+    """The Pallas MXU voxel kernel, pinned to the reference itself."""
+    from event_utils_tpu.representations.voxel_grid import events_to_voxel
+
+    xs, ys, ts, ps = _stream(rng)
+    ref = ref_voxel.events_to_voxel_torch(
+        torch.from_numpy(xs).float(), torch.from_numpy(ys).float(),
+        torch.from_numpy(ts).float(), torch.from_numpy(ps).float(),
+        5, sensor_size=SENSOR).numpy()
+    ours = events_to_voxel(xs, ys, ts, ps, 5, sensor_size=SENSOR,
+                           impl="matmul")
+    _close(ours, ref, rtol=2e-4, label="events_to_voxel matmul")
+
+
+def test_events_to_neg_pos_voxel_torch(rng, ref_voxel):
+    from event_utils_tpu.representations.voxel_grid import (
+        events_to_neg_pos_voxel)
+
+    xs, ys, ts, ps = _stream(rng)
+    ref_p, ref_n = ref_voxel.events_to_neg_pos_voxel_torch(
+        torch.from_numpy(xs).float(), torch.from_numpy(ys).float(),
+        torch.from_numpy(ts).float(), torch.from_numpy(ps).float(),
+        5, sensor_size=SENSOR)
+    vp, vn = events_to_neg_pos_voxel(xs, ys, ts, ps, 5, sensor_size=SENSOR)
+    _close(vp, ref_p.numpy(), label="neg_pos voxel pos")
+    _close(vn, ref_n.numpy(), label="neg_pos voxel neg")
+
+
+# ---------------------------------------------------------------------------
+# Transforms: dense-flow event warp
+# ---------------------------------------------------------------------------
+
+def test_warp_events_flow_vs_grid_sample(rng, ref_flow):
+    from event_utils_tpu.transforms.optic_flow import warp_events_flow
+
+    xs, ys, ts, ps = _stream(rng, n=3000)
+    flow = rng.normal(0, 8, (2, SENSOR[0], SENSOR[1]))
+    ref_x, ref_y = ref_flow.warp_events_flow_torch(
+        torch.from_numpy(xs).float(), torch.from_numpy(ys).float(),
+        torch.from_numpy(ts).float(), torch.from_numpy(ps).float(),
+        torch.from_numpy(flow).float())
+    xw, yw = warp_events_flow(xs, ys, ts, ps, flow)
+    _close(xw, ref_x.numpy(), rtol=1e-4, label="flow warp x")
+    _close(yw, ref_y.numpy(), rtol=1e-4, label="flow warp y")
+
+
+# ---------------------------------------------------------------------------
+# Contrast maximisation: warps, IWE, objective values + analytic gradients
+# ---------------------------------------------------------------------------
+
+def test_linvel_warp_vs_reference(rng, ref_warps):
+    from event_utils_tpu.models.warps import linvel_warp
+
+    xs, ys, ts, ps = _stream(rng, n=1500)
+    params = np.asarray([23.0, -11.0])
+    rx, ry, rjx, rjy = ref_warps.linvel_warp().warp(
+        xs, ys, ts, ps, ts[-1], params, compute_grad=True)
+    ox, oy, ojx, ojy = linvel_warp().warp(xs, ys, ts, ps, ts[-1],
+                                          jnp.asarray(params, jnp.float32),
+                                          compute_grad=True)
+    _close(ox, rx, label="linvel x'")
+    _close(oy, ry, label="linvel y'")
+    _close(ojx, rjx, label="linvel Jx")
+    _close(ojy, rjy, label="linvel Jy")
+
+
+def test_get_iwe_vs_reference(rng, ref_objectives, ref_warps):
+    """IWE + dIWE formation (objectives.py:165-199) head-to-head. The
+    reference hardcodes the default (180, 240) sensor inside
+    events_to_image_drv (its img_size-forwarding bug), so parity is checked
+    at that size."""
+    from event_utils_tpu.models.objectives import get_iwe
+    from event_utils_tpu.models.warps import linvel_warp
+
+    xs, ys, ts, ps = _stream(rng, sensor=(180, 240))
+    params = np.asarray([40.0, -25.0])
+    ref_iwe, ref_diwe = ref_objectives.get_iwe(
+        params, xs, ys, ts, ps, ref_warps.linvel_warp(), (180, 240),
+        compute_gradient=True)
+    iwe, d_iwe = get_iwe(jnp.asarray(params, jnp.float32), xs, ys, ts, ps,
+                         linvel_warp(), (180, 240), compute_gradient=True)
+    _close(iwe, ref_iwe, rtol=1e-4, label="IWE")
+    _close(d_iwe, ref_diwe, rtol=1e-4, label="dIWE")
+
+
+_PARITY_OBJECTIVES = ["variance", "sos", "soe", "moa", "isoa", "sosa", "r1"]
+
+
+@pytest.mark.parametrize("name", _PARITY_OBJECTIVES)
+def test_objective_value_vs_reference(rng, ref_objectives, ref_warps, name):
+    from event_utils_tpu.models.objectives import OBJECTIVE_REGISTRY
+    from event_utils_tpu.models.warps import linvel_warp
+
+    xs, ys, ts, ps = _stream(rng, sensor=(180, 240))
+    params = np.asarray([30.0, -18.0])
+    ref_obj = getattr(ref_objectives, f"{name}_objective")()
+    ours_obj = OBJECTIVE_REGISTRY[name]()
+    ref_val = ref_obj.evaluate_function(params, xs, ys, ts, ps,
+                                        ref_warps.linvel_warp(), (180, 240))
+    our_val = ours_obj.evaluate_function(jnp.asarray(params, jnp.float32),
+                                         xs, ys, ts, ps, linvel_warp(),
+                                         (180, 240))
+    scale = max(abs(ref_val), 1e-9)
+    assert abs(our_val - ref_val) / scale < 5e-4, (name, our_val, ref_val)
+
+
+@pytest.mark.parametrize("name", ["variance", "rms", "sos", "soe", "isoa",
+                                  "sosa"])
+def test_objective_gradient_vs_reference(rng, ref_objectives, ref_warps,
+                                         name):
+    """Analytic gradients of every differentiable objective, pinned to the
+    reference's own evaluate_gradient (incl. its per-objective choice of
+    which images to blur)."""
+    from event_utils_tpu.models.objectives import OBJECTIVE_REGISTRY
+    from event_utils_tpu.models.warps import linvel_warp
+
+    xs, ys, ts, ps = _stream(rng, sensor=(180, 240))
+    params = np.asarray([30.0, -18.0])
+    ref_obj = getattr(ref_objectives, f"{name}_objective")()
+    ours_obj = OBJECTIVE_REGISTRY[name]()
+    ref_grad = ref_obj.evaluate_gradient(params, xs, ys, ts, ps,
+                                         ref_warps.linvel_warp(), (180, 240))
+    our_grad = ours_obj.evaluate_gradient(jnp.asarray(params, jnp.float32),
+                                          xs, ys, ts, ps, linvel_warp(),
+                                          (180, 240))
+    _close(our_grad, ref_grad, rtol=1e-3, label=f"grad[{name}]")
+
+
+def test_rms_objective_vs_reference(rng, ref_objectives, ref_warps):
+    """rms is the one objective whose reference VALUE is buggy: it computes
+    ``np.linalg.norm(iwe, 2)`` (objectives.py:289), which on a 2-D array is
+    the SPECTRAL norm (largest singular value) — yet its own gradient
+    (objectives.py:304-306) is the gradient of the Frobenius form
+    ``-sum(IWE^2)/num_pix``. The rebuild implements the documented intent
+    (Frobenius, matching the reference's gradient and its docstring
+    "l2(g(x))^2"); this test pins both facts: our value equals the Frobenius
+    expression over the reference's own IWE, and differs from the reference's
+    spectral-norm accident."""
+    from scipy.ndimage import gaussian_filter as sp_blur
+
+    from event_utils_tpu.models.objectives import rms_objective
+    from event_utils_tpu.models.warps import linvel_warp
+
+    xs, ys, ts, ps = _stream(rng, sensor=(180, 240))
+    params = np.asarray([30.0, -18.0])
+    ref_iwe, _ = ref_objectives.get_iwe(params, xs, ys, ts, ps,
+                                        ref_warps.linvel_warp(), (180, 240))
+    blurred = sp_blur(ref_iwe, 1.0)
+    frobenius = -float(np.sum(blurred * blurred) / blurred.size)
+    our_val = rms_objective().evaluate_function(
+        jnp.asarray(params, jnp.float32), xs, ys, ts, ps, linvel_warp(),
+        (180, 240))
+    assert abs(our_val - frobenius) / max(abs(frobenius), 1e-9) < 5e-4
+    ref_val = ref_objectives.rms_objective().evaluate_function(
+        params, xs, ys, ts, ps, ref_warps.linvel_warp(), (180, 240))
+    assert abs(ref_val - frobenius) > 1e-6  # the spectral-norm accident
+
+
+def test_zhu_objective_value_vs_reference(rng, ref_objectives, ref_warps):
+    """Zhu timestamp objective vs the (name-repaired) reference, on a stream
+    whose warped events all stay in bounds (see module docstring)."""
+    from event_utils_tpu.models.objectives import zhu_timestamp_objective
+    from event_utils_tpu.models.warps import linvel_warp
+
+    H, W = 180, 240
+    n = 3000
+    xs = rng.uniform(30, W - 30, n)
+    ys = rng.uniform(30, H - 30, n)
+    ts = np.sort(rng.uniform(0, 0.25, n))
+    ps = rng.choice([-1.0, 1.0], n)
+    params = np.asarray([8.0, -5.0])  # max displacement ~2 px: all in bounds
+    ref_val = ref_objectives.zhu_timestamp_objective().evaluate_function(
+        params, xs, ys, ts, ps, ref_warps.linvel_warp(), (H, W))
+    our_val = zhu_timestamp_objective().evaluate_function(
+        jnp.asarray(params, jnp.float32), xs, ys, ts, ps, linvel_warp(),
+        (H, W))
+    scale = max(abs(ref_val), 1e-9)
+    assert abs(our_val - ref_val) / scale < 5e-4, (our_val, ref_val)
+
+
+def test_cut_events_to_lifespan_vs_reference(rng, ref_objectives):
+    from event_utils_tpu.utils.event_util import cut_events_to_lifespan
+
+    xs, ys, ts, ps = _stream(rng, n=2000)
+    params = [15.0, -9.0]
+    ref = ref_objectives.cut_events_to_lifespan(xs, ys, ts, ps, params, 5,
+                                                minimum_events=100)
+    ours = cut_events_to_lifespan(xs, ys, ts, ps, params, 5,
+                                  minimum_events=100)
+    for r, o, lbl in zip(ref, ours, "xytp"):
+        assert np.array_equal(np.asarray(r), np.asarray(o)), lbl
