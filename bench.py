@@ -1,20 +1,24 @@
-"""Headline benchmark: voxel-grid construction throughput (Mev/s).
+"""Headline benchmark: both BASELINE.json north stars, one JSON line.
 
-Measures the BASELINE.json config-1 workload — 5-bin temporally-bilinear
-voxel grid on a 180x240 sensor — for:
-
-- the Pallas MXU one-hot-matmul kernel (``voxel_matmul``, hi/lo precision,
-  ~1e-5 relative parity with the exact formula), and
-- the reference algorithm (per-bin ``index_put_(accumulate=True)`` scatter,
-  the torch path of reference voxel_grid.py:114-153) on CPU as ``baseline``.
+1. **Voxel-grid construction** (config 1): 5-bin temporally-bilinear voxel
+   grid on a 180x240 sensor — the Pallas MXU one-hot-matmul kernel
+   (``voxel_matmul``, hi/lo precision, ~1e-5 relative parity) vs the ACTUAL
+   reference implementation (``/root/reference/lib`` ``events_to_voxel_torch``,
+   per-bin ``index_put_(accumulate=True)``, voxel_grid.py:114-153) on CPU.
+2. **grid_cmax ROI flow** (config 4): all-ROIs-at-once
+   ``grid_cmax_batched`` on device vs the reference's per-ROI
+   grid-search + BFGS CPU loop (events_cmax.py:28-76), wall-clock for the
+   full 108-ROI sensor (reference extrapolated from a timed sample).
 
 Timing uses the on-device loop harness (benchmarks/harness.py): inputs are
 generated on device per iteration and only a checksum scalar transfers, so
 neither tunnel transfer latency nor the runtime's execution cache can
 distort the numbers.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": Mev/s, "unit": "Mev/s", "vs_baseline": ratio}
+Prints ONE JSON line; the required keys certify the voxel north star and the
+``grid_cmax_*`` keys certify the second:
+  {"metric": ..., "value": Mev/s, "unit": "Mev/s", "vs_baseline": ratio,
+   "grid_cmax_wallclock_s": s, "grid_cmax_vs_baseline": ratio}
 Diagnostics go to stderr.
 """
 
@@ -32,24 +36,31 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
 H, W, B = 180, 240, 5
 N = 1 << 21  # ~2.1M events per grid
 ITERS = 10
+VOXEL_RUNS = 5
+
+REF_ROOT = "/root/reference"
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench_torch_reference(reps: int = 3):
-    """The reference's algorithm, idiomatic torch on CPU: per-bin temporal
-    weights, integer-coordinate index_put_ accumulate."""
+def _reference_voxel_fn():
+    """The actual reference implementation when mounted, else a faithful
+    hand-rolled copy of its algorithm (same per-bin index_put_ loop)."""
     import torch
 
-    rng = np.random.default_rng(0)
-    txs = torch.from_numpy(rng.integers(0, W, N)).long()
-    tys = torch.from_numpy(rng.integers(0, H, N)).long()
-    tts = torch.from_numpy(np.sort(rng.uniform(0, 0.1, N))).float()
-    tps = torch.from_numpy(rng.choice(np.array([-1.0, 1.0], np.float32), N))
+    if os.path.isdir(os.path.join(REF_ROOT, "lib")):
+        if REF_ROOT not in sys.path:
+            sys.path.insert(0, REF_ROOT)
+        from lib.representations.voxel_grid import events_to_voxel_torch
+        log("baseline: /root/reference lib.representations.events_to_voxel_torch")
+        return lambda x, y, t, p: events_to_voxel_torch(x, y, t, p, B,
+                                                        sensor_size=(H, W))
 
-    def voxel():
+    log("baseline: reference tree not mounted; using local algorithm copy")
+
+    def voxel(txs, tys, tts, tps):
         dt = tts[-1] - tts[0]
         t_norm = (tts - tts[0]) / dt * (B - 1)
         bins = []
@@ -60,13 +71,81 @@ def bench_torch_reference(reps: int = 3):
             bins.append(img)
         return torch.stack(bins)
 
-    voxel()  # warmup
+    return voxel
+
+
+def bench_torch_reference(reps: int = 3):
+    """Reference voxel path on CPU torch."""
+    import torch
+
+    voxel = _reference_voxel_fn()
+    rng = np.random.default_rng(0)
+    txs = torch.from_numpy(rng.integers(0, W, N)).long()
+    tys = torch.from_numpy(rng.integers(0, H, N)).long()
+    tts = torch.from_numpy(np.sort(rng.uniform(0, 0.1, N))).float()
+    tps = torch.from_numpy(rng.choice(np.array([-1.0, 1.0], np.float32), N))
+
+    voxel(txs, tys, tts, tps)  # warmup
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = voxel()
+        out = voxel(txs, tys, tts, tps)
     el = (time.perf_counter() - t0) / reps
     return N / el / 1e6, (txs.numpy(), tys.numpy(), tts.numpy(),
                           tps.numpy(), out.numpy())
+
+
+def bench_grid_cmax():
+    """North star 2: full-sensor ROI flow, device vs reference CPU loop."""
+    from bench_cmax import H as CH, W as CW, ROI, make_scene, reference_grid_cmax
+    from event_utils_tpu.contrast_max import grid_cmax_batched
+
+    xs, ys, ts, ps = make_scene()
+    log(f"grid_cmax scene: {len(xs)} events, rotating flow field")
+
+    n_sample = 6
+    t0 = time.perf_counter()
+    ref_params, ref_rois = reference_grid_cmax(xs, ys, ts, ps,
+                                               max_rois=n_sample)
+    ref_per_roi = (time.perf_counter() - t0) / n_sample
+    total_rois = (CH // ROI[0]) * (CW // ROI[1])
+    ref_total = ref_per_roi * total_rois
+    log(f"reference CPU: {ref_per_roi:.2f} s/ROI -> {ref_total:.1f} s for "
+        f"{total_rois} ROIs (extrapolated from {n_sample})")
+
+    # compile on a perturbed same-shape copy; the timed call then reuses the
+    # executable but cannot hit the runtime's input-keyed execution cache
+    cap = 2048
+    np.asarray(grid_cmax_batched((xs + 1) % CW, ys, ts, ps, roi_size=ROI,
+                                 img_size=(CH, CW), maxiter=30,
+                                 capacity=cap)[0])
+    t0 = time.perf_counter()
+    params, rois, f_evals, valid = grid_cmax_batched(
+        xs, ys, ts, ps, roi_size=ROI, img_size=(CH, CW), maxiter=30,
+        capacity=cap)
+    params = np.asarray(params)  # forces execution + transfer
+    ours_total = time.perf_counter() - t0
+    log(f"grid_cmax_batched (device): {ours_total:.2f} s for all "
+        f"{params.shape[0]} ROIs")
+
+    # flow agreement vs ground truth on the reference-timed ROIs
+    errs_ref, errs_ours = [], []
+    omega, ccx, ccy = 1.2, CW / 2, CH / 2
+    rois_np = np.asarray(rois)
+    for (yc, xc), rp in zip(ref_rois, ref_params):
+        ctr_x, ctr_y = xc + ROI[1] / 2, yc + ROI[0] / 2
+        gt = np.array([-omega * (ctr_y - ccy), omega * (ctr_x - ccx)])
+        errs_ref.append(np.linalg.norm(rp - gt))
+        match = np.where((rois_np[:, 0] == yc) & (rois_np[:, 1] == xc))[0]
+        if len(match):
+            errs_ours.append(np.linalg.norm(params[match[0]] - gt))
+    log(f"flow error vs GT (px/s): reference {np.median(errs_ref):.1f}, "
+        f"ours {np.median(errs_ours):.1f}")
+    return {
+        "grid_cmax_wallclock_s": round(ours_total, 2),
+        "grid_cmax_vs_baseline": round(ref_total / ours_total, 1),
+        "grid_cmax_flow_err_ref_px": round(float(np.median(errs_ref)), 1),
+        "grid_cmax_flow_err_ours_px": round(float(np.median(errs_ours)), 1),
+    }
 
 
 def main():
@@ -89,14 +168,24 @@ def main():
     log(f"output parity vs torch: max|diff|={err:.6f} (rel {err / scale:.2e})")
     assert err / scale < 1e-3, "parity check failed"
 
-    # best of 3 (the shared device tunnel adds run-to-run noise)
+    # best of VOXEL_RUNS (the shared device tunnel adds run-to-run noise;
+    # max is the right statistic for intrinsic throughput under external
+    # slowdowns — every run executes the identical program)
     runs = [throughput_mevs(
         lambda x, y, t, p: voxel_matmul(x, y, t, p, B, (H, W),
                                         precision="hilo"),
-        N, (H, W), iters=ITERS, seed=s * 31) for s in range(3)]
+        N, (H, W), iters=ITERS, seed=s * 31) for s in range(VOXEL_RUNS)]
     mevs = max(runs)
     log(f"pallas voxel_matmul (hilo): {mevs:.0f} Mev/s "
         f"(runs: {[round(r) for r in runs]})")
+
+    # ---- north star 2: grid_cmax ------------------------------------------
+    try:
+        cmax_fields = bench_grid_cmax()
+    except Exception as exc:  # never lose the voxel headline
+        log(f"grid_cmax bench FAILED: {type(exc).__name__}: {exc}")
+        cmax_fields = {"grid_cmax_wallclock_s": None,
+                       "grid_cmax_vs_baseline": None}
 
     # secondary diagnostics (opt-in: they add ~2-3 min of tunnel time)
     try:
@@ -119,6 +208,7 @@ def main():
         "value": round(mevs, 1),
         "unit": "Mev/s",
         "vs_baseline": round(mevs / torch_mevs, 2),
+        **cmax_fields,
     }))
 
 
