@@ -39,6 +39,7 @@ from .events_cmax import (  # noqa: F401
     grid_search_optimisation,
     grid_search_refine,
     make_objective_loss,
+    make_patch_loss,
     make_patch_variance_loss,
     optimize,
     optimize_contrast,

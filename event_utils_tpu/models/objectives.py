@@ -357,11 +357,19 @@ class sosa_objective(objective_function):
 
 class zhu_timestamp_objective(objective_function):
     """Squared average-timestamp images (Zhu CVPR'19; reference
-    objectives.py:524-558). loss = -(sum(T_pos^2) + sum(T_neg^2)) over
-    blurred timestamp images of the warped events. No analytic derivative.
+    objectives.py:524-558). loss = +(sum(T_pos^2) + sum(T_neg^2)) over
+    blurred timestamp images of the warped events — *minimized* at motion
+    compensation, as in the cited paper.
 
-    (The reference calls an undefined ``events_to_zhu_timestamp_image``;
-    the intended ``events_to_timestamp_image`` is used here.)
+    Divergences (documented): (1) the reference calls an undefined
+    ``events_to_zhu_timestamp_image`` — its zhu objective is dead code that
+    was never optimized; the intended ``events_to_timestamp_image`` is used
+    here. (2) the reference NEGATES the sum (objectives.py:552), which makes
+    its minimizing optimizer run *away* from motion compensation — verified
+    empirically (the true velocity has the smallest sum of squares; see
+    tests/test_cmax.py::test_zhu_jitted_loss_and_optimize). The paper's
+    sign is implemented; parity with the reference's formula up to the sign
+    is pinned in tests/test_reference_parity.py.
     """
 
     def __init__(self):
@@ -370,6 +378,35 @@ class zhu_timestamp_objective(objective_function):
 
     def loss_fn(self, iwe):  # pragma: no cover - uses timestamp path instead
         return -jnp.sum(iwe * iwe)
+
+    def make_event_loss(self, warpfunc, img_size, blur_sigma, impl=None):
+        """Jittable, differentiable zhu loss straight from events.
+
+        The reference declares zhu non-differentiable
+        (objectives.py:553-558), but the timestamp images are bilinear
+        scatters of the warped coordinates, so ``jax.grad`` flows end-to-end
+        — the jitted optimizers solve zhu directly (new capability).
+        ``impl='matmul'`` builds all 4 accumulations as one multi-channel
+        MXU matmul.
+        """
+        sigma = self.default_blur if blur_sigma is None else blur_sigma
+
+        def loss(params, xs, ys, ts, ps, mask=None):
+            ts_ = jnp.asarray(ts, jnp.float32)
+            t0 = ts_[-1] if mask is None else jnp.max(
+                jnp.where(mask != 0, ts_, -jnp.inf))
+            xw, yw, _, _ = warpfunc.warp(xs, ys, ts_, ps, t0, params,
+                                         compute_grad=False)
+            valid = iwe_validity_mask(xw, yw, img_size, mask)
+            pos, neg = events_to_timestamp_image(
+                xw, yw, ts_, ps, sensor_size=tuple(img_size), mask=valid,
+                impl=impl)
+            if sigma and sigma > 0:
+                pos = gaussian_filter(pos, sigma)
+                neg = gaussian_filter(neg, sigma)
+            return jnp.sum(pos * pos) + jnp.sum(neg * neg)
+
+        return loss
 
     def evaluate_function(self, params=None, xs=None, ys=None, ts=None,
                           ps=None, warpfunc=None, img_size=None,
@@ -390,7 +427,7 @@ class zhu_timestamp_objective(objective_function):
             posimg, negimg = iwe
         posimg = self._blur(posimg, blur_sigma)
         negimg = self._blur(negimg, blur_sigma)
-        return float(-(jnp.sum(posimg * posimg) + jnp.sum(negimg * negimg)))
+        return float(jnp.sum(posimg * posimg) + jnp.sum(negimg * negimg))
 
 
 class r1_objective(objective_function):

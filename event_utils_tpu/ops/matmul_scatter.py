@@ -45,7 +45,14 @@ def bilinear_scatter_matmul(x, y, w, shape: Tuple[int, int],
     """4-tap bilinear scatter-add via factorized one-hot matmuls.
 
     Matches ``bilinear_scatter`` (taps outside ``shape`` dropped) to the
-    stated precision. ``(H, W)`` output.
+    stated precision.
+
+    ``w`` may be ``(N,)`` -> ``(H, W)`` output, or ``(K, N)`` -> ``(K, H, W)``
+    — K weight channels scattered at the SAME coordinates share the one-hot
+    factor matrices (the dominant build cost), so K-channel accumulation is
+    much cheaper than K separate calls. This is how the timestamp image
+    (4 channels: ts*pos, pos, ts*neg, neg) and the Jacobian image (D
+    channels) ride the MXU.
     """
     H, W = shape
     HP = _round_up(H, 8)
@@ -53,8 +60,11 @@ def bilinear_scatter_matmul(x, y, w, shape: Tuple[int, int],
     x = jnp.asarray(x, jnp.float32)
     y = jnp.asarray(y, jnp.float32)
     w = jnp.asarray(w, jnp.float32)
+    single = w.ndim == 1
+    w2 = w[None, :] if single else w          # (K, N)
+    K = w2.shape[0]
     if mask is not None:
-        w = w * jnp.asarray(mask, jnp.float32)
+        w2 = w2 * jnp.asarray(mask, jnp.float32)[None, :]
 
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
@@ -69,29 +79,34 @@ def bilinear_scatter_matmul(x, y, w, shape: Tuple[int, int],
     okx0 = (ix0 >= 0) & (ix0 < W)
     okx1 = (ix0 + 1 >= 0) & (ix0 + 1 < W)
     oky = (iy0 + 1 >= 0) & (iy0 < H)  # at least one row tap in range
-    wx0 = jnp.where(okx0 & oky, w * (1 - dx), 0.0)
-    wx1 = jnp.where(okx1 & oky, w * dx, 0.0)
+    wx0 = jnp.where((okx0 & oky)[None, :], w2 * (1 - dx)[None, :], 0.0)
+    wx1 = jnp.where((okx1 & oky)[None, :], w2 * dx[None, :], 0.0)
     # clamp ids so one-hots stay well-formed (weights already zeroed)
     ix1 = jnp.clip(ix0 + 1, 0, W - 1)
     ix0 = jnp.clip(ix0, 0, W - 1)
 
     n = x.shape[0]
     pad = (-n) % chunk
+
     def padded(a, fill=0.0):
         return jnp.pad(a, (0, pad), constant_values=fill).reshape(-1, chunk)
+
+    def padded_k(a):
+        a = jnp.pad(a, ((0, 0), (0, pad)))
+        return a.reshape(K, -1, chunk).transpose(1, 0, 2)  # (nch, K, chunk)
 
     iy0c = padded(iy0, -10)
     ix0c = padded(ix0, 0)
     ix1c = padded(ix1, 0)
     dyc = padded(dy)
-    wx0c = padded(wx0)
-    wx1c = padded(wx1)
+    wx0c = padded_k(wx0)
+    wx1c = padded_k(wx1)
 
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (HP, chunk), 0)
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, WP), 1)
 
     def body(acc, inp):
-        iy0b, ix0b, ix1b, dyb, w0b, w1b = inp
+        iy0b, ix0b, ix1b, dyb, w0b, w1b = inp   # w*b: (K, chunk)
         O0 = (row_iota == iy0b[None, :]).astype(jnp.bfloat16)
         O1 = (row_iota == (iy0b + 1)[None, :]).astype(jnp.bfloat16)
         C0 = (col_iota == ix0b[:, None]).astype(jnp.bfloat16)
@@ -108,28 +123,35 @@ def bilinear_scatter_matmul(x, y, w, shape: Tuple[int, int],
                                        preferred_element_type=jnp.float32)
 
         ay = 1 - dyb
+        outs = []
         if precision == "hilo":
             # hi/lo split on BOTH factors; the lo*lo cross term (~2^-18
-            # relative) is dropped: 3 matmuls.
+            # relative) is dropped: 3 matmuls per channel, shared row factors.
             ah = ay.astype(jnp.bfloat16)
             bh = dyb.astype(jnp.bfloat16)
             al = (ay - ah.astype(jnp.float32)).astype(jnp.bfloat16)
             bl = (dyb - bh.astype(jnp.float32)).astype(jnp.bfloat16)
-            w0h = w0b.astype(jnp.bfloat16)
-            w1h = w1b.astype(jnp.bfloat16)
-            w0l = (w0b - w0h.astype(jnp.float32)).astype(jnp.bfloat16)
-            w1l = (w1b - w1h.astype(jnp.float32)).astype(jnp.bfloat16)
             Ah = rowfac(ah, bh)
-            o = dot(Ah, colfac(w0h, w1h))
-            o = o + dot(Ah, colfac(w0l, w1l))
-            o = o + dot(rowfac(al, bl), colfac(w0h, w1h))
+            Al = rowfac(al, bl)
+            for k in range(K):
+                w0h = w0b[k].astype(jnp.bfloat16)
+                w1h = w1b[k].astype(jnp.bfloat16)
+                w0l = (w0b[k] - w0h.astype(jnp.float32)).astype(jnp.bfloat16)
+                w1l = (w1b[k] - w1h.astype(jnp.float32)).astype(jnp.bfloat16)
+                Vh = colfac(w0h, w1h)
+                o = dot(Ah, Vh)
+                o = o + dot(Ah, colfac(w0l, w1l))
+                o = o + dot(Al, Vh)
+                outs.append(o)
         else:
             A = rowfac(ay.astype(jnp.bfloat16), dyb.astype(jnp.bfloat16))
-            o = dot(A, colfac(w0b.astype(jnp.bfloat16),
-                              w1b.astype(jnp.bfloat16)))
-        return acc + o, None
+            for k in range(K):
+                outs.append(dot(A, colfac(w0b[k].astype(jnp.bfloat16),
+                                          w1b[k].astype(jnp.bfloat16))))
+        return acc + jnp.stack(outs), None
 
-    acc0 = jnp.zeros((HP, WP), jnp.float32)
+    acc0 = jnp.zeros((K, HP, WP), jnp.float32)
     acc, _ = jax.lax.scan(body, acc0,
                           (iy0c, ix0c, ix1c, dyc, wx0c, wx1c))
-    return acc[:H, :W]
+    out = acc[:, :H, :W]
+    return out[0] if single else out

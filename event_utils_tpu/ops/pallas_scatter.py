@@ -344,6 +344,198 @@ def image_matmul(ix, iy, w, shape: Tuple[int, int],
     return out
 
 
+def _bilinear_kernel(x0_ref, x1_ref, y0_ref, dy_ref, w0_ref, w1_ref, out_ref,
+                     *, K, H, W, HP, WP, hilo):
+    """4-tap bilinear scatter of K weight channels sharing coordinates.
+
+    Row pairs factorize the 4 taps into ONE matmul per channel:
+      A = O(y0)*(1-dy) + O(y0+1)*dy            (HP, C) row factor, shared
+      V_k = C(x0)*w_k(1-dx) + C(x0+1)*w_k dx   (C, WP) column factor
+      out_k += A @ V_k
+    The (K*HP, W) accumulator stays in VMEM across the whole event sweep.
+    """
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    x0 = x0_ref[:]
+    x1 = x1_ref[:]
+    y0 = y0_ref[:]
+    dy = dy_ref[:]
+    C = x0.shape[0]
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (HP, C), 0)
+    colT_iota = jax.lax.broadcasted_iota(jnp.int32, (WP, C), 0)
+    O0 = (row_iota == y0[None, :]).astype(jnp.bfloat16)
+    O1 = (row_iota == (y0 + 1)[None, :]).astype(jnp.bfloat16)
+    # Column one-hots built TRANSPOSED — (WP, C) — so per-event weights
+    # broadcast along [None, :] (Mosaic rejects (C,) -> (C, 1) reshapes);
+    # the matmul contracts dim 1 of both operands: out = A @ V^T.
+    Ct0 = (colT_iota == x0[None, :]).astype(jnp.bfloat16)
+    Ct1 = (colT_iota == x1[None, :]).astype(jnp.bfloat16)
+
+    def dot_t(A, Vt):
+        return jax.lax.dot_general(A, Vt, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    ay = 1.0 - dy
+    if hilo:
+        ah = ay.astype(jnp.bfloat16)
+        bh = dy.astype(jnp.bfloat16)
+        al = (ay - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+        bl = (dy - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+        Ah = O0 * ah[None, :] + O1 * bh[None, :]
+        Al = O0 * al[None, :] + O1 * bl[None, :]
+    else:
+        Ah = O0 * ay.astype(jnp.bfloat16)[None, :] \
+            + O1 * dy.astype(jnp.bfloat16)[None, :]
+
+    for k in range(K):
+        w0 = w0_ref[0, k, :]
+        w1 = w1_ref[0, k, :]
+        off = k * HP
+        if hilo:
+            w0h = w0.astype(jnp.bfloat16)
+            w1h = w1.astype(jnp.bfloat16)
+            w0l = (w0 - w0h.astype(jnp.float32)).astype(jnp.bfloat16)
+            w1l = (w1 - w1h.astype(jnp.float32)).astype(jnp.bfloat16)
+            Vth = Ct0 * w0h[None, :] + Ct1 * w1h[None, :]
+            o = dot_t(Ah, Vth)
+            o = o + dot_t(Ah, Ct0 * w0l[None, :] + Ct1 * w1l[None, :])
+            o = o + dot_t(Al, Vth)
+        else:
+            o = dot_t(Ah, Ct0 * w0.astype(jnp.bfloat16)[None, :]
+                      + Ct1 * w1.astype(jnp.bfloat16)[None, :])
+        out_ref[pl.ds(off, HP), :] = out_ref[pl.ds(off, HP), :] + o[:, :W]
+
+
+# The bilinear kernel keeps 4 one-hot matrices + hilo temporaries in VMEM;
+# chunk 4096 overflows the 16 MB scoped limit at 180x240, 2048 fits.
+BILINEAR_CHUNK = 2048
+
+
+@functools.partial(jax.jit, static_argnames=("shape", "chunk", "precision",
+                                             "interpret"))
+def bilinear_matmul(x, y, w, shape: Tuple[int, int],
+                    mask=None, chunk: int = BILINEAR_CHUNK,
+                    precision: str = "hilo",
+                    interpret: Optional[bool] = None):
+    """(H, W) or (K, H, W) 4-tap bilinear scatter-add, Pallas MXU kernel.
+
+    The TPU-native hot path of the reference's ``interpolate_to_image``
+    (image.py:102-115): float coords, K weight channels sharing coordinates
+    (IWE: K=1; timestamp image: K=4; Jacobian stacks: K=D). Out-of-image
+    taps are dropped. Differentiable in ``x``, ``y`` and ``w`` via a
+    gather-based custom VJP (the adjoint of a bilinear scatter is a bilinear
+    gather). Precision: 'hilo' ~1e-5 relative, 'bf16' ~2e-3.
+    """
+    H, W = shape
+    x = jnp.asarray(x, jnp.float32)
+    y = jnp.asarray(y, jnp.float32)
+    w = jnp.asarray(w, jnp.float32)
+    single = w.ndim == 1
+    w2 = w[None, :] if single else w
+    if mask is not None:
+        w2 = w2 * jnp.asarray(mask, jnp.float32)[None, :]
+    out = _bilinear_core(x, y, w2,
+                         (H, W, w2.shape[0], chunk, precision,
+                          _resolve_interpret(interpret)))
+    return out[0] if single else out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _bilinear_core(x, y, w, cfg):
+    H, W, K, chunk, precision, interpret = cfg
+    HP = _round_up(H, 8)
+    WP = _round_up(W, 128)
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    dx = x - x0
+    dy = y - y0
+    ix0 = x0.astype(jnp.int32)
+    iy0 = y0.astype(jnp.int32)
+    okx0 = (ix0 >= 0) & (ix0 < W)
+    okx1 = (ix0 + 1 >= 0) & (ix0 + 1 < W)
+    oky = (iy0 + 1 >= 0) & (iy0 < H)
+    w0 = jnp.where((okx0 & oky)[None, :], w * (1 - dx)[None, :], 0.0)
+    w1 = jnp.where((okx1 & oky)[None, :], w * dx[None, :], 0.0)
+    ix1 = jnp.clip(ix0 + 1, 0, W - 1)
+    ix0 = jnp.clip(ix0, 0, W - 1)
+
+    n = x.shape[0]
+    pad = (-n) % chunk
+
+    def padded(a, fill=0):
+        return jnp.pad(a, (0, pad), constant_values=fill)
+
+    def padded_k(a):
+        a = jnp.pad(a, ((0, 0), (0, pad)))
+        return a.reshape(K, -1, chunk).transpose(1, 0, 2)  # (nch, K, chunk)
+
+    ix0c = padded(ix0)
+    ix1c = padded(ix1)
+    iy0c = padded(iy0, -10)
+    dyc = padded(dy.astype(jnp.float32), 0.0)
+    w0c = padded_k(w0)
+    w1c = padded_k(w1)
+    nch = ix0c.shape[0] // chunk
+
+    kernel = functools.partial(_bilinear_kernel, K=K, H=H, W=W, HP=HP, WP=WP,
+                               hilo=(precision == "hilo"))
+    out = pl.pallas_call(
+        kernel,
+        grid=(nch,),
+        in_specs=[pl.BlockSpec((chunk,), lambda i: (i,))] * 4
+        + [pl.BlockSpec((1, K, chunk), lambda i: (i, 0, 0))] * 2,
+        out_specs=pl.BlockSpec((K * HP, W), lambda i: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((K * HP, W), jnp.float32),
+        interpret=interpret,
+    )(ix0c, ix1c, iy0c, dyc, w0c, w1c)
+    return out.reshape(K, HP, W)[:, :H, :]
+
+
+def _bilinear_core_fwd(x, y, w, cfg):
+    out = _bilinear_core(x, y, w, cfg)
+    return out, (x, y, w)
+
+
+def _bilinear_core_bwd(cfg, res, g):
+    """Adjoint of the 4-tap scatter: bilinear gather of the cotangent image
+    at each event's taps (exactly the scatter formulation's VJP)."""
+    H, W, K, chunk, precision, interpret = cfg
+    x, y, w = res
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    dx = x - x0
+    dy = y - y0
+    ix0 = x0.astype(jnp.int32)
+    iy0 = y0.astype(jnp.int32)
+
+    def tap(ox, oy):
+        ix = ix0 + ox
+        iy = iy0 + oy
+        ok = (ix >= 0) & (ix < W) & (iy >= 0) & (iy < H)
+        v = g[:, jnp.clip(iy, 0, H - 1), jnp.clip(ix, 0, W - 1)]  # (K, N)
+        return jnp.where(ok[None, :], v, 0.0)
+
+    g00 = tap(0, 0)
+    g01 = tap(1, 0)
+    g10 = tap(0, 1)
+    g11 = tap(1, 1)
+    g_w = ((1 - dx) * (1 - dy))[None] * g00 + (dx * (1 - dy))[None] * g01 \
+        + ((1 - dx) * dy)[None] * g10 + (dx * dy)[None] * g11
+    g_x = jnp.sum(w * ((1 - dy)[None] * (g01 - g00) + dy[None] * (g11 - g10)),
+                  axis=0)
+    g_y = jnp.sum(w * ((1 - dx)[None] * (g10 - g00) + dx[None] * (g11 - g01)),
+                  axis=0)
+    return g_x, g_y, g_w
+
+
+_bilinear_core.defvjp(_bilinear_core_fwd, _bilinear_core_bwd)
+
+
 def bilinear_image_matmul(x, y, w, shape: Tuple[int, int],
                           chunk: int = DEFAULT_CHUNK,
                           precision: str = "hilo"):

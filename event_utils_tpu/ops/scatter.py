@@ -196,9 +196,12 @@ def bilinear_scatter(x: Array, y: Array, w: Array, shape: Tuple[int, int], *,
     """
     impl = impl or _DEFAULT_IMPL
     if impl in _MATMUL_IMPLS:
-        from .matmul_scatter import bilinear_scatter_matmul
-        return bilinear_scatter_matmul(
-            x, y, w, shape, mask=mask, precision=_matmul_precision(impl))
+        # Pallas kernel (VMEM-resident accumulator; ~2x the pure-XLA
+        # lax.scan formulation in ops/matmul_scatter.py, which remains as
+        # the non-Pallas fallback)
+        from .pallas_scatter import bilinear_matmul
+        return bilinear_matmul(x, y, w, shape, mask=mask,
+                               precision=_matmul_precision(impl))
     H, W = shape
     idxs, ws = _bilinear_taps(x, y, w, shape, mask)
     flat_idx = jnp.concatenate(idxs)

@@ -310,15 +310,25 @@ def events_to_timestamp_image(xn, yn, ts, pn, sensor_size=(180, 240),
         valid = (xs < clipx) & (ys < clipy) & (xs >= 0) & (ys >= 0) if clip_out_of_range else None
         gx, gy, gm = xs, ys, valid
 
-    def acc(w):
-        if gm is not None:
-            w = w * gm.astype(w.dtype)
-        return bilinear_scatter(gx, gy, w, img_size, impl=impl)
+    weights = jnp.stack([normalized_ts * pos_mask, pos_mask,
+                         normalized_ts * neg_mask, neg_mask])
+    if gm is not None:
+        weights = weights * gm.astype(weights.dtype)[None, :]
 
-    img_pos = acc(normalized_ts * pos_mask)
-    img_pos_cnt = 1.0 + acc(pos_mask)
-    img_neg = acc(normalized_ts * neg_mask)
-    img_neg_cnt = 1.0 + acc(neg_mask)
+    if impl in ("matmul", "matmul_hilo", "matmul_bf16"):
+        # MXU path: all 4 accumulations (ts*pos, pos, ts*neg, neg) share the
+        # same coordinates, so ONE multi-channel Pallas kernel builds the
+        # one-hot factors once and emits a (4, H, W) stack from VMEM.
+        from ..ops.pallas_scatter import bilinear_matmul
+        stack = bilinear_matmul(
+            gx, gy, weights, img_size,
+            precision="bf16" if impl == "matmul_bf16" else "hilo")
+    else:
+        stack = jnp.stack([bilinear_scatter(gx, gy, w, img_size, impl=impl)
+                           for w in weights])
+    img_pos, img_neg = stack[0], stack[2]
+    img_pos_cnt = 1.0 + stack[1]
+    img_neg_cnt = 1.0 + stack[3]
 
     img_pos = img_pos / jnp.where(img_pos_cnt == 0, 1.0, img_pos_cnt)
     img_neg = img_neg / jnp.where(img_neg_cnt == 0, 1.0, img_neg_cnt)

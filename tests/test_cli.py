@@ -93,3 +93,17 @@ def test_visualize_flow_cli(h5_path, tmp_path):
     main([h5_path, "--flow_path", str(flow_dir), "--output_path", out,
           "--num_show", "200"])
     assert len(os.listdir(out)) >= 1
+
+
+def test_augment_demo_cli(h5_path, tmp_path):
+    """Augmentation figure-sweep demo (reference
+    event_augmentation.py:225-267)."""
+    from event_utils_tpu.cli.augment_demo import main
+    out = str(tmp_path / "aug")
+    main([h5_path, "--output_path", out, "--num", "1000",
+          "--num_compress", "50", "--sensor", "24", "32",
+          "--to_add", "1.0"])
+    names = sorted(os.listdir(out))
+    for stem in ("raw", "add_correlated", "add_random", "remove", "rotate",
+                 "flip_x"):
+        assert any(n.startswith(stem) for n in names), (stem, names)

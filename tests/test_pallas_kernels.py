@@ -2,6 +2,7 @@
 
 import numpy as np
 import pytest
+import jax
 import jax.numpy as jnp
 
 from event_utils_tpu.ops.pallas_scatter import voxel_matmul
@@ -100,3 +101,66 @@ def test_voxel_matmul_custom_vjp(rng):
     np.testing.assert_allclose(np.asarray(gp1), np.asarray(gp2), atol=1e-4)
     np.testing.assert_allclose(np.asarray(gt1), np.asarray(gt2),
                                rtol=1e-4, atol=1e-3)
+
+
+def test_bilinear_matmul_parity_multichannel(rng):
+    """Pallas bilinear kernel (K channels, shared coords) vs exact scatter."""
+    from event_utils_tpu.ops.pallas_scatter import bilinear_matmul
+    from event_utils_tpu.ops.scatter import bilinear_scatter
+
+    n = 3000
+    x = jnp.asarray(rng.uniform(-3, 243, n), jnp.float32)
+    y = jnp.asarray(rng.uniform(-3, 183, n), jnp.float32)
+    w = jnp.asarray(rng.normal(0, 1, (3, n)), jnp.float32)
+    exact = jnp.stack([bilinear_scatter(x, y, w[k], (181, 241))
+                       for k in range(3)])
+    got = bilinear_matmul(x, y, w, (181, 241), chunk=1024, interpret=True)
+    rel = float(jnp.max(jnp.abs(got - exact)) / jnp.max(jnp.abs(exact)))
+    assert rel < 1e-4, rel
+    # single-channel shape contract
+    one = bilinear_matmul(x, y, w[0], (181, 241), chunk=1024, interpret=True)
+    assert one.shape == (181, 241)
+    rel1 = float(jnp.max(jnp.abs(one - exact[0])) / jnp.max(jnp.abs(exact[0])))
+    assert rel1 < 1e-4, rel1
+
+
+def test_bilinear_matmul_custom_vjp(rng):
+    """Gather-based VJP == autodiff through the exact scatter formulation."""
+    from event_utils_tpu.ops.pallas_scatter import bilinear_matmul
+    from event_utils_tpu.ops.scatter import bilinear_scatter
+
+    n = 2000
+    x = jnp.asarray(rng.uniform(0, 240, n), jnp.float32)
+    y = jnp.asarray(rng.uniform(0, 180, n), jnp.float32)
+    w = jnp.asarray(rng.normal(0, 1, (2, n)), jnp.float32)
+
+    def loss_pallas(p):
+        img = bilinear_matmul(x - p[0], y - p[1], w * p[2], (181, 241),
+                              chunk=1024, interpret=True)
+        return jnp.sum(img * img)
+
+    def loss_exact(p):
+        img = jnp.stack([bilinear_scatter(x - p[0], y - p[1], w[k] * p[2],
+                                          (181, 241)) for k in range(2)])
+        return jnp.sum(img * img)
+
+    p0 = jnp.asarray([0.3, -0.2, 1.1])
+    gp = np.asarray(jax.grad(loss_pallas)(p0))
+    ge = np.asarray(jax.grad(loss_exact)(p0))
+    np.testing.assert_allclose(gp, ge, rtol=2e-3)
+
+
+def test_bilinear_matmul_mask(rng):
+    from event_utils_tpu.ops.pallas_scatter import bilinear_matmul
+    from event_utils_tpu.ops.scatter import bilinear_scatter
+
+    n = 1500
+    x = jnp.asarray(rng.uniform(0, 239, n), jnp.float32)
+    y = jnp.asarray(rng.uniform(0, 179, n), jnp.float32)
+    w = jnp.asarray(rng.normal(0, 1, n), jnp.float32)
+    mask = jnp.asarray(rng.integers(0, 2, n), jnp.float32)
+    exact = bilinear_scatter(x, y, w, (181, 241), mask=mask)
+    got = bilinear_matmul(x, y, w, (181, 241), mask=mask, chunk=512,
+                          interpret=True)
+    rel = float(jnp.max(jnp.abs(got - exact)) / jnp.max(jnp.abs(exact)))
+    assert rel < 1e-4, rel

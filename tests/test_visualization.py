@@ -112,3 +112,36 @@ def test_crop_parameters():
     padded = cp.pad(x)
     assert padded.shape[-2] % 8 == 0 and padded.shape[-1] % 8 == 0
     assert cp.crop(padded).shape == x.shape
+
+
+def test_mayavi_helpers_without_gl():
+    """The mayavi twin's renderer-independent math (padding, windowing,
+    polarity LUT) runs without a GL stack; GL entry points raise a clear
+    ImportError when mayavi is absent."""
+    from event_utils_tpu.visualization import draw_event_stream_mayavi as m
+
+    ts = np.linspace(1.0, 2.0, 100)
+    xs = np.arange(100.0)
+    ys = np.arange(100.0)
+    ps = np.where(np.arange(100) % 2 == 0, 1.0, -1.0)
+    fts = np.asarray([1.2, 1.7])
+    px, py, pt, pp, pf = m.pad_sliding_head(xs, ys, ts, ps, fts, dt=0.2,
+                                            sdt=0.05)
+    assert pt[0] == 0.0                       # time re-zeroed
+    assert len(px) == len(xs) + 4             # one window of sdt pads
+    assert np.all(pp[:4] == 0)                # dummy events carry p=0
+    assert np.allclose(pf - fts, pf[0] - fts[0])  # frames shifted rigidly
+
+    wins = m.sliding_windows(pt, pf, dt=0.2, sdt=0.1)
+    assert len(wins) > 5
+    (e0, e1), (f0, f1) = wins[0]
+    assert 0 <= e0 < e1 <= len(pt)
+    assert 0 <= f0 <= f1 <= len(pf)
+
+    colors, ones = m.event_colors_lut(pp)
+    assert set(np.unique(colors)) <= {0, 240}
+    assert np.all(ones[:4] == 0)              # padding glyphs scale 0
+
+    if not m.available():
+        with pytest.raises(ImportError, match="mayavi"):
+            m.plot_events(xs, ys, ts, ps)
