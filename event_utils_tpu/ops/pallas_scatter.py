@@ -74,7 +74,7 @@ def _voxel_kernel(scalars_ref, x_ref, y_ref, t_ref, p_ref, out_ref,
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (C, WP), 1)
     int8_mode = precision == "int8"
     oh_dtype = jnp.int8 if int8_mode else jnp.bfloat16
-    A = (row_iota == y[None, :]).astype(oh_dtype)   # (HP, C) one-hot rows
+    row_hit = row_iota == y[None, :]                # (HP, C) one-hot rows
     Bx = (col_iota == x[:, None]).astype(oh_dtype)  # (C, WP)
 
     blo = scalars_ref[i, 0]
@@ -89,6 +89,12 @@ def _voxel_kernel(scalars_ref, x_ref, y_ref, t_ref, p_ref, out_ref,
         return jax.lax.dot_general(Aw, Bm, (((1,), (0,)), ((), ())),
                                    preferred_element_type=acc_dtype)
 
+    def rowfac(w):
+        """Weighted row factor via ONE select: fold w straight into the
+        one-hot (cheaper than compare -> cast -> multiply, and it avoids
+        the int8 path's i32-multiply workaround entirely)."""
+        return jnp.where(row_hit, w[None, :], 0).astype(oh_dtype)
+
     def weighted(w, exact=False):
         if int8_mode:
             # Two-level int8 quantization of w in [-1, 1]:
@@ -97,24 +103,19 @@ def _voxel_kernel(scalars_ref, x_ref, y_ref, t_ref, p_ref, out_ref,
             # at 2x the bf16 MXU rate.
             w127 = w * 127.0
             q1 = jnp.round(w127)
-            q2 = jnp.round((w127 - q1) * 254.0)
-            # Mosaic lacks int8 vector multiply; weight in i32, then truncate.
-            A32 = A.astype(jnp.int32)
-            o1 = _dot((A32 * q1.astype(jnp.int32)[None, :]).astype(jnp.int8),
-                      Bx, jnp.int32)
+            o1 = _dot(rowfac(q1), Bx, jnp.int32)
             if exact:
                 return o1.astype(jnp.float32) * (1.0 / 127.0)
-            o2 = _dot((A32 * q2.astype(jnp.int32)[None, :]).astype(jnp.int8),
-                      Bx, jnp.int32)
+            q2 = jnp.round((w127 - q1) * 254.0)
+            o2 = _dot(rowfac(q2), Bx, jnp.int32)
             return (o1.astype(jnp.float32) * (1.0 / 127.0)
                     + o2.astype(jnp.float32) * (1.0 / (127.0 * 254.0)))
         if precision == "hilo" and not exact:
-            hi = w.astype(jnp.bfloat16)
-            lo = (w - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            o = _dot(A * hi[None, :], Bx, jnp.float32)
-            return o + _dot(A * lo[None, :], Bx, jnp.float32)
-        Aw = A * w.astype(jnp.bfloat16)[None, :]
-        return _dot(Aw, Bx, jnp.float32)
+            hi = w.astype(jnp.bfloat16).astype(jnp.float32)
+            lo = w - hi
+            o = _dot(rowfac(hi), Bx, jnp.float32)
+            return o + _dot(rowfac(lo), Bx, jnp.float32)
+        return _dot(rowfac(w), Bx, jnp.float32)
 
     def accum(b, o):
         off = pl.multiple_of(b * HP, 8)
