@@ -41,8 +41,8 @@ def build(force: bool = False) -> bool:
             stale = (not os.path.exists(_LIB_PATH)
                      or os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC))
             if force or stale:
-                cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-                       "-pthread", _SRC, "-o", _LIB_PATH]
+                cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-shared",
+                       "-fPIC", "-pthread", _SRC, "-o", _LIB_PATH]
                 subprocess.run(cmd, check=True, capture_output=True)
             _lib = _load(_LIB_PATH)
             _load_failed = False
@@ -143,17 +143,27 @@ def t_second_windows(ts: np.ndarray, t_width: float,
 
 def fill_padded_batches(t, xy, p, windows: np.ndarray, capacity: int,
                         relative_time: bool = True,
-                        nthreads: int = 0):
+                        nthreads: int = 0, out=None):
     """Assemble ``(B, capacity, 4)`` float32 events + ``(B, capacity)`` masks
     from memmap'd t/xy/p components for the given ``(B, 2)`` window table.
 
     Polarity {0,1} -> {-1,+1}; timestamps window-relative when
     ``relative_time``. Returns ``(events, mask, truncated_events)``.
+
+    ``out``: optional ``(events, mask)`` buffer pair to fill in place —
+    fresh allocations pay the first-touch page-fault cost on every call
+    (measured ~25x the fill itself for large batches), so steady-state
+    loaders should rotate persistent buffers (NativeWindowedLoader does).
     """
     windows = np.ascontiguousarray(windows, np.int64)
     B = len(windows)
-    events = np.empty((B, capacity, 4), np.float32)
-    mask = np.empty((B, capacity), np.float32)
+    if out is not None:
+        events, mask = out
+        assert events.shape == (B, capacity, 4) and events.dtype == np.float32
+        assert mask.shape == (B, capacity) and mask.dtype == np.float32
+    else:
+        events = np.empty((B, capacity, 4), np.float32)
+        mask = np.empty((B, capacity), np.float32)
     lib = _get_lib()
     t = np.ascontiguousarray(np.asarray(t).reshape(-1), np.float64)
     xy = np.ascontiguousarray(np.asarray(xy).reshape(len(t), -1), np.int16)
@@ -180,6 +190,58 @@ def fill_padded_batches(t, xy, p, windows: np.ndarray, capacity: int,
     truncated = lib.evio_fill_padded_batches(
         _ptr(t, ctypes.c_double), _ptr(xy, ctypes.c_int16),
         _ptr(p, ctypes.c_uint8), ctypes.c_long(len(t)),
+        _ptr(idx0, ctypes.c_long), _ptr(idx1, ctypes.c_long),
+        ctypes.c_long(B), ctypes.c_long(capacity),
+        ctypes.c_int(1 if relative_time else 0),
+        _ptr(events, ctypes.c_float), _ptr(mask, ctypes.c_float),
+        ctypes.c_int(nthreads))
+    return events, mask, int(truncated)
+
+
+def fill_padded_batches_components(t, xs, ys, p, windows: np.ndarray,
+                                   capacity: int, relative_time: bool = True,
+                                   nthreads: int = 0, out=None):
+    """Component-array variant of :func:`fill_padded_batches` (HDF5-style
+    separate xs/ys arrays). Same output contract; ``windows`` indexes into
+    the given component arrays (callers streaming slabs pass slab-relative
+    windows)."""
+    windows = np.ascontiguousarray(windows, np.int64)
+    B = len(windows)
+    if out is not None:
+        events, mask = out
+        assert events.shape == (B, capacity, 4) and events.dtype == np.float32
+        assert mask.shape == (B, capacity) and mask.dtype == np.float32
+    else:
+        events = np.empty((B, capacity, 4), np.float32)
+        mask = np.empty((B, capacity), np.float32)
+    lib = _get_lib()
+    t = np.ascontiguousarray(np.asarray(t).reshape(-1), np.float64)
+    xs = np.ascontiguousarray(np.asarray(xs).reshape(-1), np.int32)
+    ys = np.ascontiguousarray(np.asarray(ys).reshape(-1), np.int32)
+    p = np.ascontiguousarray(np.asarray(p).reshape(-1), np.uint8)
+    if lib is None:
+        truncated = 0
+        for w, (s, e) in enumerate(windows):
+            cnt = min(e - s, capacity)
+            truncated += max(e - s - capacity, 0)
+            tb = t[s] if (relative_time and cnt) else 0.0
+            events[w, :cnt, 0] = xs[s:s + cnt]
+            events[w, :cnt, 1] = ys[s:s + cnt]
+            events[w, :cnt, 2] = t[s:s + cnt] - tb
+            events[w, :cnt, 3] = np.where(p[s:s + cnt] > 0, 1.0, -1.0)
+            mask[w, :cnt] = 1.0
+            events[w, cnt:] = 0.0
+            events[w, cnt:, 2] = events[w, cnt - 1, 2] if cnt else 0.0
+            mask[w, cnt:] = 0.0
+        return events, mask, truncated
+    if nthreads <= 0:
+        nthreads = min(os.cpu_count() or 1, 16)
+    idx0 = np.ascontiguousarray(windows[:, 0])
+    idx1 = np.ascontiguousarray(windows[:, 1])
+    truncated = lib.evio_fill_padded_batches_components(
+        _ptr(t, ctypes.c_double), _ptr(xs, ctypes.c_int32),
+        _ptr(ys, ctypes.c_int32), _ptr(p, ctypes.c_uint8),
+        ctypes.c_long(len(t)),
         _ptr(idx0, ctypes.c_long), _ptr(idx1, ctypes.c_long),
         ctypes.c_long(B), ctypes.c_long(capacity),
         ctypes.c_int(1 if relative_time else 0),

@@ -15,6 +15,53 @@
 #include <thread>
 #include <vector>
 
+#if defined(__AVX2__)
+#include <immintrin.h>
+#endif
+
+namespace {
+
+#if defined(__AVX2__)
+// Interleave 4 (x,y) f32 pairs with 4 (t,p) f32 pairs into the
+// (x, y, t, p) * 4 output layout, treating each pair as one f64 lane:
+//   unpacklo/hi_pd give (XY0 TP0 XY2 TP2) / (XY1 TP1 XY3 TP3);
+//   permute2f128 restores event order. 64 bytes stored per call.
+inline void store4_events(float* dst, __m256 xyv, __m128 t4, __m128 p4) {
+    const __m128 tp_lo = _mm_unpacklo_ps(t4, p4);  // t0 p0 t1 p1
+    const __m128 tp_hi = _mm_unpackhi_ps(t4, p4);  // t2 p2 t3 p3
+    const __m256 tpv = _mm256_set_m128(tp_hi, tp_lo);
+    const __m256d a = _mm256_castps_pd(xyv);
+    const __m256d b = _mm256_castps_pd(tpv);
+    const __m256d lo = _mm256_unpacklo_pd(a, b);   // XY0 TP0 XY2 TP2
+    const __m256d hi = _mm256_unpackhi_pd(a, b);   // XY1 TP1 XY3 TP3
+    _mm256_storeu_pd(reinterpret_cast<double*>(dst),
+                     _mm256_permute2f128_pd(lo, hi, 0x20));
+    _mm256_storeu_pd(reinterpret_cast<double*>(dst + 8),
+                     _mm256_permute2f128_pd(lo, hi, 0x31));
+}
+
+// +-1 polarity floats from 8 uint8 flags.
+inline __m256 polarity8(const uint8_t* p) {
+    const __m256i pi = _mm256_cvtepu8_epi32(
+        _mm_loadl_epi64(reinterpret_cast<const __m128i*>(p)));
+    const __m256 sel = _mm256_castsi256_ps(
+        _mm256_cmpgt_epi32(pi, _mm256_setzero_si256()));
+    return _mm256_blendv_ps(_mm256_set1_ps(-1.0f), _mm256_set1_ps(1.0f), sel);
+}
+
+// window-relative f32 timestamps from 8 f64.
+inline __m256 reltime8(const double* t, double t_base) {
+    const __m256d base = _mm256_set1_pd(t_base);
+    const __m128 lo = _mm256_cvtpd_ps(
+        _mm256_sub_pd(_mm256_loadu_pd(t), base));
+    const __m128 hi = _mm256_cvtpd_ps(
+        _mm256_sub_pd(_mm256_loadu_pd(t + 4), base));
+    return _mm256_set_m128(hi, lo);
+}
+#endif  // __AVX2__
+
+}  // namespace
+
 extern "C" {
 
 // Binary search over a sorted float64 array (the on-disk timestamp layout).
@@ -100,7 +147,27 @@ long evio_fill_padded_batches(const double* t, const int16_t* xy,
             float* ev = out_events + w * capacity * 4;
             float* mk = out_mask + w * capacity;
             const double t_base = (relative_time && count > 0) ? t[s] : 0.0;
-            for (long i = 0; i < count; ++i) {
+            long i = 0;
+#if defined(__AVX2__)
+            for (; i + 8 <= count; i += 8) {
+                const long src = s + i;
+                // 16 int16 = 8 interleaved (x, y) pairs -> 8 f32 pairs
+                const __m256i xy01 = _mm256_cvtepi16_epi32(_mm_loadu_si128(
+                    reinterpret_cast<const __m128i*>(xy + src * 2)));
+                const __m256i xy23 = _mm256_cvtepi16_epi32(_mm_loadu_si128(
+                    reinterpret_cast<const __m128i*>(xy + src * 2 + 8)));
+                const __m256 t8 = reltime8(t + src, t_base);
+                const __m256 p8 = polarity8(p + src);
+                store4_events(ev + i * 4, _mm256_cvtepi32_ps(xy01),
+                              _mm256_castps256_ps128(t8),
+                              _mm256_castps256_ps128(p8));
+                store4_events(ev + i * 4 + 16, _mm256_cvtepi32_ps(xy23),
+                              _mm256_extractf128_ps(t8, 1),
+                              _mm256_extractf128_ps(p8, 1));
+                _mm256_storeu_ps(mk + i, _mm256_set1_ps(1.0f));
+            }
+#endif
+            for (; i < count; ++i) {
                 const long src = s + i;
                 ev[i * 4 + 0] = static_cast<float>(xy[src * 2 + 0]);
                 ev[i * 4 + 1] = static_cast<float>(xy[src * 2 + 1]);
@@ -110,12 +177,12 @@ long evio_fill_padded_batches(const double* t, const int16_t* xy,
             }
             // pad: zero events, repeat last timestamp to keep sorts stable
             const float t_last = count > 0 ? ev[(count - 1) * 4 + 2] : 0.0f;
-            for (long i = count; i < capacity; ++i) {
-                ev[i * 4 + 0] = 0.0f;
-                ev[i * 4 + 1] = 0.0f;
-                ev[i * 4 + 2] = t_last;
-                ev[i * 4 + 3] = 0.0f;
-                mk[i] = 0.0f;
+            for (long j = count; j < capacity; ++j) {
+                ev[j * 4 + 0] = 0.0f;
+                ev[j * 4 + 1] = 0.0f;
+                ev[j * 4 + 2] = t_last;
+                ev[j * 4 + 3] = 0.0f;
+                mk[j] = 0.0f;
             }
         }
     };
@@ -161,7 +228,35 @@ long evio_fill_padded_batches_components(
             float* ev = out_events + w * capacity * 4;
             float* mk = out_mask + w * capacity;
             const double t_base = (relative_time && count > 0) ? t[s] : 0.0;
-            for (long i = 0; i < count; ++i) {
+            long i = 0;
+#if defined(__AVX2__)
+            for (; i + 8 <= count; i += 8) {
+                const long src = s + i;
+                const __m256 xv = _mm256_cvtepi32_ps(_mm256_loadu_si256(
+                    reinterpret_cast<const __m256i*>(xs + src)));
+                const __m256 yv = _mm256_cvtepi32_ps(_mm256_loadu_si256(
+                    reinterpret_cast<const __m256i*>(ys + src)));
+                // interleave x/y into (x, y) pairs per 128-bit half
+                const __m128 xy_a = _mm_unpacklo_ps(
+                    _mm256_castps256_ps128(xv), _mm256_castps256_ps128(yv));
+                const __m128 xy_b = _mm_unpackhi_ps(
+                    _mm256_castps256_ps128(xv), _mm256_castps256_ps128(yv));
+                const __m128 xy_c = _mm_unpacklo_ps(
+                    _mm256_extractf128_ps(xv, 1), _mm256_extractf128_ps(yv, 1));
+                const __m128 xy_d = _mm_unpackhi_ps(
+                    _mm256_extractf128_ps(xv, 1), _mm256_extractf128_ps(yv, 1));
+                const __m256 t8 = reltime8(t + src, t_base);
+                const __m256 p8 = polarity8(p + src);
+                store4_events(ev + i * 4, _mm256_set_m128(xy_b, xy_a),
+                              _mm256_castps256_ps128(t8),
+                              _mm256_castps256_ps128(p8));
+                store4_events(ev + i * 4 + 16, _mm256_set_m128(xy_d, xy_c),
+                              _mm256_extractf128_ps(t8, 1),
+                              _mm256_extractf128_ps(p8, 1));
+                _mm256_storeu_ps(mk + i, _mm256_set1_ps(1.0f));
+            }
+#endif
+            for (; i < count; ++i) {
                 const long src = s + i;
                 ev[i * 4 + 0] = static_cast<float>(xs[src]);
                 ev[i * 4 + 1] = static_cast<float>(ys[src]);
@@ -170,12 +265,12 @@ long evio_fill_padded_batches_components(
                 mk[i] = 1.0f;
             }
             const float t_last = count > 0 ? ev[(count - 1) * 4 + 2] : 0.0f;
-            for (long i = count; i < capacity; ++i) {
-                ev[i * 4 + 0] = 0.0f;
-                ev[i * 4 + 1] = 0.0f;
-                ev[i * 4 + 2] = t_last;
-                ev[i * 4 + 3] = 0.0f;
-                mk[i] = 0.0f;
+            for (long j = count; j < capacity; ++j) {
+                ev[j * 4 + 0] = 0.0f;
+                ev[j * 4 + 1] = 0.0f;
+                ev[j * 4 + 2] = t_last;
+                ev[j * 4 + 3] = 0.0f;
+                mk[j] = 0.0f;
             }
         }
     };

@@ -107,3 +107,76 @@ def test_native_windowed_loader(tmp_path, rng):
                           5, sensor_size=(32, 48),
                           mask=jnp.asarray(b0["events_mask"][0]))
     assert np.isfinite(np.asarray(vox)).all()
+
+
+def test_h5_windowed_loader_matches_memmap_loader(tmp_path, rng):
+    """The H5 slab-streaming loader must produce byte-identical batches to
+    the memmap loader over the same events (same windows, same capacity)."""
+    import h5py
+
+    from event_utils_tpu.data_loaders.native_loader import (
+        H5WindowedLoader, NativeWindowedLoader)
+
+    n = 50000
+    t = np.sort(rng.uniform(0, 2, n))
+    xs = rng.integers(0, 240, n).astype(np.int16)
+    ys = rng.integers(0, 180, n).astype(np.int16)
+    p = rng.integers(0, 2, n).astype(np.uint8)
+
+    h5p = str(tmp_path / "ev.h5")
+    with h5py.File(h5p, "w") as f:
+        g = f.create_group("events")
+        g.create_dataset("xs", data=xs)
+        g.create_dataset("ys", data=ys)
+        g.create_dataset("ts", data=t)
+        g.create_dataset("ps", data=p.astype(bool))
+
+    mmd = tmp_path / "mm"
+    mmd.mkdir()
+    np.save(mmd / "t.npy", t[:, None])
+    np.save(mmd / "xy.npy", np.stack([xs, ys], axis=1))
+    np.save(mmd / "p.npy", p[:, None])
+
+    kw = dict(method="k_events", k=4000, batch_size=4, capacity=4096)
+    lh = H5WindowedLoader(h5p, **kw)
+    lm = NativeWindowedLoader(str(mmd), **kw)
+    assert len(lh) == len(lm)
+    total = 0
+    for bh, bm in zip(lh, lm):
+        np.testing.assert_array_equal(bh["events"], bm["events"])
+        np.testing.assert_array_equal(bh["events_mask"], bm["events_mask"])
+        total += 1
+    assert total == len(lh)
+    lh.close()
+
+
+def test_h5_windowed_loader_t_seconds_and_no_prefetch(tmp_path, rng):
+    import h5py
+
+    from event_utils_tpu.data_loaders.native_loader import H5WindowedLoader
+
+    n = 20000
+    t = np.sort(rng.uniform(0, 1, n))
+    with h5py.File(str(tmp_path / "e.h5"), "w") as f:
+        g = f.create_group("events")
+        g.create_dataset("xs", data=rng.integers(0, 64, n).astype(np.int16))
+        g.create_dataset("ys", data=rng.integers(0, 48, n).astype(np.int16))
+        g.create_dataset("ts", data=t)
+        g.create_dataset("ps", data=rng.integers(0, 2, n).astype(bool))
+    ld = H5WindowedLoader(str(tmp_path / "e.h5"), method="t_seconds", t=0.1,
+                          batch_size=2, prefetch=False)
+    batches = list(ld)
+    assert len(batches) == len(ld)
+    for b in batches:
+        m = b["events_mask"]
+        ev = b["events"]
+        # masked-on events in bounds, polarity +-1
+        on = m != 0
+        assert set(np.unique(ev[..., 3][on])) <= {-1.0, 1.0}
+        # window-relative timestamps start at ~0 and are sorted per window
+        for w in range(ev.shape[0]):
+            tw = ev[w, :, 2][m[w] != 0]
+            if len(tw):
+                assert tw[0] == 0.0
+                assert np.all(np.diff(tw) >= 0)
+    ld.close()
