@@ -1,0 +1,133 @@
+"""E2VID reconstruction training CLI: frame-supervised recurrent training.
+
+End-to-end drive of the reconstruction stack (the companion of
+``train_flow``): a ``between_frames`` dataset yields time-synchronized
+(voxel grid, frame) pairs, consecutive windows form truncated-BPTT
+sequences, and ``ReconstructionTrainer`` unrolls the recurrent E2VID over
+them on device. Checkpoint/resume via orbax.
+
+Example:
+    python -m event_utils_tpu.cli.train_reconstruction scene.h5 \\
+        --seq_len 4 --epochs 2 --lpips_weight 0.2 --ckpt_dir /tmp/e2v
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(
+        description="Train E2VID on an H5/memmap recording with frames")
+    parser.add_argument("path", help="H5 file or memmap dir (needs frames)")
+    parser.add_argument("--num_bins", type=int, default=5)
+    parser.add_argument("--seq_len", type=int, default=4,
+                        help="truncated-BPTT unroll length (windows)")
+    parser.add_argument("--batch_size", type=int, default=1,
+                        help="independent sequences per step")
+    parser.add_argument("--epochs", type=int, default=1)
+    parser.add_argument("--lr", type=float, default=1e-4)
+    parser.add_argument("--lpips_weight", type=float, default=0.0,
+                        help="random-feature perceptual loss weight")
+    parser.add_argument("--combined_channels", action="store_true",
+                        help="single polarity-summed voxel (default: "
+                             "neg/pos stacked, 2*num_bins channels)")
+    parser.add_argument("--ckpt_dir", default=None)
+    parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--max_steps", type=int, default=None)
+    return parser
+
+
+def _pad_to_multiple_hw(arr, multiple=8):
+    """Zero-pad trailing (H, W) dims to a multiple (UNet stride needs it)."""
+    import numpy as np
+
+    H, W = arr.shape[-2], arr.shape[-1]
+    ph = (-H) % multiple
+    pw = (-W) % multiple
+    if ph == 0 and pw == 0:
+        return arr
+    pad = [(0, 0)] * (arr.ndim - 2) + [(0, ph), (0, pw)]
+    return np.pad(arr, pad)
+
+
+def iter_sequences(dataset, seq_len, batch_size, num_bins, combined):
+    """Group consecutive dataset windows into (T, B, C, H, W) voxel
+    sequences + (T, B, 1, H, W) frame targets."""
+    import numpy as np
+
+    n_seq = len(dataset) // seq_len
+    per_batch = seq_len * batch_size
+    for s0 in range(0, n_seq * seq_len - per_batch + 1, per_batch):
+        voxels, frames = [], []
+        for b in range(batch_size):
+            vseq, fseq = [], []
+            for t in range(seq_len):
+                item = dataset[s0 + b * seq_len + t]
+                vox = np.asarray(item["voxel"], np.float32)
+                frame = np.asarray(item["frame"], np.float32)
+                if frame.ndim == 2:
+                    frame = frame[None]
+                if frame.max() > 1.5:
+                    frame = frame / 255.0
+                vseq.append(_pad_to_multiple_hw(vox))
+                fseq.append(_pad_to_multiple_hw(frame))
+            voxels.append(np.stack(vseq))
+            frames.append(np.stack(fseq))
+        yield (np.stack(voxels, axis=1), np.stack(frames, axis=1))
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    import os
+
+    import numpy as np
+
+    from ..data_loaders import DynamicH5Dataset, MemMapDataset
+    from ..training.reconstruction import ReconstructionTrainer
+
+    cls = MemMapDataset if os.path.isdir(args.path) else DynamicH5Dataset
+    dataset = cls(args.path,
+                  voxel_method={"method": "between_frames",
+                                "sliding_window_w": 0},
+                  num_bins=args.num_bins,
+                  combined_voxel_channels=args.combined_channels,
+                  return_events=False, return_frame=True,
+                  return_format="numpy")
+    if len(dataset) < args.seq_len * args.batch_size:
+        raise SystemExit(f"recording has only {len(dataset)} between-frame "
+                         f"windows; reduce --seq_len/--batch_size")
+
+    probe = dataset[0]
+    H, W = np.asarray(probe["voxel"]).shape[-2:]
+    Hp, Wp = H + (-H) % 8, W + (-W) % 8
+    trainer = ReconstructionTrainer(
+        sensor_size=(Hp, Wp), num_bins=args.num_bins,
+        combined_channels=args.combined_channels, learning_rate=args.lr,
+        lpips_weight=args.lpips_weight)
+    if args.resume and args.ckpt_dir:
+        step = trainer.restore_checkpoint(args.ckpt_dir)
+        print(f"resumed from step {step}")
+
+    steps = 0
+    for epoch in range(args.epochs):
+        for voxels, frames in iter_sequences(dataset, args.seq_len,
+                                             args.batch_size, args.num_bins,
+                                             args.combined_channels):
+            loss = trainer.train_sequence(voxels, frames)
+            steps += 1
+            print(f"epoch {epoch} step {trainer.step} loss {loss:.4f}",
+                  flush=True)
+            if args.max_steps and steps >= args.max_steps:
+                break
+        if args.max_steps and steps >= args.max_steps:
+            break
+
+    if args.ckpt_dir:
+        trainer.save_checkpoint(args.ckpt_dir)
+        print(f"checkpoint saved to {args.ckpt_dir} at step {trainer.step}")
+
+
+if __name__ == "__main__":
+    main()

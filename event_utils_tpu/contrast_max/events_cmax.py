@@ -226,9 +226,19 @@ def optimize_contrast_jit(xs, ys, ts, ps, warpfunc, objective,
     ps = jnp.asarray(ps, jnp.float32)
     if x0 is None:
         if grid_search_init:
+            # Cap the search at velocities that would sweep every event off
+            # the sensor within the window — spurious global minima for
+            # mass-losing objectives (zhu/isoa collapse; see make_patch_loss)
+            init_range = 150.0
+            if isinstance(warpfunc, linvel_warp):
+                dt = ts[-1] - ts[0] if mask is None else (
+                    jnp.max(jnp.where(mask != 0, ts, -jnp.inf))
+                    - jnp.min(jnp.where(mask != 0, ts, jnp.inf)))
+                vmax = (min(img_size) / 2.0) / jnp.maximum(dt, 1e-3)
+                init_range = jnp.minimum(150.0, vmax)
             x0 = grid_search_refine(
                 lambda p: loss(p, xs, ys, ts, ps, mask),
-                warpfunc.dims)[0]
+                warpfunc.dims, init_range=init_range)[0]
         else:
             x0 = jnp.zeros((warpfunc.dims,), jnp.float32)
     x0 = jnp.asarray(x0, jnp.float32)
@@ -733,6 +743,18 @@ def _build_roi_solver(warp, obj, resolution, roi_size, blur_sigma, maxiter,
     """Compile the vmapped per-ROI grid-search + refine solver once per
     configuration (rebuilding the jit per call would recompile every time —
     compile over a device tunnel costs seconds)."""
+    return jax.jit(jax.vmap(make_roi_solve_one(
+        warp, obj, resolution, roi_size, blur_sigma, maxiter, solver,
+        gd_lr)))
+
+
+def make_roi_solve_one(warp, obj, resolution, roi_size, blur_sigma, maxiter,
+                       solver="gd", gd_lr=4.0):
+    """Single-ROI solve ``(ex, ey, et, ep, emask, origin) -> (params,
+    f_eval)``: patch-matmul loss (every objective), velocity-capped grid
+    search, adaptive-lifespan mask, fixed-step refine. vmap it for batched
+    solves (grid_cmax_batched) or shard-vmap it across a mesh
+    (parallel.sharded_grid_cmax)."""
     use_patch = obj.name in ("variance", "sos", "rms", "soe", "sosa",
                              "isoa", "moa", "r1", "zhu")
     if use_patch:
@@ -825,7 +847,7 @@ def _build_roi_solver(warp, obj, resolution, roi_size, blur_sigma, maxiter,
         # convention: f_eval over all events, events_cmax.py:68-74)
         return best_p, f(best_p)
 
-    return jax.jit(jax.vmap(solve_one))
+    return solve_one
 
 
 # ---------------------------------------------------------------------------

@@ -161,7 +161,46 @@ def contrast_flow_loss(flow, events, events_mask, sensor_size,
     return contrast + smoothness_weight * tv
 
 
+def _perceptual_pyramid(img, key, levels: int = 3, features: int = 16):
+    """Fixed random-conv feature pyramid for the perceptual loss.
+
+    Filters are drawn once from a fixed PRNG key (constant-folded under
+    jit): randomly-initialized conv features are an effective perceptual
+    metric without pretrained weights (Amir & Weiss, "Understanding and
+    Simplifying Perceptual Distances", CVPR'21) — the right trade in an
+    offline environment where LPIPS's VGG weights are unavailable.
+    """
+    feats = []
+    x = img
+    in_ch = img.shape[1]
+    for lvl in range(levels):
+        key, sub = jax.random.split(key)
+        w = jax.random.normal(sub, (features, in_ch, 3, 3), jnp.float32)
+        w = w / jnp.sqrt(9.0 * in_ch)
+        x = jax.lax.conv_general_dilated(
+            x, w, (2, 2), "SAME", dimension_numbers=("NCHW", "OIHW", "NCHW"))
+        x = jax.nn.relu(x)
+        # unit-normalize channels like LPIPS before comparing
+        feats.append(x / (jnp.linalg.norm(x, axis=1, keepdims=True) + 1e-8))
+        in_ch = features
+    return feats
+
+
+def perceptual_distance(pred, target, levels: int = 3, features: int = 16,
+                        seed: int = 0):
+    """LPIPS-style distance with fixed random features (see
+    ``_perceptual_pyramid``). Inputs ``(B, 1, H, W)`` in [0, 1]."""
+    key = jax.random.PRNGKey(seed)
+    fp = _perceptual_pyramid(pred, key, levels, features)
+    ft = _perceptual_pyramid(target, key, levels, features)
+    return sum(jnp.mean((a - b) ** 2) for a, b in zip(fp, ft)) / len(fp)
+
+
 def reconstruction_loss(pred, target, lpips_weight: float = 0.0):
-    """E2VID supervision: L1 + (optional) feature loss placeholder."""
-    del lpips_weight
-    return jnp.mean(jnp.abs(pred - target))
+    """E2VID supervision: L1 + optional random-feature perceptual term
+    (the reference repo trains its networks elsewhere; this is the
+    framework-native equivalent of the L1+LPIPS loss those repos use)."""
+    loss = jnp.mean(jnp.abs(pred - target))
+    if lpips_weight:
+        loss = loss + lpips_weight * perceptual_distance(pred, target)
+    return loss

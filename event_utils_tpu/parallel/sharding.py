@@ -237,11 +237,12 @@ def sharded_grid_cmax(mesh: Mesh, xs, ys, ts, ps, roi_size=(20, 20),
                       capacity: Optional[int] = None,
                       axis_name: str = "events"):
     """grid_cmax with the ROI axis sharded across the mesh: each chip runs
-    the full grid-search + BFGS solve for its subset of ROIs in parallel
-    (zero inter-chip communication until results gather)."""
+    the identical per-ROI solver ``grid_cmax_batched`` uses (patch-matmul
+    loss for every objective, velocity-capped grid search + fixed-step
+    refine) on its subset of ROIs, with zero inter-chip communication until
+    the result gather."""
     from ..contrast_max.events_cmax import (bucket_events_by_roi,
-                                            grid_search_refine,
-                                            make_objective_loss)
+                                            make_roi_solve_one)
     from ..models.warps import linvel_warp
     from ..models.objectives import variance_objective
     from ..utils.event_util import infer_resolution
@@ -249,6 +250,7 @@ def sharded_grid_cmax(mesh: Mesh, xs, ys, ts, ps, roi_size=(20, 20),
     warp = linvel_warp() if warp is None else warp
     obj = variance_objective() if obj is None else obj
     resolution = infer_resolution(xs, ys) if img_size is None else img_size
+    rh, rw = roi_size
 
     bx, by, bt, bp, bmask, origins, _ = bucket_events_by_roi(
         xs, ys, ts, ps, resolution, roi_size, capacity)
@@ -260,29 +262,20 @@ def sharded_grid_cmax(mesh: Mesh, xs, ys, ts, ps, roi_size=(20, 20),
     bt, _ = pad_to_multiple(bt, n_dev)
     bp, _ = pad_to_multiple(bp, n_dev)
     bmask, _ = pad_to_multiple(bmask, n_dev)
+    borigins, _ = pad_to_multiple(jnp.asarray(origins, jnp.float32), n_dev)
 
     key = (_mesh_key(mesh), type(warp).__name__, obj.name, tuple(resolution),
-           float(blur_sigma), int(maxiter), axis_name)
+           tuple(roi_size), float(blur_sigma), int(maxiter), axis_name)
     fn = _sharded_cmax_cache.get(key)
     if fn is None:
-        loss = make_objective_loss(obj, warp, tuple(resolution), blur_sigma)
-
-        def solve_one(ex, ey, et, ep, emask):
-            def f(p):
-                return loss(p, ex, ey, et, ep, emask)
-
-            from jax.scipy.optimize import minimize
-            x0, _ = grid_search_refine(f, warp.dims, iters=6)
-            res = minimize(f, x0, method="BFGS",
-                           options={"maxiter": maxiter, "gtol": 1e-6}).x
-            return res, f(res)
-
+        solve_one = make_roi_solve_one(warp, obj, tuple(resolution),
+                                       tuple(roi_size), blur_sigma, maxiter)
         sharding = NamedSharding(mesh, P(axis_name))
         fn = jax.jit(jax.vmap(solve_one),
-                     in_shardings=(sharding,) * 5,
+                     in_shardings=(sharding,) * 6,
                      out_shardings=(sharding, sharding))
         _sharded_cmax_cache[key] = fn
-    params, f_evals = fn(bx, by, bt, bp, bmask)
+    params, f_evals = fn(bx, by, bt, bp, bmask, borigins)
     return (params[:R], origins, f_evals[:R],
             jnp.sum(bmask[:R], axis=1) > 0)
 

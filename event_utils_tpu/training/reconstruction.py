@@ -25,7 +25,7 @@ class ReconstructionTrainer:
     def __init__(self, sensor_size=(64, 64), num_bins: int = 5,
                  combined_channels: bool = False,
                  learning_rate: float = 1e-4, mesh: Optional[Mesh] = None,
-                 seed: int = 0):
+                 lpips_weight: float = 0.0, seed: int = 0):
         from ..models.networks import E2VID, reconstruction_loss
 
         self.sensor_size = tuple(sensor_size)
@@ -41,7 +41,8 @@ class ReconstructionTrainer:
             def scan_fn(state, inp):
                 vox, frame = inp
                 pred, state = self.model.apply(params, vox, state)
-                return state, reconstruction_loss(pred, frame)
+                return state, reconstruction_loss(pred, frame,
+                                                  lpips_weight=lpips_weight)
 
             # init state from the first window's shapes
             _, state0 = self.model.apply(params, voxels[0], None)

@@ -107,3 +107,16 @@ def test_augment_demo_cli(h5_path, tmp_path):
     for stem in ("raw", "add_correlated", "add_random", "remove", "rotate",
                  "flip_x"):
         assert any(n.startswith(stem) for n in names), (stem, names)
+
+
+def test_train_reconstruction_cli(h5_path, tmp_path):
+    """End-to-end E2VID reconstruction training drive: between_frames
+    dataset -> voxel/frame sequences -> recurrent train step -> checkpoint."""
+    from event_utils_tpu.cli.train_reconstruction import main
+    ckpt = str(tmp_path / "e2v_ckpt")
+    main([h5_path, "--seq_len", "2", "--batch_size", "1", "--epochs", "1",
+          "--max_steps", "1", "--lpips_weight", "0.2", "--ckpt_dir", ckpt])
+    assert os.path.isdir(ckpt) and len(os.listdir(ckpt)) > 0
+    # resume restores the saved step
+    main([h5_path, "--seq_len", "2", "--batch_size", "1", "--epochs", "1",
+          "--max_steps", "1", "--ckpt_dir", ckpt, "--resume"])

@@ -106,3 +106,25 @@ def test_reconstruction_trainer_descends(rng):
     preds, state = trainer.reconstruct(voxels)
     assert preds.shape == (T, Bt, 1) + SENSOR
     assert state is not None
+
+
+def test_perceptual_distance_properties(rng):
+    """Random-feature perceptual loss: zero at identity, positive and
+    differentiable for different images, larger for structural change than
+    for constant offset (perceptual behavior L1 lacks)."""
+    import jax
+    import jax.numpy as jnp
+    from event_utils_tpu.models.networks import (perceptual_distance,
+                                                 reconstruction_loss)
+
+    img = jnp.asarray(rng.uniform(0, 1, (2, 1, 32, 32)), jnp.float32)
+    assert float(perceptual_distance(img, img)) == 0.0
+    shuffled = img[:, :, ::-1, :]
+    d_struct = float(perceptual_distance(img, shuffled))
+    assert d_struct > 0
+    g = jax.grad(lambda p: perceptual_distance(p, shuffled))(img)
+    assert bool(jnp.all(jnp.isfinite(g))) and float(jnp.abs(g).max()) > 0
+    # composes into the training loss
+    l0 = float(reconstruction_loss(img, shuffled))
+    l1 = float(reconstruction_loss(img, shuffled, lpips_weight=1.0))
+    assert l1 > l0
