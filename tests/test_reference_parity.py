@@ -531,3 +531,184 @@ def test_cut_events_to_lifespan_vs_reference(rng, ref_objectives):
                                   minimum_events=100)
     for r, o, lbl in zip(ref, ours, "xytp"):
         assert np.array_equal(np.asarray(r), np.asarray(o)), lbl
+
+
+# ---------------------------------------------------------------------------
+# Util layer (reference lib/util/)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def ref_event_util():
+    import lib.util.event_util as m
+    return m
+
+
+@pytest.fixture(scope="module")
+def ref_util():
+    import lib.util.util as m
+    return m
+
+
+def test_events_bounds_mask_vs_reference(rng, ref_event_util):
+    from event_utils_tpu.utils.event_util import events_bounds_mask
+
+    xs = rng.uniform(-2, 82, 3000)
+    ys = rng.uniform(-2, 62, 3000)
+    # include exact boundary hits (the reference's asymmetric inclusivity)
+    xs[:10] = [0, 80, 0, 80, 40, 0.0, 80.0, 1, 79, 40]
+    ref = ref_event_util.events_bounds_mask(xs, ys, 0, 80, 0, 60)
+    ours = np.asarray(events_bounds_mask(xs, ys, 0, 80, 0, 60))
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_clip_events_to_bounds_vs_reference(rng, ref_event_util):
+    from event_utils_tpu.utils.event_util import clip_events_to_bounds
+
+    xs = rng.uniform(-5, 85, 2000)
+    ys = rng.uniform(-5, 65, 2000)
+    ts = np.sort(rng.uniform(0, 1, 2000))
+    ps = rng.choice([-1.0, 1.0], 2000)
+    ref = ref_event_util.clip_events_to_bounds(xs, ys, ts, ps,
+                                               [0, 60, 0, 80], set_zero=True)
+    ours = clip_events_to_bounds(xs, ys, ts, ps, [0, 60, 0, 80],
+                                 set_zero=True)
+    for r, o, lbl in zip(ref, ours, "xytp"):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r), rtol=1e-6,
+                                   err_msg=lbl)
+
+
+def test_infer_resolution_vs_reference(rng, ref_event_util):
+    from event_utils_tpu.utils.event_util import infer_resolution
+
+    xs = rng.integers(0, 240, 500)
+    ys = rng.integers(0, 180, 500)
+    assert tuple(infer_resolution(xs, ys)) == tuple(
+        ref_event_util.infer_resolution(xs, ys))
+
+
+def test_binary_search_h5_dset_vs_reference(tmp_path, rng, ref_event_util):
+    import h5py
+
+    from event_utils_tpu.utils.event_util import binary_search_h5_dset
+
+    ts = np.sort(rng.uniform(0, 10, 5000))
+    with h5py.File(str(tmp_path / "t.h5"), "w") as f:
+        d = f.create_dataset("ts", data=ts)
+        for x in (0.0, 5.0, 9.999, 10.5, -1.0, ts[1234]):
+            assert binary_search_h5_dset(d, x) == \
+                ref_event_util.binary_search_h5_dset(d, x)
+
+
+def test_remove_hot_pixels_vs_reference(rng, ref_event_util):
+    """The reference's remove_hot_pixels collects indices in a float64 array
+    and np.delete's with it (event_util.py:179-186) — an IndexError on
+    modern numpy (latent defect; also its events_to_image call requires int
+    coords). Parity is asserted against the reference *algorithm* with the
+    index dtype fixed; the crash itself is pinned."""
+    from event_utils_tpu.utils.event_util import remove_hot_pixels
+
+    n = 4000
+    xs = rng.integers(0, 48, n)
+    ys = rng.integers(0, 32, n)
+    # plant two hot pixels
+    xs[:800] = 7; ys[:800] = 9
+    xs[800:1400] = 30; ys[800:1400] = 20
+    ts = np.sort(rng.uniform(0, 1, n))
+    ps = rng.choice([-1.0, 1.0], n)
+
+    with pytest.raises(Exception):
+        ref_event_util.remove_hot_pixels(xs, ys, ts, ps,
+                                         sensor_size=(32, 48), num_hot=2)
+
+    # reference algorithm, index dtype corrected
+    img = ref_event_util.events_to_image(xs, ys, ps, sensor_size=(32, 48))
+    hot = np.array([], dtype=np.int64)
+    for _ in range(2):
+        maxc = np.unravel_index(np.argmax(img), (32, 48))
+        img[maxc] = 0
+        hot = np.concatenate((hot, np.where((xs == maxc[1])
+                                            & (ys == maxc[0]))[0]))
+    ref = (np.delete(xs, hot), np.delete(ys, hot),
+           np.delete(ts, hot), np.delete(ps, hot))
+    ours = remove_hot_pixels(xs, ys, ts, ps, sensor_size=(32, 48), num_hot=2)
+    for r, o, lbl in zip(ref, ours, "xytp"):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                   err_msg=lbl)
+
+
+def test_optimal_crop_and_crop_parameters_vs_reference(ref_util):
+    from event_utils_tpu.utils.util import CropParameters, optimal_crop_size
+
+    for size, factor in [(180, 3), (240, 3), (100, 2), (17, 4), (64, 3)]:
+        assert optimal_crop_size(size, factor) == \
+            ref_util.optimal_crop_size(size, factor)
+    rc = ref_util.CropParameters(240, 180, 3)
+    oc = CropParameters(240, 180, 3)
+    for attr in ("width_crop_size", "height_crop_size", "padding_top",
+                 "padding_bottom", "padding_left", "padding_right",
+                 "ix0", "ix1", "iy0", "iy1"):
+        assert getattr(oc, attr) == getattr(rc, attr), attr
+    img = np.arange(192 * 256, dtype=np.float32).reshape(192, 256)
+    np.testing.assert_array_equal(np.asarray(oc.crop(img)), rc.crop(img))
+
+
+# ---------------------------------------------------------------------------
+# Augmentation (deterministic paths + catalogued-bug documentation)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def ref_augmentation():
+    # the module pulls plot_events (-> skimage, absent); only the __main__
+    # demo uses it, so the import is dropped at load (SURVEY.md-style repair)
+    path = "lib/augmentation/event_augmentation.py"
+    full = os.path.join(REF_ROOT, path)
+    with open(full) as f:
+        src = f.read().replace(
+            "from lib.visualization.draw_event_stream import plot_events", "")
+    mod = types.ModuleType("lib.augmentation.event_augmentation_ref")
+    mod.__package__ = "lib.augmentation"
+    mod.__file__ = full
+    sys.modules[mod.__name__] = mod
+    exec(compile(src, full, "exec"), mod.__dict__)
+    return mod
+
+
+def test_events_to_block_and_merge_vs_reference(rng, ref_augmentation):
+    from event_utils_tpu.augmentation.event_augmentation import (
+        events_to_block, merge_events)
+
+    xs = rng.integers(0, 100, 500).astype(float)
+    ys = rng.integers(0, 80, 500).astype(float)
+    ts = np.sort(rng.uniform(0, 1, 500))
+    ps = rng.choice([-1.0, 1.0], 500)
+    ref_block = ref_augmentation.events_to_block(xs, ys, ts, ps)
+    our_block = events_to_block(xs, ys, ts, ps)
+    np.testing.assert_array_equal(our_block, ref_block)
+    other = (xs + 1, ys, ts + 0.5, ps)
+    ref_m = ref_augmentation.merge_events([(xs, ys, ts, ps), other])
+    our_m = merge_events([(xs, ys, ts, ps), other])
+    np.testing.assert_array_equal(np.asarray(our_m), np.asarray(ref_m))
+
+
+def test_rotate_events_reference_bug_documented(rng, ref_augmentation):
+    """SURVEY.md §7.3: the reference's rotate_events adds the *uncentered*
+    coords back instead of the rotation center. The rebuild implements the
+    correct rotation; this test pins BOTH facts (ours is the exact rotation,
+    the reference's differs whenever the center is not the origin)."""
+    from event_utils_tpu.augmentation.event_augmentation import rotate_events
+
+    xs = rng.uniform(10, 100, 400)
+    ys = rng.uniform(10, 80, 400)
+    theta, center = 0.7, (40, 50)
+    ox, oy = rotate_events(xs, ys, sensor_resolution=(120, 160),
+                           theta_radians=theta, center_of_rotation=center,
+                           clip_to_range=False)[:2]
+    cx, cy = center
+    exact_x = np.cos(theta) * (xs - cx) - np.sin(theta) * (ys - cy) + cx
+    exact_y = np.sin(theta) * (xs - cx) + np.cos(theta) * (ys - cy) + cy
+    np.testing.assert_allclose(ox, exact_x, rtol=1e-6)
+    np.testing.assert_allclose(oy, exact_y, rtol=1e-6)
+    rx, ry = ref_augmentation.rotate_events(
+        xs, ys, sensor_resolution=(120, 160), theta_radians=theta,
+        center_of_rotation=center, clip_to_range=False)[:2]
+    assert np.abs(np.asarray(rx) - exact_x).max() > 1.0  # the catalogued bug
