@@ -178,10 +178,14 @@ def main():
     # external slowdowns — every run executes the identical program)
     results = {}
     for prec in ("hilo", "int8"):
+        # time-derived seed base: the axon runtime caches executions on
+        # (program, input buffers) across processes; reused seeds can
+        # return cached results in ~0 time and corrupt the measurement
+        base = int(time.time() * 1000) % (1 << 20)
         results[prec] = [throughput_mevs(
             lambda x, y, t, p: voxel_matmul(x, y, t, p, B, (H, W),
                                             precision=prec),
-            N, (H, W), iters=ITERS, seed=s * 31)
+            N, (H, W), iters=ITERS, seed=base + s * 31)
             for s in range(VOXEL_RUNS)]
         log(f"pallas voxel_matmul ({prec}): best {max(results[prec]):.0f} "
             f"Mev/s (runs: {[round(r) for r in results[prec]]})")

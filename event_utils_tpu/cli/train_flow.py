@@ -44,9 +44,13 @@ def main(argv=None):
                                       shuffle=True,
                                       drop_last=args.data_parallel)
     else:
-        raise SystemExit("train_flow currently streams from memmap dirs; "
-                         "convert H5 with "
-                         "python -m event_utils_tpu.data_formats.h5_to_memmap")
+        # HDF5: slab-streaming loader (sequential windows; shuffling an H5
+        # would defeat the sequential chunk reads — convert to memmap for
+        # shuffled epochs)
+        from ..data_loaders import H5WindowedLoader
+        loader = H5WindowedLoader(args.path, method="k_events", k=args.k,
+                                  batch_size=args.batch_size,
+                                  drop_last=args.data_parallel)
 
     if len(loader) == 0:
         raise SystemExit(

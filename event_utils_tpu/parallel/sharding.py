@@ -88,7 +88,8 @@ _sharded_voxel_cache: dict = {}
 def sharded_events_to_voxel(mesh: Mesh, xs, ys, ts, ps, B: int,
                             sensor_size=(180, 240), mask=None,
                             axis_name: str = "events",
-                            temporal_bilinear: bool = True):
+                            temporal_bilinear: bool = True,
+                            impl: Optional[str] = None):
     """Voxel grid over an event stream sharded across the mesh.
 
     Each device scatter-adds its event shard into a local (B, H, W)
@@ -101,7 +102,8 @@ def sharded_events_to_voxel(mesh: Mesh, xs, ys, ts, ps, B: int,
     from jax import shard_map
 
     xs, ys, ts, ps, mask = shard_events(mesh, xs, ys, ts, ps, mask, axis_name)
-    key = (_mesh_key(mesh), B, tuple(sensor_size), axis_name, temporal_bilinear)
+    key = (_mesh_key(mesh), B, tuple(sensor_size), axis_name,
+           temporal_bilinear, impl)
     fn = _sharded_voxel_cache.get(key)
     if fn is None:
         big = jnp.float32(3.4e38)
@@ -112,9 +114,12 @@ def sharded_events_to_voxel(mesh: Mesh, xs, ys, ts, ps, B: int,
                               axis_name)
             t1 = jax.lax.pmax(jnp.max(jnp.where(mask != 0, ts, -big)),
                               axis_name)
+            # impl='matmul' runs the per-shard Pallas MXU kernel on TPU
+            # meshes (each shard is contiguous in the time-sorted stream,
+            # so the kernel's sortedness requirement holds per shard)
             vox = events_to_voxel(xs, ys, ts, ps, B, sensor_size=sensor_size,
                                   temporal_bilinear=temporal_bilinear,
-                                  mask=mask, t0=t0, t1=t1)
+                                  mask=mask, t0=t0, t1=t1, impl=impl)
             return jax.lax.psum(vox, axis_name)
 
         fn = jax.jit(shard_map(local, mesh=mesh,

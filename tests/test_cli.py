@@ -120,3 +120,13 @@ def test_train_reconstruction_cli(h5_path, tmp_path):
     # resume restores the saved step
     main([h5_path, "--seq_len", "2", "--batch_size", "1", "--epochs", "1",
           "--max_steps", "1", "--ckpt_dir", ckpt, "--resume"])
+
+
+def test_train_flow_cli_h5_streaming(h5_path, tmp_path):
+    """train_flow drives the H5 slab-streaming loader end-to-end (the
+    memmap path is covered by the training tests)."""
+    from event_utils_tpu.cli.train_flow import main
+    ckpt = str(tmp_path / "flow_ckpt")
+    main([h5_path, "--sensor", "24", "32", "--k", "500", "--batch_size", "2",
+          "--epochs", "1", "--ckpt_dir", ckpt])
+    assert os.path.isdir(ckpt) and len(os.listdir(ckpt)) > 0
