@@ -162,20 +162,31 @@ def config3_augmentation(xs, ys, ts, ps):
 
     from harness import throughput_mevs
 
+    from event_utils_tpu.augmentation.event_augmentation import (
+        add_correlated_events_jax)
+
     def densify_device(dx, dy, dt, dp):
-        key = jax.random.PRNGKey(0)
-        nx, ny, nt = jitter_events_jax(key, dx, dy, dt)
-        return nx + ny + nt
+        ox, oy, ot, op, om = add_correlated_events_jax(
+            jax.random.PRNGKey(0), dx, dy, dt, dp, sort=False)
+        return ot * om + ox + oy
     dev_mevs = throughput_mevs(densify_device, N, (H, W), iters=8,
                                seed=int(time.time() * 1000) % (1 << 20))
 
+    def densify_device_sorted(dx, dy, dt, dp):
+        ox, oy, ot, op, om = add_correlated_events_jax(
+            jax.random.PRNGKey(0), dx, dy, dt, dp, sort=True)
+        return ot * om
+    dev_sorted = throughput_mevs(densify_device_sorted, N, (H, W), iters=4,
+                                 seed=int(time.time() * 1000) % (1 << 20))
+
     log(f"[3] 2x densify: reference {ref_mevs:.1f} -> ours host "
-        f"{ours_mevs:.1f} Mev/s ({ours_mevs / ref_mevs:.1f}x), device "
-        f"jitter core {dev_mevs:.0f} Mev/s")
+        f"{ours_mevs:.1f} Mev/s ({ours_mevs / ref_mevs:.1f}x); device "
+        f"{dev_mevs:.0f} Mev/s unsorted / {dev_sorted:.0f} Mev/s sorted")
     return {"config": "augmentation 2x densify",
             "reference_mevs": round(ref_mevs, 1),
             "ours_mevs": round(ours_mevs, 1),
-            "ours_device_jitter_mevs": round(dev_mevs, 1),
+            "ours_device_mevs": round(dev_mevs, 1),
+            "ours_device_sorted_mevs": round(dev_sorted, 1),
             "speedup": round(ours_mevs / ref_mevs, 1)}
 
 

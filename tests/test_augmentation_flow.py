@@ -157,3 +157,30 @@ def test_flow_warp_default_t0_and_grads(rng):
 
     g = jax.grad(loss)(flow)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_add_correlated_events_jax_device_densify(rng):
+    """Full on-device 2x densify: sorted, mask-preserving, jittered within
+    bounds, jit-compatible."""
+    import jax
+    import jax.numpy as jnp
+    from event_utils_tpu.augmentation.event_augmentation import (
+        add_correlated_events_jax)
+
+    n = 2000
+    xs = rng.uniform(0, 239, n)
+    ys = rng.uniform(0, 179, n)
+    ts = np.sort(rng.uniform(0, 0.5, n))
+    ps = rng.choice([-1.0, 1.0], n)
+    mask = np.concatenate([np.ones(n - 100), np.zeros(100)])
+
+    fn = jax.jit(lambda k: add_correlated_events_jax(
+        k, xs, ys, ts, ps, mask=mask))
+    ox, oy, ot, op, om = fn(jax.random.PRNGKey(0))
+    assert ox.shape == (2 * n,)
+    assert float(jnp.sum(om)) == 2 * (n - 100)
+    valid_t = np.asarray(ot)[np.asarray(om) != 0]
+    assert np.all(np.diff(valid_t) >= 0)          # time-sorted valid prefix
+    assert not np.any(np.asarray(om)[len(valid_t):])  # pads at the tail
+    assert np.asarray(ox).min() >= 0 and np.asarray(ox).max() <= 239
+    assert set(np.unique(np.asarray(op)[np.asarray(om) != 0])) <= {-1.0, 1.0}
