@@ -89,13 +89,14 @@ def main(argv=None):
     nx, ny, nt, npo = remove_events(xs, ys, ts, ps, len(xs) // 2, rng=rng)
     render("remove", nx, ny, nt, npo)
 
+    # center_of_rotation is (cx, cy) = (x, y); keep clip_to_range=False so
+    # the rotated coords stay index-aligned with their ts/ps
     rx, ry = rotate_events(xs, ys, sensor_resolution=tuple(args.sensor),
                            theta_radians=1.4,
-                           center_of_rotation=(args.sensor[0] // 2,
-                                               args.sensor[1] // 2),
-                           clip_to_range=True)[:2]
-    keep = min(len(rx), len(ts))
-    render("rotate", rx[:keep], ry[:keep], ts[:keep], ps[:keep])
+                           center_of_rotation=(args.sensor[1] // 2,
+                                               args.sensor[0] // 2),
+                           clip_to_range=False)[:2]
+    render("rotate", rx, ry, ts, ps)
 
     fx, fy, ft, fp = flip_events_x(xs, ys, ts, ps,
                                    sensor_resolution=tuple(args.sensor))

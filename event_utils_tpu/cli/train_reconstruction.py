@@ -53,9 +53,14 @@ def _pad_to_multiple_hw(arr, multiple=8):
 
 def iter_sequences(dataset, seq_len, batch_size, num_bins, combined):
     """Group consecutive dataset windows into (T, B, C, H, W) voxel
-    sequences + (T, B, 1, H, W) frame targets."""
+    sequences + (T, B, 1, H, W) frame targets.
+
+    Frame normalization is decided ONCE from the dataset's frame dtype
+    (integer frames divide by 255) — a per-frame max heuristic would scale
+    dark frames inconsistently within a sequence."""
     import numpy as np
 
+    frame_scale = None
     n_seq = len(dataset) // seq_len
     per_batch = seq_len * batch_size
     for s0 in range(0, n_seq * seq_len - per_batch + 1, per_batch):
@@ -65,11 +70,14 @@ def iter_sequences(dataset, seq_len, batch_size, num_bins, combined):
             for t in range(seq_len):
                 item = dataset[s0 + b * seq_len + t]
                 vox = np.asarray(item["voxel"], np.float32)
-                frame = np.asarray(item["frame"], np.float32)
+                raw = np.asarray(item["frame"])
+                if frame_scale is None:
+                    frame_scale = (255.0 if np.issubdtype(raw.dtype,
+                                                          np.integer)
+                                   else 1.0)
+                frame = raw.astype(np.float32) / frame_scale
                 if frame.ndim == 2:
                     frame = frame[None]
-                if frame.max() > 1.5:
-                    frame = frame / 255.0
                 vseq.append(_pad_to_multiple_hw(vox))
                 fseq.append(_pad_to_multiple_hw(frame))
             voxels.append(np.stack(vseq))

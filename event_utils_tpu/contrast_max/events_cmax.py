@@ -226,11 +226,15 @@ def optimize_contrast_jit(xs, ys, ts, ps, warpfunc, objective,
     ps = jnp.asarray(ps, jnp.float32)
     if x0 is None:
         if grid_search_init:
-            # Cap the search at velocities that would sweep every event off
-            # the sensor within the window — spurious global minima for
-            # mass-losing objectives (zhu/isoa collapse; see make_patch_loss)
+            # For collapse-prone objectives (zhu's timestamp images and
+            # isoa's count go to their global optimum when every event is
+            # swept off the sensor), cap the init search at velocities that
+            # would evacuate the frame within the window. Mass-preserving
+            # objectives keep the reference's full +-150 range — the cap
+            # would wrongly exclude legitimate fast motions for them.
             init_range = 150.0
-            if isinstance(warpfunc, linvel_warp):
+            if (isinstance(warpfunc, linvel_warp)
+                    and getattr(objective, "name", "") in ("zhu", "isoa")):
                 dt = ts[-1] - ts[0] if mask is None else (
                     jnp.max(jnp.where(mask != 0, ts, -jnp.inf))
                     - jnp.min(jnp.where(mask != 0, ts, jnp.inf)))
@@ -417,7 +421,13 @@ def grid_search_refine(loss_fn: Callable, dims: int,
 # ROI-tiled contrast maximisation (grid_cmax)
 # ---------------------------------------------------------------------------
 
-def make_patch_loss(warpfunc, roi_size, objective=None, patch=(64, 128),
+# Default ROI patch window: 20x20 ROIs centered with generous warp margins,
+# MXU-aligned (rows x lanes). Shared by make_patch_loss and the ROI solver's
+# velocity cap so they can never desync.
+PATCH_DEFAULT = (64, 128)
+
+
+def make_patch_loss(warpfunc, roi_size, objective=None, patch=PATCH_DEFAULT,
                     blur_sigma: float = 1.0,
                     full_pixels: Optional[int] = None):
     """MXU-fast per-ROI objective loss: patch-local accumulation as ONE matmul.
@@ -470,7 +480,6 @@ def make_patch_loss(warpfunc, roi_size, objective=None, patch=(64, 128),
         objective = OBJECTIVE_REGISTRY[objective or "variance"]()
     name = objective.name
     use_polarity = getattr(objective, "use_polarity", True)
-    thresh = float(getattr(objective, "thresh", 0.5))
     p_sup = float(getattr(objective, "p", 3))
 
     PH, PW = patch
@@ -565,7 +574,10 @@ def make_patch_loss(warpfunc, roi_size, objective=None, patch=(64, 128),
             sosa = jnp.sum(jnp.exp(-p_sup * iwe)) + (FP - P)
             return -(Q / FP) * sosa
         if name == "isoa":
-            return jnp.sum(jax.nn.sigmoid((iwe - thresh) / 0.1))
+            # the objective's own surrogate (isoa_objective.soft_loss_fn);
+            # zero pixels outside the patch contribute a params-independent
+            # constant, dropped here
+            return objective.soft_loss_fn(iwe)
         if name == "moa":
             return -jnp.maximum(jnp.max(iwe), 0.0)
         S = jnp.sum(iwe)
@@ -772,10 +784,12 @@ def make_roi_solve_one(warp, obj, resolution, roi_size, blur_sigma, maxiter,
     # mass-losing objectives (isoa/zhu count/timestamp collapse; the sensor
     # boundary plays the same trick on the reference, just further out).
     # Never search params that empty the patch within the ROI's window.
-    velocity_cap = use_patch and isinstance(warp, linvel_warp)
-    patch_hw = (64, 128)
-    margin = (min(patch_hw[0] - roi_size[0], patch_hw[1] - roi_size[1]) / 2.0
-              - 2.0)
+    margin = (min(PATCH_DEFAULT[0] - roi_size[0],
+                  PATCH_DEFAULT[1] - roi_size[1]) / 2.0 - 2.0)
+    # ROIs approaching the patch size leave no margin: disable the cap
+    # rather than searching a degenerate (non-positive) range
+    velocity_cap = (use_patch and isinstance(warp, linvel_warp)
+                    and margin > 2.0)
 
     def solve_one(ex, ey, et, ep, emask, origin):
         def f_masked(p, m):

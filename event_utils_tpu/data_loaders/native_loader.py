@@ -18,6 +18,39 @@ import numpy as np
 from .. import native
 from ..data_formats.read_events import read_memmap_events
 
+# Rotating-pool depth: must cover every buffer simultaneously alive —
+# prefetch queue (2) + one being consumed + one being written.
+_POOL_DEPTH = 4
+
+
+class _RotatingPool:
+    """Pre-faulted buffer sets reused round-robin (fresh allocations pay
+    first-touch page faults on every batch — measured ~25x the fill cost).
+
+    Contract: a buffer handed out stays valid until ``depth - 1`` further
+    ``get`` calls with the same key; consumers that retain more batches must
+    copy (device_put already copies)."""
+
+    def __init__(self, depth: int = _POOL_DEPTH):
+        self.depth = depth
+        self._pools: dict = {}
+        self._idx: dict = {}
+
+    def get(self, key, make):
+        pool = self._pools.setdefault(key, [])
+        if len(pool) < self.depth:
+            pool.append(make())
+            self._idx[key] = len(pool) - 1
+            return pool[-1]
+        self._idx[key] = (self._idx[key] + 1) % self.depth
+        return pool[self._idx[key]]
+
+
+def _out_buffers(pool: _RotatingPool, B: int, capacity: int):
+    return pool.get((B, capacity),
+                    lambda: (np.zeros((B, capacity, 4), np.float32),
+                             np.zeros((B, capacity), np.float32)))
+
 
 class NativeWindowedLoader:
     """Iterate padded event-window batches from an RPG-style memmap dir.
@@ -70,25 +103,12 @@ class NativeWindowedLoader:
             capacity = int(2 ** np.ceil(np.log2(max(longest, 1))))
         self.capacity = capacity
         self.truncated_events = 0
-        self._buffer_pool: dict = {}
-        self._buffer_idx = 0
+        self._out_pool = _RotatingPool()
 
     def __len__(self):
         if self.drop_last:
             return len(self.windows) // self.batch_size
         return (len(self.windows) + self.batch_size - 1) // self.batch_size
-
-    def _buffers(self, B):
-        """Rotating pre-faulted output buffer pairs (fresh np.empty pays
-        first-touch page faults every batch; two pairs let the consumer
-        hold the previous batch while the next one fills)."""
-        key = (B, self.capacity)
-        pool = self._buffer_pool.setdefault(key, [])
-        if len(pool) < 2:
-            pool.append((np.zeros((B, self.capacity, 4), np.float32),
-                         np.zeros((B, self.capacity), np.float32)))
-        self._buffer_idx = (self._buffer_idx + 1) % len(pool)
-        return pool[self._buffer_idx]
 
     def __iter__(self) -> Iterator[dict]:
         order = np.arange(len(self.windows))
@@ -102,7 +122,7 @@ class NativeWindowedLoader:
             events, mask, trunc = native.fill_padded_batches(
                 self.t, self.xy, self.p, sel, self.capacity,
                 relative_time=self.relative_time, nthreads=self.nthreads,
-                out=self._buffers(len(sel)))
+                out=_out_buffers(self._out_pool, len(sel), self.capacity))
             self.truncated_events += trunc
             yield {
                 "events": events,
@@ -167,10 +187,8 @@ class H5WindowedLoader:
             capacity = int(2 ** np.ceil(np.log2(max(longest, 1))))
         self.capacity = capacity
         self.truncated_events = 0
-        self._buffer_pool: dict = {}
-        self._buffer_idx = 0
-        self._slab_pool: dict = {}
-        self._slab_idx = 0
+        self._out_pool = _RotatingPool()
+        self._slab_pool = _RotatingPool()
 
     def __len__(self):
         if self.drop_last:
@@ -180,31 +198,24 @@ class H5WindowedLoader:
     def close(self):
         self._h5.close()
 
-    def _buffers(self, B):
-        key = (B, self.capacity)
-        pool = self._buffer_pool.setdefault(key, [])
-        if len(pool) < 2:
-            pool.append((np.zeros((B, self.capacity, 4), np.float32),
-                         np.zeros((B, self.capacity), np.float32)))
-        self._buffer_idx = (self._buffer_idx + 1) % len(pool)
-        return pool[self._buffer_idx]
-
     def _slab_buffers(self, m):
-        """Persistent slab read buffers (two rotating sets so the prefetch
-        thread can read slab k+1 while slab k is consumed) — fresh
-        allocations would pay first-touch page faults per batch."""
+        """Persistent slab read buffers — fresh allocations would pay
+        first-touch page faults per batch. The pool depth covers the
+        prefetch queue + the slab being consumed + the one being read, so
+        the reader can never overwrite a slab still in flight."""
         cap = 1 << max(int(np.ceil(np.log2(max(m, 1)))), 0)
-        pool = self._slab_pool.setdefault(cap, [])
-        if len(pool) < 2:
-            pool.append({
+
+        def make():
+            return {
                 "xs": np.zeros(cap, np.int32), "ys": np.zeros(cap, np.int32),
                 "ts": np.zeros(cap, np.float64), "ps": np.zeros(cap, np.uint8),
                 "raw_xs": np.zeros(cap, self._xs.dtype),
                 "raw_ys": np.zeros(cap, self._ys.dtype),
                 "raw_ps": np.zeros(cap, self._ps.dtype),
-            })
-        self._slab_idx = (self._slab_idx + 1) % len(pool)
-        return {k: v[:m] for k, v in pool[self._slab_idx].items()}
+            }
+
+        buf = self._slab_pool.get(cap, make)
+        return {k: v[:m] for k, v in buf.items()}
 
     def _read_slab(self, sel):
         """One contiguous HDF5 read per component covering a window batch.
@@ -241,22 +252,29 @@ class H5WindowedLoader:
         if not self.prefetch:
             slabs = (self._read_slab(sel) for sel in batches)
         else:
-            q: "queue.Queue" = queue.Queue(maxsize=2)
+            # queue depth 2 + one slab being consumed + one being read stays
+            # within the slab pool's depth (no in-flight overwrite); reader
+            # errors propagate to the consumer instead of silently ending
+            # the epoch
+            q: "queue.Queue" = queue.Queue(maxsize=_POOL_DEPTH - 2)
 
             def reader():
                 try:
                     for sel in batches:
-                        q.put(self._read_slab(sel))
-                finally:
-                    q.put(None)
+                        q.put(("ok", self._read_slab(sel)))
+                    q.put(("done", None))
+                except BaseException as exc:  # noqa: BLE001 - re-raised below
+                    q.put(("err", exc))
 
             th = threading.Thread(target=reader, daemon=True)
             th.start()
 
             def drain():
                 while True:
-                    item = q.get()
-                    if item is None:
+                    kind, item = q.get()
+                    if kind == "err":
+                        raise item
+                    if kind == "done":
                         return
                     yield item
 
@@ -267,7 +285,7 @@ class H5WindowedLoader:
             events, mask, trunc = native.fill_padded_batches_components(
                 ts, xs, ys, ps, rel_windows, self.capacity,
                 relative_time=self.relative_time, nthreads=self.nthreads,
-                out=self._buffers(B))
+                out=_out_buffers(self._out_pool, B, self.capacity))
             self.truncated_events += trunc
             yield {
                 "events": events,

@@ -159,8 +159,14 @@ def fill_padded_batches(t, xy, p, windows: np.ndarray, capacity: int,
     B = len(windows)
     if out is not None:
         events, mask = out
-        assert events.shape == (B, capacity, 4) and events.dtype == np.float32
-        assert mask.shape == (B, capacity) and mask.dtype == np.float32
+        # hard validation (not assert): these shapes guard a raw-pointer
+        # C write; python -O must not strip the check
+        if (events.shape != (B, capacity, 4) or events.dtype != np.float32
+                or mask.shape != (B, capacity) or mask.dtype != np.float32):
+            raise ValueError(
+                f"out buffers must be float32 ({B}, {capacity}, 4) and "
+                f"({B}, {capacity}); got {events.shape}/{events.dtype}, "
+                f"{mask.shape}/{mask.dtype}")
     else:
         events = np.empty((B, capacity, 4), np.float32)
         mask = np.empty((B, capacity), np.float32)
@@ -209,8 +215,14 @@ def fill_padded_batches_components(t, xs, ys, p, windows: np.ndarray,
     B = len(windows)
     if out is not None:
         events, mask = out
-        assert events.shape == (B, capacity, 4) and events.dtype == np.float32
-        assert mask.shape == (B, capacity) and mask.dtype == np.float32
+        # hard validation (not assert): these shapes guard a raw-pointer
+        # C write; python -O must not strip the check
+        if (events.shape != (B, capacity, 4) or events.dtype != np.float32
+                or mask.shape != (B, capacity) or mask.dtype != np.float32):
+            raise ValueError(
+                f"out buffers must be float32 ({B}, {capacity}, 4) and "
+                f"({B}, {capacity}); got {events.shape}/{events.dtype}, "
+                f"{mask.shape}/{mask.dtype}")
     else:
         events = np.empty((B, capacity, 4), np.float32)
         mask = np.empty((B, capacity), np.float32)

@@ -62,6 +62,10 @@ def events_to_voxel(xs, ys, ts, ps, B: int, sensor_size=(180, 240),
                      "matmul_bf16": "bf16", "matmul_int8": "int8"}[impl]
         return voxel_matmul(xs, ys, ts, ps, B, sensor_size=sensor_size,
                             mask=mask, t0=t0, t1=t1, precision=precision)
+    if impl == "matmul_int8":
+        # int8 exists only for the temporal-bilinear Pallas kernel above;
+        # every other route maps it to the hilo path (same tolerance class)
+        impl = "matmul"
 
     if t0 is None or t1 is None:
         if mask is None:

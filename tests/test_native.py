@@ -180,3 +180,62 @@ def test_h5_windowed_loader_t_seconds_and_no_prefetch(tmp_path, rng):
                 assert tw[0] == 0.0
                 assert np.all(np.diff(tw) >= 0)
     ld.close()
+
+
+def test_h5_prefetch_slow_consumer_no_corruption(tmp_path, rng):
+    """Regression (r2 review): the prefetch reader must never overwrite a
+    slab still queued or being consumed — a slow consumer has to receive
+    byte-identical batches to the synchronous path."""
+    import time
+
+    import h5py
+
+    from event_utils_tpu.data_loaders.native_loader import H5WindowedLoader
+
+    n = 60000
+    t = np.sort(rng.uniform(0, 2, n))
+    with h5py.File(str(tmp_path / "p.h5"), "w") as f:
+        g = f.create_group("events")
+        g.create_dataset("xs", data=rng.integers(0, 240, n).astype(np.int16))
+        g.create_dataset("ys", data=rng.integers(0, 180, n).astype(np.int16))
+        g.create_dataset("ts", data=t)
+        g.create_dataset("ps", data=rng.integers(0, 2, n).astype(bool))
+
+    kw = dict(method="k_events", k=1500, batch_size=2, capacity=2048)
+    ref = [(b["events"].copy(), b["events_mask"].copy())
+           for b in H5WindowedLoader(str(tmp_path / "p.h5"), prefetch=False,
+                                     **kw)]
+    ld = H5WindowedLoader(str(tmp_path / "p.h5"), prefetch=True, **kw)
+    got = []
+    for b in ld:
+        time.sleep(0.002)  # slow consumer: reader runs far ahead
+        got.append((b["events"].copy(), b["events_mask"].copy()))
+    assert len(got) == len(ref)
+    bad = sum(not np.array_equal(g[0], r[0]) for g, r in zip(got, ref))
+    assert bad == 0, f"{bad}/{len(ref)} corrupted batches"
+    ld.close()
+
+
+def test_h5_prefetch_reader_errors_propagate(tmp_path, rng):
+    """Regression (r2 review): a reader-thread failure must raise in the
+    consumer, not silently end the epoch early."""
+    import h5py
+
+    from event_utils_tpu.data_loaders.native_loader import H5WindowedLoader
+
+    n = 20000
+    t = np.sort(rng.uniform(0, 1, n))
+    with h5py.File(str(tmp_path / "e.h5"), "w") as f:
+        g = f.create_group("events")
+        g.create_dataset("xs", data=rng.integers(0, 64, n).astype(np.int16))
+        g.create_dataset("ys", data=rng.integers(0, 48, n).astype(np.int16))
+        g.create_dataset("ts", data=t)
+        g.create_dataset("ps", data=rng.integers(0, 2, n).astype(bool))
+    ld = H5WindowedLoader(str(tmp_path / "e.h5"), method="k_events", k=1000,
+                          batch_size=2, capacity=1024)
+    it = iter(ld)
+    next(it)
+    ld._h5.close()  # kill the file under the reader
+    with pytest.raises(Exception):
+        for _ in it:
+            pass
