@@ -175,7 +175,16 @@ def main():
 
     # best across runs/kernels (the shared device tunnel adds run-to-run
     # noise; max is the right statistic for intrinsic throughput under
-    # external slowdowns — every run executes the identical program)
+    # external slowdowns — every run executes the identical program).
+    # Guard against INFLATED outliers: the harness subtracts a separately
+    # timed data-generation loop, and a tunnel hiccup during that base
+    # measurement can make one run read absurdly fast (observed 2600 Mev/s
+    # once); cap accepted runs at 2x the median before taking the max.
+    def robust_best(runs):
+        med = float(np.median(runs))
+        plausible = [r for r in runs if r <= 2.0 * med]
+        return max(plausible) if plausible else med
+
     results = {}
     for prec in ("hilo", "int8"):
         # time-derived seed base: the axon runtime caches executions on
@@ -187,10 +196,10 @@ def main():
                                             precision=prec),
             N, (H, W), iters=ITERS, seed=base + s * 31)
             for s in range(VOXEL_RUNS)]
-        log(f"pallas voxel_matmul ({prec}): best {max(results[prec]):.0f} "
+        log(f"pallas voxel_matmul ({prec}): best {robust_best(results[prec]):.0f} "
             f"Mev/s (runs: {[round(r) for r in results[prec]]})")
-    best_prec = max(results, key=lambda k: max(results[k]))
-    mevs = max(results[best_prec])
+    best_prec = max(results, key=lambda k: robust_best(results[k]))
+    mevs = robust_best(results[best_prec])
     log(f"headline: {best_prec} at {mevs:.0f} Mev/s")
 
     # ---- north star 2: grid_cmax ------------------------------------------
