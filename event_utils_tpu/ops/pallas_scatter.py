@@ -53,6 +53,44 @@ def _resolve_interpret(interpret):
     return jax.default_backend() == "cpu"
 
 
+# Scoped VMEM budget for kernel working sets. The hardware limit is 16 MB
+# but Mosaic's own scratch and double-buffering allocations come on top of
+# the model's — 8 MB is the empirically safe planning budget (a 12 MB plan
+# still produced compile-time OOM at 480x640).
+_VMEM_BUDGET = 8 * 1024 * 1024
+
+
+def _fit_chunk(requested: int, out_bytes: int, per_event_bytes: float,
+               minimum: int = 512):
+    """Largest power-of-two chunk <= requested whose working set fits the
+    VMEM budget; None if even ``minimum`` cannot fit (caller falls back).
+
+    ``per_event_bytes``: bytes of chunk-proportional VMEM (one-hot factor
+    matrices + temporaries) per event of chunk.
+    """
+    budget = _VMEM_BUDGET - out_bytes
+    if budget <= 0:
+        return None
+    minimum = min(minimum, requested)  # honour explicitly small chunks
+    chunk = requested
+    while chunk >= minimum:
+        if chunk * per_event_bytes <= budget:
+            return chunk
+        chunk //= 2
+    return None
+
+
+def _too_big_warning(kernel: str, shape, fallback: str):
+    import warnings
+
+    warnings.warn(
+        f"{kernel}: sensor {tuple(shape)} exceeds the VMEM working-set "
+        f"budget for the one-hot matmul formulation (its cost also grows "
+        f"with pixel count, so the MXU path loses its advantage on large "
+        f"sensors); falling back to {fallback}. Pass impl=None to silence.",
+        stacklevel=3)
+
+
 # ---------------------------------------------------------------------------
 # Voxel grid: (B, H, W) accumulation of time-sorted events
 # ---------------------------------------------------------------------------
@@ -154,6 +192,17 @@ def _voxel_kernel(scalars_ref, x_ref, y_ref, t_ref, p_ref, out_ref,
         jax.lax.fori_loop(blo + 1, jnp.minimum(blast, B - 1) + 2, body, 0)
 
 
+def voxel_matmul_max_chunk(B: int, sensor_size, requested: int = DEFAULT_CHUNK):
+    """Largest chunk for which the voxel kernel's working set fits VMEM;
+    None when the sensor is too large for the formulation at any chunk."""
+    H, W = sensor_size
+    HP = _round_up(H, 8)
+    WP = _round_up(W, 128)
+    out_bytes = (B + 2) * HP * W * 4
+    per_event = 2 * WP + 6 * HP  # Bx one-hot + live row factors (bf16)
+    return _fit_chunk(requested, out_bytes, per_event)
+
+
 @functools.partial(jax.jit, static_argnames=("B", "sensor_size", "chunk",
                                              "precision", "interpret"))
 def voxel_matmul(xs, ys, ts, ps, B: int, sensor_size=(180, 240),
@@ -172,6 +221,12 @@ def voxel_matmul(xs, ys, ts, ps, B: int, sensor_size=(180, 240),
     H, W = sensor_size
     HP = _round_up(H, 8)
     WP = _round_up(W, 128)
+    chunk = voxel_matmul_max_chunk(B, sensor_size, chunk)
+    if chunk is None:
+        raise ValueError(
+            f"voxel_matmul: sensor {sensor_size} x {B} bins exceeds the VMEM "
+            "working-set budget; use events_to_voxel (which falls back to "
+            "the exact scatter for oversized sensors)")
     xs = jnp.asarray(xs).astype(jnp.int32)
     ys = jnp.asarray(ys).astype(jnp.int32)
     ts = jnp.asarray(ts, jnp.float32)
@@ -437,10 +492,22 @@ def bilinear_matmul(x, y, w, shape: Tuple[int, int],
     w = jnp.asarray(w, jnp.float32)
     single = w.ndim == 1
     w2 = w[None, :] if single else w
+    K = w2.shape[0]
     if mask is not None:
         w2 = w2 * jnp.asarray(mask, jnp.float32)[None, :]
+    HP = _round_up(H, 8)
+    WP = _round_up(W, 128)
+    # VMEM-aware chunk; oversized sensors fall back to the exact scatter
+    # (the one-hot formulation's cost grows with pixel count anyway)
+    fitted = _fit_chunk(chunk, K * HP * W * 4, 4 * WP + 8 * HP)
+    if fitted is None:
+        from .scatter import bilinear_scatter
+        _too_big_warning("bilinear_matmul", shape, "exact XLA scatter")
+        out = jnp.stack([bilinear_scatter(x, y, w2[k], shape)
+                         for k in range(K)])
+        return out[0] if single else out
     out = _bilinear_core(x, y, w2,
-                         (H, W, w2.shape[0], chunk, precision,
+                         (H, W, K, fitted, precision,
                           _resolve_interpret(interpret)))
     return out[0] if single else out
 

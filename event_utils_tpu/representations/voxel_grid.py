@@ -57,11 +57,20 @@ def events_to_voxel(xs, ys, ts, ps, B: int, sensor_size=(180, 240),
             and temporal_bilinear and spatial_interpolation is None:
         # Pallas MXU kernel (ops/pallas_scatter.py): requires time-sorted
         # events (true for every reader/loader in this framework).
-        from ..ops.pallas_scatter import voxel_matmul
-        precision = {"matmul": "hilo", "matmul_hilo": "hilo",
-                     "matmul_bf16": "bf16", "matmul_int8": "int8"}[impl]
-        return voxel_matmul(xs, ys, ts, ps, B, sensor_size=sensor_size,
-                            mask=mask, t0=t0, t1=t1, precision=precision)
+        from ..ops.pallas_scatter import voxel_matmul, voxel_matmul_max_chunk
+        if voxel_matmul_max_chunk(B, sensor_size) is not None:
+            precision = {"matmul": "hilo", "matmul_hilo": "hilo",
+                         "matmul_bf16": "bf16", "matmul_int8": "int8"}[impl]
+            return voxel_matmul(xs, ys, ts, ps, B, sensor_size=sensor_size,
+                                mask=mask, t0=t0, t1=t1, precision=precision)
+        # sensor too large for the one-hot formulation's VMEM working set
+        # (its cost grows with pixel count anyway): exact scatter below
+        import warnings
+        warnings.warn(
+            f"events_to_voxel: sensor {tuple(sensor_size)} x {B} bins "
+            "exceeds the MXU kernel's VMEM budget; using the exact XLA "
+            "scatter. Pass impl=None to silence.", stacklevel=2)
+        impl = None
     if impl == "matmul_int8":
         # int8 exists only for the temporal-bilinear Pallas kernel above;
         # every other route maps it to the hilo path (same tolerance class)

@@ -164,3 +164,30 @@ def test_bilinear_matmul_mask(rng):
                           interpret=True)
     rel = float(jnp.max(jnp.abs(got - exact)) / jnp.max(jnp.abs(exact)))
     assert rel < 1e-4, rel
+
+
+def test_large_sensor_vmem_fallback(rng):
+    """Oversized sensors must degrade to the exact scatter with a warning,
+    never a Mosaic compile OOM; mid-size sensors auto-shrink the chunk."""
+    import warnings
+
+    from event_utils_tpu.ops.pallas_scatter import voxel_matmul_max_chunk
+    from event_utils_tpu.representations.voxel_grid import events_to_voxel
+
+    assert voxel_matmul_max_chunk(5, (180, 240)) == 4096
+    assert voxel_matmul_max_chunk(5, (260, 346)) is not None  # DAVIS346
+    assert voxel_matmul_max_chunk(5, (480, 640)) is None
+    assert voxel_matmul_max_chunk(5, (720, 1280)) is None
+
+    n = 2000
+    xs = rng.integers(0, 640, n)
+    ys = rng.integers(0, 480, n)
+    ts = np.sort(rng.uniform(0, 1, n))
+    ps = rng.choice([-1.0, 1.0], n)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got = events_to_voxel(xs, ys, ts, ps, 5, sensor_size=(480, 640),
+                              impl="matmul")
+        assert any("VMEM" in str(x.message) for x in w)
+    exact = events_to_voxel(xs, ys, ts, ps, 5, sensor_size=(480, 640))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(exact))
