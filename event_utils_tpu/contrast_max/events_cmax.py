@@ -670,26 +670,56 @@ def bucket_events_by_roi(xs, ys, ts, ps, resolution, roi_size,
             capacity = min(capacity, capacity_cap)
     starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
 
-    # per-ROI source indices (subsampled when over capacity)
-    sel_idx = []
-    for r in range(R):
-        src = order[starts[r]:starts[r] + counts[r]]
-        if len(src) > capacity:
-            keep = np.sort(rng.choice(len(src), size=capacity, replace=False))
-            src = src[keep]
-        sel_idx.append(src)
+    if counts.max(initial=0) <= capacity:
+        # no bucket overflows: native counting-sort fill (one O(n) pass,
+        # ~100 Mev/s) with a vectorized numpy fallback; the per-bucket
+        # Python loop below costs ~2 Mev/s at millions of events
+        from .. import native
+        packed = native.bucket_fill(xs, ys, ts, ps, (rh, rw), (ny, nx),
+                                    capacity) if native.available() else None
+        if packed is not None:
+            bx, by, bt, bp, bmask, _ = packed
+            oy, ox = np.divmod(np.arange(R), nx)
+            roi_origins = np.stack([oy * rh, ox * rw], axis=-1)
+            return (jnp.asarray(bx), jnp.asarray(by), jnp.asarray(bt),
+                    jnp.asarray(bp), jnp.asarray(bmask),
+                    jnp.asarray(roi_origins), 0)
+        rid_sorted = rid[order]
+        pos = np.arange(len(order)) - starts[rid_sorted]
+        flat = rid_sorted.astype(np.int64) * capacity + pos
 
-    def pack(arr):
-        out = np.zeros((R, capacity), dtype=np.float32)
+        def pack(arr):
+            out = np.zeros(R * capacity, dtype=np.float32)
+            out[flat] = arr[order]
+            return out.reshape(R, capacity)
+
+        bx, by = pack(xs), pack(ys)
+        bt, bp = pack(ts), pack(ps)
+        bmask = np.zeros(R * capacity, np.float32)
+        bmask[flat] = 1.0
+        bmask = bmask.reshape(R, capacity)
+    else:
+        # per-ROI source indices (subsampled when over capacity)
+        sel_idx = []
+        for r in range(R):
+            src = order[starts[r]:starts[r] + counts[r]]
+            if len(src) > capacity:
+                keep = np.sort(rng.choice(len(src), size=capacity,
+                                          replace=False))
+                src = src[keep]
+            sel_idx.append(src)
+
+        def pack(arr):
+            out = np.zeros((R, capacity), dtype=np.float32)
+            for r, src in enumerate(sel_idx):
+                out[r, :len(src)] = arr[src]
+            return out
+
+        bx, by = pack(xs), pack(ys)
+        bt, bp = pack(ts), pack(ps)
+        bmask = np.zeros((R, capacity), np.float32)
         for r, src in enumerate(sel_idx):
-            out[r, :len(src)] = arr[src]
-        return out
-
-    bx, by = pack(xs), pack(ys)
-    bt, bp = pack(ts), pack(ps)
-    bmask = np.zeros((R, capacity), np.float32)
-    for r, src in enumerate(sel_idx):
-        bmask[r, :len(src)] = 1.0
+            bmask[r, :len(src)] = 1.0
     oy, ox = np.divmod(np.arange(R), nx)
     roi_origins = np.stack([oy * rh, ox * rw], axis=-1)
     overflow = int(np.maximum(counts - capacity, 0).sum())

@@ -59,6 +59,7 @@ def _load(path):
     lib.evio_t_second_windows.restype = ctypes.c_long
     lib.evio_fill_padded_batches.restype = ctypes.c_long
     lib.evio_fill_padded_batches_components.restype = ctypes.c_long
+    lib.evio_bucket_fill.restype = ctypes.c_long
     return lib
 
 
@@ -260,3 +261,43 @@ def fill_padded_batches_components(t, xs, ys, p, windows: np.ndarray,
         _ptr(events, ctypes.c_float), _ptr(mask, ctypes.c_float),
         ctypes.c_int(nthreads))
     return events, mask, int(truncated)
+
+
+_bucket_pool: dict = {}
+
+
+def bucket_fill(xs, ys, ts, ps, roi_size, grid_shape, capacity: int):
+    """Counting-sort bucket fill: (R, capacity) padded per-bucket event
+    arrays + masks in one O(n) native pass (time order preserved per
+    bucket; over-capacity events truncated). Returns
+    ``(bx, by, bt, bp, bmask, truncated)`` or None when the native library
+    is unavailable (callers use their numpy path)."""
+    lib = _get_lib()
+    if lib is None:
+        return None
+    rh, rw = roi_size
+    ny, nx = grid_shape
+    R = ny * nx
+    xs = np.ascontiguousarray(xs, np.float64)
+    ys = np.ascontiguousarray(ys, np.float64)
+    ts = np.ascontiguousarray(ts, np.float64)
+    ps = np.ascontiguousarray(ps, np.float64)
+    # rotating pre-faulted output buffers (fresh np.empty pays first-touch
+    # page faults ~10x the fill itself); callers consume the result before
+    # the second-next call (jnp.asarray copies on device transfer)
+    key = (R, capacity)
+    pool = _bucket_pool.setdefault(key, [])
+    if len(pool) < 2:
+        pool.append(tuple(np.zeros((R, capacity), np.float32)
+                          for _ in range(5)))
+    _bucket_pool["idx"] = (_bucket_pool.get("idx", 0) + 1) % 2
+    bx, by, bt, bp, bmask = pool[_bucket_pool["idx"] % len(pool)]
+    truncated = lib.evio_bucket_fill(
+        _ptr(xs, ctypes.c_double), _ptr(ys, ctypes.c_double),
+        _ptr(ts, ctypes.c_double), _ptr(ps, ctypes.c_double),
+        ctypes.c_long(len(xs)), ctypes.c_int(rh), ctypes.c_int(rw),
+        ctypes.c_int(ny), ctypes.c_int(nx), ctypes.c_long(capacity),
+        _ptr(bx, ctypes.c_float), _ptr(by, ctypes.c_float),
+        _ptr(bt, ctypes.c_float), _ptr(bp, ctypes.c_float),
+        _ptr(bmask, ctypes.c_float))
+    return bx, by, bt, bp, bmask, int(truncated)

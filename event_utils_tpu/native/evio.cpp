@@ -307,4 +307,46 @@ void evio_roi_ids(const int32_t* xs, const int32_t* ys, long n, int rh,
     }
 }
 
+// Counting-sort bucket fill: scatter events into fixed-capacity padded
+// per-bucket arrays in ONE O(n) pass (no comparison sort), preserving the
+// input (time) order within each bucket. Events beyond a bucket's capacity
+// are dropped (truncation count returned); callers that need uniform
+// subsampling instead size capacity >= max count or use the numpy path.
+// Outputs are (R, capacity) float32, zero-padded, plus the validity mask.
+long evio_bucket_fill(const double* xs, const double* ys, const double* ts,
+                      const double* ps, long n, int rh, int rw, int ny,
+                      int nx, long capacity, float* bx, float* by, float* bt,
+                      float* bp, float* bmask) {
+    const long R = (long)ny * nx;
+    std::vector<long> fill((size_t)R, 0);
+    std::memset(bx, 0, sizeof(float) * (size_t)(R * capacity));
+    std::memset(by, 0, sizeof(float) * (size_t)(R * capacity));
+    std::memset(bt, 0, sizeof(float) * (size_t)(R * capacity));
+    std::memset(bp, 0, sizeof(float) * (size_t)(R * capacity));
+    std::memset(bmask, 0, sizeof(float) * (size_t)(R * capacity));
+    long truncated = 0;
+    for (long i = 0; i < n; ++i) {
+        int iy = (int)(ys[i]) / rh;
+        int ix = (int)(xs[i]) / rw;
+        if (iy >= ny) iy = ny - 1;
+        if (ix >= nx) ix = nx - 1;
+        if (iy < 0) iy = 0;
+        if (ix < 0) ix = 0;
+        const long r = (long)iy * nx + ix;
+        const long pos = fill[(size_t)r];
+        if (pos >= capacity) {
+            ++truncated;
+            continue;
+        }
+        const long o = r * capacity + pos;
+        bx[o] = (float)xs[i];
+        by[o] = (float)ys[i];
+        bt[o] = (float)ts[i];
+        bp[o] = (float)ps[i];
+        bmask[o] = 1.0f;
+        fill[(size_t)r] = pos + 1;
+    }
+    return truncated;
+}
+
 }  // extern "C"

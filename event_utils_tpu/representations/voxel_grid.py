@@ -149,6 +149,54 @@ def events_to_voxel(xs, ys, ts, ps, B: int, sensor_size=(180, 240),
     return flat.reshape(B, H, W)
 
 
+def events_to_voxel_tiled(xs, ys, ts, ps, B: int, sensor_size,
+                          tile=(256, 256), impl: str = "matmul",
+                          capacity=None):
+    """Voxel grid for LARGE sensors via spatial tiling.
+
+    The one-hot-matmul kernel's cost grows with pixel count, so beyond
+    ~DAVIS346 it loses to the exact scatter (see ``voxel_matmul_max_chunk``).
+    This builder restores MXU rates for any sensor size: events are bucketed
+    by sensor tile on the host (one counting-sort pass, preserving time
+    order within each tile), the Pallas kernel runs vmapped over tiles with
+    tile-local coordinates, and the tiles are stitched back.
+
+    Host bucketing breaks jit-ability — this is an ingest-path builder (like
+    the loaders), not a loss-path one. Returns ``(B, H, W)``.
+    """
+    from ..contrast_max.events_cmax import bucket_events_by_roi
+    from ..ops.pallas_scatter import voxel_matmul_max_chunk
+
+    H, W = sensor_size
+    th, tw = tile
+    if voxel_matmul_max_chunk(B, tile) is None:
+        raise ValueError(f"tile {tile} itself exceeds the VMEM budget; "
+                         "use a smaller tile")
+    ny = (H + th - 1) // th
+    nx = (W + tw - 1) // tw
+    ts = np.asarray(ts, np.float64)
+    t0 = float(ts[0]) if len(ts) else 0.0
+    t1 = float(ts[-1]) if len(ts) else 1.0
+    bx, by, bt, bp, bmask, origins, _ = bucket_events_by_roi(
+        xs, ys, ts, ps, (ny * th, nx * tw), tile, capacity=capacity,
+        capacity_cap=None)
+    ox = jnp.asarray(origins[:, 1], jnp.float32)
+    oy = jnp.asarray(origins[:, 0], jnp.float32)
+
+    # Python loop over tiles (the tile count is small): the Pallas kernel's
+    # accumulator initialization is gated on program_id(0), so vmapping it
+    # (which prepends a grid dimension) must be avoided.
+    tiles = [events_to_voxel(bx[i] - ox[i], by[i] - oy[i], bt[i], bp[i], B,
+                             sensor_size=tile, mask=bmask[i],
+                             t0=jnp.float32(t0), t1=jnp.float32(t1),
+                             impl=impl)
+             for i in range(bx.shape[0])]
+    tiles = jnp.stack(tiles)
+    # stitch (ny*nx, B, th, tw) -> (B, ny*th, nx*tw) -> crop to (B, H, W)
+    grid = tiles.reshape(ny, nx, B, th, tw).transpose(2, 0, 3, 1, 4)
+    return grid.reshape(B, ny * th, nx * tw)[:, :H, :W]
+
+
 # Signature-compatible alias for the reference's torch entry point
 # (voxel_grid.py:114: events_to_voxel_torch(xs, ys, ts, ps, B, device, ...)).
 def events_to_voxel_torch(xs, ys, ts, ps, B, device=None,

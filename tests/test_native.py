@@ -239,3 +239,29 @@ def test_h5_prefetch_reader_errors_propagate(tmp_path, rng):
     with pytest.raises(Exception):
         for _ in it:
             pass
+
+
+def test_native_bucket_fill_matches_numpy(rng):
+    """Native counting-sort bucket fill == the numpy vectorized pack."""
+    import event_utils_tpu.native as nat
+    from event_utils_tpu.contrast_max.events_cmax import bucket_events_by_roi
+
+    assert nat.build()
+    n = 30000
+    H, W = 96, 128
+    xs = rng.uniform(0, W - 1, n)
+    ys = rng.uniform(0, H - 1, n)
+    ts = np.sort(rng.uniform(0, 1, n))
+    ps = rng.choice([-1.0, 1.0], n)
+    got = bucket_events_by_roi(xs, ys, ts, ps, (H, W), (32, 32),
+                               capacity_cap=None)
+    lib, failed = nat._lib, nat._load_failed
+    nat._lib, nat._load_failed = None, True
+    try:
+        ref = bucket_events_by_roi(xs, ys, ts, ps, (H, W), (32, 32),
+                                   capacity_cap=None)
+    finally:
+        nat._lib, nat._load_failed = lib, failed
+    for a, b, name in zip(got[:6], ref[:6], "xytpmo"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4,
+                                   err_msg=name)

@@ -194,3 +194,28 @@ def test_timestamp_image_matmul_impl(rng):
                                atol=2e-4)
     np.testing.assert_allclose(np.asarray(got_n), np.asarray(ref_n),
                                atol=2e-4)
+
+
+def test_events_to_voxel_tiled_matches_exact(rng):
+    """Spatial-tiling builder for large sensors == full-frame voxel."""
+    from event_utils_tpu.representations.voxel_grid import (
+        events_to_voxel, events_to_voxel_tiled)
+
+    n = 20000
+    H, W = 480, 640
+    xs = rng.uniform(0, W - 1, n)
+    ys = rng.uniform(0, H - 1, n)
+    ts = np.sort(rng.uniform(0, 0.5, n))
+    ps = rng.choice([-1.0, 1.0], n)
+    exact = np.asarray(events_to_voxel(xs, ys, ts, ps, 5, sensor_size=(H, W)))
+    tiled = np.asarray(events_to_voxel_tiled(xs, ys, ts, ps, 5, (H, W),
+                                             tile=(128, 128), impl=None))
+    np.testing.assert_allclose(tiled, exact, atol=1e-5)
+    # the matmul impl (interpret on CPU) stays within kernel tolerance
+    tiled_mm = np.asarray(events_to_voxel_tiled(xs, ys, ts, ps, 5, (H, W),
+                                                tile=(128, 128)))
+    rel = np.abs(tiled_mm - exact).max() / np.abs(exact).max()
+    assert rel < 1e-4, rel
+    # a tile too large for VMEM is rejected up front
+    with pytest.raises(ValueError, match="tile"):
+        events_to_voxel_tiled(xs, ys, ts, ps, 5, (H, W), tile=(480, 640))
