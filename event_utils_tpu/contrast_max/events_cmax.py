@@ -226,15 +226,17 @@ def optimize_contrast_jit(xs, ys, ts, ps, warpfunc, objective,
     ps = jnp.asarray(ps, jnp.float32)
     if x0 is None:
         if grid_search_init:
-            # For collapse-prone objectives (zhu's timestamp images and
-            # isoa's count go to their global optimum when every event is
-            # swept off the sensor), cap the init search at velocities that
-            # would evacuate the frame within the window. Mass-preserving
-            # objectives keep the reference's full +-150 range — the cap
-            # would wrongly exclude legitimate fast motions for them.
+            # For collapse-prone objectives (zhu's timestamp images,
+            # isoa's count and sosa's -sum(exp(-p*IWE)) all reach their
+            # global optimum when every event is swept off the sensor), cap
+            # the init search at velocities that would evacuate the frame
+            # within the window. Mass-preserving objectives keep the
+            # reference's full +-150 range — the cap would wrongly exclude
+            # legitimate fast motions for them.
             init_range = 150.0
             if (isinstance(warpfunc, linvel_warp)
-                    and getattr(objective, "name", "") in ("zhu", "isoa")):
+                    and getattr(objective, "name", "")
+                    in ("zhu", "isoa", "sosa")):
                 dt = ts[-1] - ts[0] if mask is None else (
                     jnp.max(jnp.where(mask != 0, ts, -jnp.inf))
                     - jnp.min(jnp.where(mask != 0, ts, jnp.inf)))
@@ -659,8 +661,8 @@ def bucket_events_by_roi(xs, ys, ts, ps, resolution, roi_size,
     R = ny * nx
     rng = np.random.default_rng(0) if rng is None else rng
     xs, ys, ts, ps = map(np.asarray, (xs, ys, ts, ps))
-    rid = (np.minimum(ys.astype(np.int64) // rh, ny - 1) * nx
-           + np.minimum(xs.astype(np.int64) // rw, nx - 1))
+    rid = (np.clip(ys.astype(np.int64) // rh, 0, ny - 1) * nx
+           + np.clip(xs.astype(np.int64) // rw, 0, nx - 1))
     order = np.argsort(rid, kind="stable")
     counts = np.bincount(rid[order], minlength=R)
     if capacity is None:

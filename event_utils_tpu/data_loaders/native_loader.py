@@ -22,28 +22,7 @@ from ..data_formats.read_events import read_memmap_events
 # prefetch queue (2) + one being consumed + one being written.
 _POOL_DEPTH = 4
 
-
-class _RotatingPool:
-    """Pre-faulted buffer sets reused round-robin (fresh allocations pay
-    first-touch page faults on every batch — measured ~25x the fill cost).
-
-    Contract: a buffer handed out stays valid until ``depth - 1`` further
-    ``get`` calls with the same key; consumers that retain more batches must
-    copy (device_put already copies)."""
-
-    def __init__(self, depth: int = _POOL_DEPTH):
-        self.depth = depth
-        self._pools: dict = {}
-        self._idx: dict = {}
-
-    def get(self, key, make):
-        pool = self._pools.setdefault(key, [])
-        if len(pool) < self.depth:
-            pool.append(make())
-            self._idx[key] = len(pool) - 1
-            return pool[-1]
-        self._idx[key] = (self._idx[key] + 1) % self.depth
-        return pool[self._idx[key]]
+_RotatingPool = native.RotatingPool
 
 
 def _out_buffers(pool: _RotatingPool, B: int, capacity: int):

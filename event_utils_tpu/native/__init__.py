@@ -263,7 +263,30 @@ def fill_padded_batches_components(t, xs, ys, p, windows: np.ndarray,
     return events, mask, int(truncated)
 
 
-_bucket_pool: dict = {}
+class RotatingPool:
+    """Pre-faulted buffer sets reused round-robin (fresh allocations pay
+    first-touch page faults on every call).
+
+    Contract: a buffer handed out stays valid until ``depth - 1`` further
+    ``get`` calls with the same key; consumers that retain results longer
+    must copy (jnp device transfers already do)."""
+
+    def __init__(self, depth: int = 4):
+        self.depth = depth
+        self._pools: dict = {}
+        self._idx: dict = {}
+
+    def get(self, key, make):
+        pool = self._pools.setdefault(key, [])
+        if len(pool) < self.depth:
+            pool.append(make())
+            self._idx[key] = len(pool) - 1
+            return pool[-1]
+        self._idx[key] = (self._idx[key] + 1) % self.depth
+        return pool[self._idx[key]]
+
+
+_bucket_pool = RotatingPool(depth=2)
 
 
 def bucket_fill(xs, ys, ts, ps, roi_size, grid_shape, capacity: int):
@@ -283,15 +306,11 @@ def bucket_fill(xs, ys, ts, ps, roi_size, grid_shape, capacity: int):
     ts = np.ascontiguousarray(ts, np.float64)
     ps = np.ascontiguousarray(ps, np.float64)
     # rotating pre-faulted output buffers (fresh np.empty pays first-touch
-    # page faults ~10x the fill itself); callers consume the result before
-    # the second-next call (jnp.asarray copies on device transfer)
-    key = (R, capacity)
-    pool = _bucket_pool.setdefault(key, [])
-    if len(pool) < 2:
-        pool.append(tuple(np.zeros((R, capacity), np.float32)
-                          for _ in range(5)))
-    _bucket_pool["idx"] = (_bucket_pool.get("idx", 0) + 1) % 2
-    bx, by, bt, bp, bmask = pool[_bucket_pool["idx"] % len(pool)]
+    # page faults ~10x the fill itself); per-key rotation guarantees a
+    # result stays valid until the next bucket_fill with the same key
+    bx, by, bt, bp, bmask = _bucket_pool.get(
+        (R, capacity),
+        lambda: tuple(np.zeros((R, capacity), np.float32) for _ in range(5)))
     truncated = lib.evio_bucket_fill(
         _ptr(xs, ctypes.c_double), _ptr(ys, ctypes.c_double),
         _ptr(ts, ctypes.c_double), _ptr(ps, ctypes.c_double),

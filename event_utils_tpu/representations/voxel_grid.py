@@ -158,7 +158,7 @@ def events_to_voxel_tiled(xs, ys, ts, ps, B: int, sensor_size,
     ~DAVIS346 it loses to the exact scatter (see ``voxel_matmul_max_chunk``).
     This builder restores MXU rates for any sensor size: events are bucketed
     by sensor tile on the host (one counting-sort pass, preserving time
-    order within each tile), the Pallas kernel runs vmapped over tiles with
+    order within each tile), the Pallas kernel runs per tile with
     tile-local coordinates, and the tiles are stitched back.
 
     Host bucketing breaks jit-ability — this is an ingest-path builder (like
@@ -177,9 +177,17 @@ def events_to_voxel_tiled(xs, ys, ts, ps, B: int, sensor_size,
     ts = np.asarray(ts, np.float64)
     t0 = float(ts[0]) if len(ts) else 0.0
     t1 = float(ts[-1]) if len(ts) else 1.0
-    bx, by, bt, bp, bmask, origins, _ = bucket_events_by_roi(
+    bx, by, bt, bp, bmask, origins, overflow = bucket_events_by_roi(
         xs, ys, ts, ps, (ny * th, nx * tw), tile, capacity=capacity,
         capacity_cap=None)
+    if overflow:
+        # an accumulating representation must never subsample mass (the
+        # overflow path uniform-subsamples, which is only valid for
+        # contrast objectives)
+        raise ValueError(
+            f"events_to_voxel_tiled: capacity={capacity} drops {overflow} "
+            "events in the densest tile; pass capacity=None (auto) or a "
+            "larger value")
     ox = jnp.asarray(origins[:, 1], jnp.float32)
     oy = jnp.asarray(origins[:, 0], jnp.float32)
 

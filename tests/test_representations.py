@@ -219,3 +219,24 @@ def test_events_to_voxel_tiled_matches_exact(rng):
     # a tile too large for VMEM is rejected up front
     with pytest.raises(ValueError, match="tile"):
         events_to_voxel_tiled(xs, ys, ts, ps, 5, (H, W), tile=(480, 640))
+
+
+def test_events_to_voxel_tiled_negative_coords_and_capacity_guard(rng):
+    """Negative coords are dropped (like events_to_voxel), and an explicit
+    capacity that would subsample mass raises instead of under-counting."""
+    from event_utils_tpu.representations.voxel_grid import (
+        events_to_voxel, events_to_voxel_tiled)
+
+    n = 5000
+    H, W = 480, 640
+    xs = rng.uniform(-20, W - 1, n)
+    ys = rng.uniform(-20, H - 1, n)
+    ts = np.sort(rng.uniform(0, 0.5, n))
+    ps = rng.choice([-1.0, 1.0], n)
+    exact = np.asarray(events_to_voxel(xs, ys, ts, ps, 3, sensor_size=(H, W)))
+    tiled = np.asarray(events_to_voxel_tiled(xs, ys, ts, ps, 3, (H, W),
+                                             tile=(128, 128), impl=None))
+    np.testing.assert_allclose(tiled, exact, atol=1e-5)
+    with pytest.raises(ValueError, match="capacity"):
+        events_to_voxel_tiled(xs, ys, ts, ps, 3, (H, W), tile=(128, 128),
+                              impl=None, capacity=8)
