@@ -137,8 +137,12 @@ def _voxel_kernel(scalars_ref, x_ref, y_ref, t_ref, p_ref, out_ref,
         if int8_mode:
             # Two-level int8 quantization of w in [-1, 1]:
             #   w ~= q1/127 + q2/(127*254),  |error| <= 1/(2*127*254) ~ 1.6e-5
-            # Polarity (exact +-1) folds into q1 as +-127; int8 matmuls run
-            # at 2x the bf16 MXU rate.
+            # Polarity (exact +-1) folds into q1 as +-127. NB: the MXU's 2x
+            # int8 rate is real (192 vs 116 TFLOP/s isolated) but is NOT
+            # realized here: the f32-select -> i8 pack of each row factor
+            # dominates, netting only ~1.1x over hilo end-to-end, and Mosaic
+            # rejects both i8-vector selects (i1-mask relayout) and i8
+            # elementwise arith that would avoid the pack (measured r2).
             w127 = w * 127.0
             q1 = jnp.round(w127)
             o1 = _dot(rowfac(q1), Bx, jnp.int32)
