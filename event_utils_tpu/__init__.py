@@ -27,6 +27,7 @@ map onto XLA's static shapes (bucketed padding instead of ragged arrays).
 
 __version__ = "0.1.0"
 
+from . import errors  # noqa: F401
 from . import ops, utils, representations, models, contrast_max  # noqa: F401
 from . import transforms, augmentation, data_formats, data_loaders  # noqa: F401
 from . import parallel, visualization, native, training  # noqa: F401

@@ -20,6 +20,7 @@ import os
 from typing import Optional
 
 import numpy as np
+from ..errors import DataFormatError, DataNotFoundError
 
 
 def compute_indices(event_stamps, frame_stamps):
@@ -133,9 +134,10 @@ def read_memmap_events(memmap_path, skip_frames: int = 1,
             data["p"] = handle[:].squeeze() if return_events else handle
 
     if "t" not in data:
-        raise FileNotFoundError(f"No event data found in {memmap_path}")
+        raise DataNotFoundError(f"No event data found in {memmap_path}")
     if not (len(data["p"]) == len(data["xy"]) == len(data["t"])):
-        raise ValueError(f"Inconsistent event component lengths in {memmap_path}")
+        raise DataFormatError(
+            f"Inconsistent event component lengths in {memmap_path}")
     data["path"] = memmap_path
     data["num_events"] = len(data["p"])
     if "index" not in data and "frame_stamps" in data:

@@ -31,6 +31,7 @@ import numpy as np
 from ..representations.voxel_grid import (events_to_neg_pos_voxel,
                                           events_to_voxel)
 from .data_augmentation import Compose, build_transform
+from ..errors import ConfigurationError, DatasetInitError
 
 
 class BaseVoxelDataset:
@@ -100,7 +101,7 @@ class BaseVoxelDataset:
                                "frame_ts", "num_frames")
                    if getattr(self, n) is None]
         if missing or self.has_flow is None:
-            raise RuntimeError(
+            raise DatasetInitError(
                 f"Dataset failed to initialize members: {missing}")
 
         self.sensor_resolution = tuple(int(v) for v in self.sensor_resolution[:2])
@@ -199,11 +200,12 @@ class BaseVoxelDataset:
             self.length = self.num_frames - 1
             self.event_indices = self.compute_between_frame_indices()
         else:
-            raise ValueError(f"Invalid voxel method {voxel_method}")
+            raise ConfigurationError(
+                f"Invalid voxel method {voxel_method}")
         if self.has_frames:
             self.frame_indices = self.compute_per_frame_indices()
         if self.length == 0:
-            raise ValueError(
+            raise ConfigurationError(
                 "Voxel generation parameters give a zero-length sequence")
 
     def __len__(self):

@@ -11,6 +11,7 @@ import numbers
 from typing import Optional, Sequence
 
 import numpy as np
+from ..errors import RegistryError
 
 
 class Compose:
@@ -121,4 +122,5 @@ def build_transform(name: str, **kwargs):
     try:
         return TRANSFORM_REGISTRY[name](**kwargs)
     except KeyError:
-        raise KeyError(f"Unknown transform {name!r}; have {sorted(TRANSFORM_REGISTRY)}")
+        raise RegistryError(
+            f"Unknown transform {name!r}; have {sorted(TRANSFORM_REGISTRY)}")

@@ -10,6 +10,7 @@ import bisect
 import csv
 import os
 from typing import Sequence
+from ..errors import ConfigurationError, DataNotFoundError
 
 data_sources = ("esim", "ijrr", "mvsec", "eccd", "hqfd", "unknown")
 
@@ -20,7 +21,8 @@ class ConcatDataset:
     def __init__(self, datasets: Sequence):
         self.datasets = list(datasets)
         if not self.datasets:
-            raise ValueError("ConcatDataset needs at least one dataset")
+            raise ConfigurationError(
+                "ConcatDataset needs at least one dataset")
         self.cumulative_sizes = []
         total = 0
         for d in self.datasets:
@@ -46,7 +48,7 @@ def _paths_from_file_or_dir(data_file):
     if os.path.isfile(data_file):
         with open(data_file) as f:
             return [row[0] for row in csv.reader(f) if row]
-    raise FileNotFoundError(
+    raise DataNotFoundError(
         f"{data_file} must be a list file or a base folder")
 
 

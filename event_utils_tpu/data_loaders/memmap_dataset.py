@@ -13,6 +13,7 @@ import os
 import numpy as np
 
 from .base_dataset import BaseVoxelDataset
+from ..errors import DataNotFoundError
 
 
 class MemMapDataset(BaseVoxelDataset):
@@ -69,7 +70,7 @@ class MemMapDataset(BaseVoxelDataset):
                 data["path"] = subroot
                 break
         if "t" not in data:
-            raise FileNotFoundError(f"No events under {data_path}")
+            raise DataNotFoundError(f"No events under {data_path}")
         assert len(data["p"]) == len(data["xy"]) == len(data["t"])
 
         self.t0 = float(data["t"][0])

@@ -17,6 +17,7 @@ import numpy as np
 
 from .. import native
 from ..data_formats.read_events import read_memmap_events
+from ..errors import ConfigurationError
 
 # Rotating-pool depth: must cover every buffer simultaneously alive —
 # prefetch queue (2) + one being consumed + one being written.
@@ -73,9 +74,9 @@ class NativeWindowedLoader:
             ts = np.asarray(self.t).reshape(-1)
             self.windows = native.t_second_windows(ts, t, sliding_window_t)
         else:
-            raise ValueError(f"Unknown window method {method!r}")
+            raise ConfigurationError(f"Unknown window method {method!r}")
         if len(self.windows) == 0:
-            raise ValueError("Window parameters produce no windows")
+            raise ConfigurationError("Window parameters produce no windows")
 
         if capacity is None:
             longest = int((self.windows[:, 1] - self.windows[:, 0]).max())
@@ -157,9 +158,9 @@ class H5WindowedLoader:
             self.windows = native.t_second_windows(ts_all, t,
                                                    sliding_window_t)
         else:
-            raise ValueError(f"Unknown window method {method!r}")
+            raise ConfigurationError(f"Unknown window method {method!r}")
         if len(self.windows) == 0:
-            raise ValueError("Window parameters produce no windows")
+            raise ConfigurationError("Window parameters produce no windows")
 
         if capacity is None:
             longest = int((self.windows[:, 1] - self.windows[:, 0]).max())

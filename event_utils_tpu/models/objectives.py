@@ -32,6 +32,7 @@ from ..representations.image import (events_to_image_drv,
                                      image_to_event_weights)
 from ..utils.event_util import events_bounds_mask
 from ..utils.event_util import cut_events_to_lifespan  # noqa: F401  (reference objectives.py:143 parity)
+from ..errors import RegistryError
 
 Array = jax.Array
 
@@ -481,4 +482,5 @@ def get_objective(name: str, **kwargs) -> objective_function:
     try:
         return OBJECTIVE_REGISTRY[name](**kwargs)
     except KeyError:
-        raise KeyError(f"Unknown objective {name!r}; have {sorted(OBJECTIVE_REGISTRY)}")
+        raise RegistryError(
+            f"Unknown objective {name!r}; have {sorted(OBJECTIVE_REGISTRY)}")

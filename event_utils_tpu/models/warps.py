@@ -19,6 +19,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+from ..errors import RegistryError
 
 Array = jax.Array
 
@@ -171,4 +172,5 @@ def get_warp(name: str) -> warp_function:
     try:
         return WARP_REGISTRY[name]()
     except KeyError:
-        raise KeyError(f"Unknown warp model {name!r}; have {sorted(WARP_REGISTRY)}")
+        raise RegistryError(
+            f"Unknown warp model {name!r}; have {sorted(WARP_REGISTRY)}")

@@ -19,6 +19,7 @@ import subprocess
 import threading
 
 import numpy as np
+from ..errors import DataFormatError
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "evio.cpp")
@@ -28,11 +29,13 @@ _lib = None
 _load_failed = False
 
 
-def build(force: bool = False) -> bool:
+def build(force: bool = False, check: bool = False) -> bool:
     """Compile (if needed) and load libevio. The ONLY entry point that runs
     the compiler — import and the accessor functions never shell out.
     Returns True when the native library is ready, False on failure (every
-    caller then uses the numpy fallbacks)."""
+    caller then uses the numpy fallbacks). With ``check=True`` a failure
+    raises :class:`~event_utils_tpu.errors.NativeBuildError` carrying the
+    compiler/loader output instead of returning False."""
     global _lib, _load_failed
     with _lock:
         if _lib is not None and not force:
@@ -47,8 +50,15 @@ def build(force: bool = False) -> bool:
             _lib = _load(_LIB_PATH)
             _load_failed = False
             return True
-        except Exception:
+        except Exception as exc:
             _load_failed = True
+            if check:
+                from ..errors import NativeBuildError
+                detail = ""
+                if isinstance(exc, subprocess.CalledProcessError):
+                    detail = f": {exc.stderr.decode(errors='replace')[-2000:]}"
+                raise NativeBuildError(
+                    f"libevio build/load failed ({exc!r}){detail}") from exc
             return False
 
 
@@ -164,7 +174,7 @@ def fill_padded_batches(t, xy, p, windows: np.ndarray, capacity: int,
         # C write; python -O must not strip the check
         if (events.shape != (B, capacity, 4) or events.dtype != np.float32
                 or mask.shape != (B, capacity) or mask.dtype != np.float32):
-            raise ValueError(
+            raise DataFormatError(
                 f"out buffers must be float32 ({B}, {capacity}, 4) and "
                 f"({B}, {capacity}); got {events.shape}/{events.dtype}, "
                 f"{mask.shape}/{mask.dtype}")
@@ -220,7 +230,7 @@ def fill_padded_batches_components(t, xs, ys, p, windows: np.ndarray,
         # C write; python -O must not strip the check
         if (events.shape != (B, capacity, 4) or events.dtype != np.float32
                 or mask.shape != (B, capacity) or mask.dtype != np.float32):
-            raise ValueError(
+            raise DataFormatError(
                 f"out buffers must be float32 ({B}, {capacity}, 4) and "
                 f"({B}, {capacity}); got {events.shape}/{events.dtype}, "
                 f"{mask.shape}/{mask.dtype}")

@@ -227,7 +227,8 @@ def voxel_matmul(xs, ys, ts, ps, B: int, sensor_size=(180, 240),
     WP = _round_up(W, 128)
     chunk = voxel_matmul_max_chunk(B, sensor_size, chunk)
     if chunk is None:
-        raise ValueError(
+        from ..errors import SensorLimitError
+        raise SensorLimitError(
             f"voxel_matmul: sensor {sensor_size} x {B} bins exceeds the VMEM "
             "working-set budget; use events_to_voxel (which falls back to "
             "the exact scatter for oversized sensors)")

@@ -32,6 +32,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from ..errors import ConfigurationError
 
 Array = jax.Array
 
@@ -53,7 +54,8 @@ def set_default_impl(impl: str) -> None:
     """Select the default scatter implementation ('xla', 'sort' or 'pallas')."""
     global _DEFAULT_IMPL
     if impl not in _IMPLEMENTATIONS:
-        raise ValueError(f"impl must be one of {_IMPLEMENTATIONS}, got {impl!r}")
+        raise ConfigurationError(
+            f"impl must be one of {_IMPLEMENTATIONS}, got {impl!r}")
     _DEFAULT_IMPL = impl
 
 
@@ -74,7 +76,7 @@ def scatter_add_flat(idx: Array, w: Array, num_buckets: int, *,
     """
     impl = impl or _DEFAULT_IMPL
     if impl not in _IMPLEMENTATIONS:
-        raise ValueError(
+        raise ConfigurationError(
             f"scatter_add_flat impl must be one of {_IMPLEMENTATIONS}, got "
             f"{impl!r} (the matmul fast paths exist only for the 2-D/bilinear "
             "entry points — a flat scatter has no factorized form)")

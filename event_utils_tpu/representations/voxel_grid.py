@@ -170,8 +170,9 @@ def events_to_voxel_tiled(xs, ys, ts, ps, B: int, sensor_size,
     H, W = sensor_size
     th, tw = tile
     if voxel_matmul_max_chunk(B, tile) is None:
-        raise ValueError(f"tile {tile} itself exceeds the VMEM budget; "
-                         "use a smaller tile")
+        from ..errors import SensorLimitError
+        raise SensorLimitError(f"tile {tile} itself exceeds the VMEM "
+                               "budget; use a smaller tile")
     ny = (H + th - 1) // th
     nx = (W + tw - 1) // tw
     ts = np.asarray(ts, np.float64)
@@ -184,7 +185,8 @@ def events_to_voxel_tiled(xs, ys, ts, ps, B: int, sensor_size,
         # an accumulating representation must never subsample mass (the
         # overflow path uniform-subsamples, which is only valid for
         # contrast objectives)
-        raise ValueError(
+        from ..errors import ConfigurationError
+        raise ConfigurationError(
             f"events_to_voxel_tiled: capacity={capacity} drops {overflow} "
             "events in the densest tile; pass capacity=None (auto) or a "
             "larger value")

@@ -18,6 +18,7 @@ from typing import Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from ..errors import ConfigurationError
 
 Array = jax.Array
 
@@ -53,7 +54,8 @@ def clip_events_to_bounds(xs, ys, ts, ps, bounds, set_zero: bool = False):
     if len(bounds) == 2:
         bounds = [0, bounds[0], 0, bounds[1]]
     elif len(bounds) != 4:
-        raise ValueError(f"Bounds must be of length 2 or 4 (not {len(bounds)})")
+        raise ConfigurationError(
+            f"Bounds must be of length 2 or 4 (not {len(bounds)})")
     miny, maxy, minx, maxx = bounds
     if set_zero:
         mask = events_bounds_mask(xs, ys, minx, maxx, miny, maxy)
@@ -99,7 +101,8 @@ def cut_events_to_lifespan(xs, ys, ts, ps, params, pixel_crossings,
         if s_idx < minimum_events:
             s_idx = minimum_events
         return xs[0:s_idx], ys[0:s_idx], ts[0:s_idx], ps[0:s_idx]
-    raise ValueError(f"Invalid side {side!r}: must be 'front' or 'back'")
+    raise ConfigurationError(
+        f"Invalid side {side!r}: must be 'front' or 'back'")
 
 
 def lifespan_mask(ts: Array, params: Array, pixel_crossings: float,

@@ -8,6 +8,7 @@ import os
 import numpy as np
 
 from ..utils.util import ensure_dir  # noqa: F401  (re-export)
+from ..errors import ConfigurationError
 
 
 def parse_crop(crop_str):
@@ -20,7 +21,7 @@ def parse_crop(crop_str):
         w, h = (int(v) for v in wh.split("x"))
         x, y = (int(v) for v in xy.split("+"))
     except Exception as exc:
-        raise ValueError(
+        raise ConfigurationError(
             f"Invalid crop {crop_str!r}: expected WxH+X+Y") from exc
     return [y, y + h, x, x + w]
 

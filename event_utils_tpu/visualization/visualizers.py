@@ -16,6 +16,7 @@ from ..representations.voxel_grid import events_to_voxel, get_voxel_grid_as_imag
 from ..utils.util import ensure_dir, normalize_image
 from .draw_event_stream import plot_events as draw_plot_events
 from .draw_event_stream import plot_voxel_grid as draw_plot_voxel
+from ..errors import RegistryError
 
 
 class Visualizer:
@@ -153,5 +154,5 @@ def get_visualizer(name: str, sensor_size) -> Visualizer:
     try:
         return VISUALIZER_REGISTRY[name](sensor_size)
     except KeyError:
-        raise KeyError(f"Unknown visualizer {name!r}; have "
-                       f"{sorted(VISUALIZER_REGISTRY)}")
+        raise RegistryError(f"Unknown visualizer {name!r}; have "
+                            f"{sorted(VISUALIZER_REGISTRY)}")
