@@ -1,0 +1,103 @@
+"""EV-FlowNet inference CLI: dense flow fields from a recording.
+
+The inference companion of ``train_flow``: windows a recording, voxelizes,
+runs the trained EV-FlowNet per window, and writes ``flow_NNNN.npy``
+``(2, H, W)`` fields plus ``timestamps.txt`` — exactly the directory layout
+``cli.visualize_flow`` consumes (and the reference's flow-visualization
+pipeline expects, reference visualize_flow.py:83-96), so predictions can be
+rendered or used for motion compensation directly.
+
+Example:
+    python -m event_utils_tpu.cli.infer_flow scene.h5 --ckpt_dir /tmp/flow \\
+        --k 20000 --output_dir /tmp/flow_out --render
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(
+        description="Predict dense optical flow from events with EV-FlowNet")
+    parser.add_argument("path", help="H5 file or memmap dir")
+    parser.add_argument("--output_dir", required=True)
+    parser.add_argument("--ckpt_dir", default=None,
+                        help="orbax checkpoint from train_flow (omitted: "
+                             "random init — pipeline smoke only)")
+    parser.add_argument("--method", default="k_events",
+                        choices=["k_events", "t_seconds", "between_frames"])
+    parser.add_argument("--k", type=int, default=20000)
+    parser.add_argument("--t", type=float, default=0.05)
+    parser.add_argument("--num_bins", type=int, default=5)
+    parser.add_argument("--combined_channels", action="store_true")
+    parser.add_argument("--batch_size", type=int, default=8,
+                        help="windows per device call")
+    parser.add_argument("--max_frames", type=int, default=None)
+    parser.add_argument("--render", action="store_true",
+                        help="also write flow_NNNN.png HSV renderings")
+    return parser
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    import os
+
+    import numpy as np
+
+    from ..data_loaders import DynamicH5Dataset, MemMapDataset
+    from ..training.loop import FlowTrainer
+    from .reconstruct import _voxel_method
+    from .train_reconstruction import _pad_to_multiple_hw
+
+    cls = MemMapDataset if os.path.isdir(args.path) else DynamicH5Dataset
+    dataset = cls(args.path, voxel_method=_voxel_method(args),
+                  num_bins=args.num_bins,
+                  combined_voxel_channels=args.combined_channels,
+                  return_events=False, return_format="numpy")
+
+    H, W = np.asarray(dataset[0]["voxel"]).shape[-2:]
+    Hp, Wp = H + (-H) % 8, W + (-W) % 8
+    trainer = FlowTrainer(sensor_size=(Hp, Wp), num_bins=args.num_bins,
+                          combined_channels=args.combined_channels)
+    if args.ckpt_dir:
+        step = trainer.restore_checkpoint(args.ckpt_dir)
+        print(f"restored checkpoint step {step}")
+    else:
+        print("WARNING: no --ckpt_dir; predicting with random weights")
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    n = len(dataset) if args.max_frames is None \
+        else min(len(dataset), args.max_frames)
+    stamps = []
+    written = 0
+    for s0 in range(0, n, args.batch_size):
+        idxs = range(s0, min(s0 + args.batch_size, n))
+        voxels = np.stack([_pad_to_multiple_hw(
+            np.asarray(dataset[i]["voxel"], np.float32)) for i in idxs])
+        flows = np.asarray(trainer.predict(voxels))[:, :, :H, :W]
+        for i, flow in zip(idxs, flows):
+            np.save(os.path.join(args.output_dir, f"flow_{written:04d}.npy"),
+                    flow.astype(np.float32))
+            _, idx1 = dataset.get_event_indices(i)
+            stamps.append(float(dataset.ts(max(idx1 - 1, 0))))
+            if args.render:
+                import matplotlib
+
+                matplotlib.use("Agg")
+                import matplotlib.pyplot as plt
+
+                from ..utils.util import flow2bgr_np
+
+                rgb = flow2bgr_np(flow[0], flow[1])[..., ::-1]  # BGR -> RGB
+                plt.imsave(os.path.join(args.output_dir,
+                                        f"flow_{written:04d}.png"), rgb)
+            written += 1
+    np.savetxt(os.path.join(args.output_dir, "timestamps.txt"),
+               np.asarray(stamps))
+    print(f"wrote {written} flow fields to {args.output_dir}")
+
+
+if __name__ == "__main__":
+    main()

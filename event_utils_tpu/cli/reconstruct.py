@@ -1,0 +1,117 @@
+"""E2VID inference CLI: reconstruct an intensity video from a recording.
+
+The inference companion of ``train_reconstruction`` (the reference keeps its
+networks in sibling repos — reference README.md:153 — and ships no inference
+driver; this closes the loop framework-natively): windows an H5/memmap
+recording, voxelizes, unrolls the recurrent E2VID with ConvGRU state
+threaded across the whole recording, and writes grayscale frames +
+``timestamps.txt``.
+
+Example:
+    python -m event_utils_tpu.cli.reconstruct scene.h5 --ckpt_dir /tmp/e2v \\
+        --method k_events --k 20000 --output_dir /tmp/recon
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(
+        description="Reconstruct intensity frames from events with E2VID")
+    parser.add_argument("path", help="H5 file or memmap dir")
+    parser.add_argument("--output_dir", required=True)
+    parser.add_argument("--ckpt_dir", default=None,
+                        help="orbax checkpoint from train_reconstruction "
+                             "(omitted: random init — pipeline smoke only)")
+    parser.add_argument("--method", default="between_frames",
+                        choices=["between_frames", "k_events", "t_seconds"])
+    parser.add_argument("--k", type=int, default=20000,
+                        help="events per window (k_events)")
+    parser.add_argument("--t", type=float, default=0.05,
+                        help="window seconds (t_seconds)")
+    parser.add_argument("--num_bins", type=int, default=5)
+    parser.add_argument("--combined_channels", action="store_true")
+    parser.add_argument("--chunk", type=int, default=8,
+                        help="windows per device call (state threads across "
+                             "chunks, so output is chunk-invariant)")
+    parser.add_argument("--max_frames", type=int, default=None)
+    parser.add_argument("--npy", action="store_true",
+                        help="also save the full stack as frames.npy")
+    return parser
+
+
+def _voxel_method(args):
+    if args.method == "k_events":
+        return {"method": "k_events", "k": args.k, "sliding_window_w": 0}
+    if args.method == "t_seconds":
+        return {"method": "t_seconds", "t": args.t, "sliding_window_t": 0}
+    return {"method": "between_frames", "sliding_window_w": 0}
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    import os
+
+    import numpy as np
+
+    from ..data_loaders import DynamicH5Dataset, MemMapDataset
+    from ..training.reconstruction import ReconstructionTrainer
+    from .train_reconstruction import _pad_to_multiple_hw
+
+    cls = MemMapDataset if os.path.isdir(args.path) else DynamicH5Dataset
+    dataset = cls(args.path, voxel_method=_voxel_method(args),
+                  num_bins=args.num_bins,
+                  combined_voxel_channels=args.combined_channels,
+                  return_events=False, return_format="numpy")
+
+    H, W = np.asarray(dataset[0]["voxel"]).shape[-2:]
+    Hp, Wp = H + (-H) % 8, W + (-W) % 8
+    trainer = ReconstructionTrainer(
+        sensor_size=(Hp, Wp), num_bins=args.num_bins,
+        combined_channels=args.combined_channels)
+    if args.ckpt_dir:
+        step = trainer.restore_checkpoint(args.ckpt_dir)
+        print(f"restored checkpoint step {step}")
+    else:
+        print("WARNING: no --ckpt_dir; reconstructing with random weights")
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    n = len(dataset) if args.max_frames is None \
+        else min(len(dataset), args.max_frames)
+    state = None
+    stamps = []
+    frames_all = [] if args.npy else None
+    written = 0
+    for s0 in range(0, n, args.chunk):
+        idxs = range(s0, min(s0 + args.chunk, n))
+        voxels = np.stack([_pad_to_multiple_hw(
+            np.asarray(dataset[i]["voxel"], np.float32)) for i in idxs])
+        preds, state = trainer.reconstruct(voxels[:, None], state=state)
+        imgs = np.asarray(preds)[:, 0, 0, :H, :W]  # (T, H, W) in [0, 1]
+        for i, img in zip(idxs, imgs):
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            plt.imsave(os.path.join(args.output_dir,
+                                    f"frame_{written:05d}.png"),
+                       img, cmap="gray", vmin=0.0, vmax=1.0)
+            _, idx1 = dataset.get_event_indices(i)
+            stamps.append(float(dataset.ts(max(idx1 - 1, 0))))
+            if frames_all is not None:
+                frames_all.append(img)
+            written += 1
+    np.savetxt(os.path.join(args.output_dir, "timestamps.txt"),
+               np.asarray(stamps))
+    if frames_all is not None:
+        np.save(os.path.join(args.output_dir, "frames.npy"),
+                np.stack(frames_all))
+    print(f"wrote {written} frames to {args.output_dir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -130,3 +130,50 @@ def test_train_flow_cli_h5_streaming(h5_path, tmp_path):
     main([h5_path, "--sensor", "24", "32", "--k", "500", "--batch_size", "2",
           "--epochs", "1", "--ckpt_dir", ckpt])
     assert os.path.isdir(ckpt) and len(os.listdir(ckpt)) > 0
+
+
+def test_infer_flow_cli(h5_path, tmp_path):
+    """train_flow -> infer_flow chain; output dir is directly consumable by
+    visualize_flow (flow_NNNN.npy + timestamps.txt layout)."""
+    from event_utils_tpu.cli.infer_flow import main as infer
+    from event_utils_tpu.cli.train_flow import main as train
+    from event_utils_tpu.cli.visualize_flow import main as viz
+    ckpt = str(tmp_path / "flow_ckpt")
+    train([h5_path, "--sensor", "24", "32", "--k", "500",
+           "--batch_size", "2", "--epochs", "1", "--ckpt_dir", ckpt])
+    out = str(tmp_path / "flow_out")
+    infer([h5_path, "--output_dir", out, "--ckpt_dir", ckpt,
+           "--method", "k_events", "--k", "800", "--max_frames", "3",
+           "--render"])
+    flows = sorted(f for f in os.listdir(out) if f.endswith(".npy"))
+    assert len(flows) == 3
+    f0 = np.load(os.path.join(out, flows[0]))
+    assert f0.shape == (2, 24, 32) and f0.dtype == np.float32
+    stamps = np.loadtxt(os.path.join(out, "timestamps.txt"))
+    assert len(stamps) == 3 and np.all(np.diff(stamps) > 0)
+    assert any(f.endswith(".png") for f in os.listdir(out))
+    # the emitted directory drives the flow visualizer unchanged
+    viz_out = str(tmp_path / "flow_viz")
+    viz([h5_path, "--flow_path", out, "--output_path", viz_out,
+         "--num_show", "100"])
+    assert len(os.listdir(viz_out)) >= 1
+
+
+def test_reconstruct_cli(h5_path, tmp_path):
+    """train_reconstruction -> reconstruct chain: recurrent state threads
+    across device chunks and frames land in [0, 1]."""
+    from event_utils_tpu.cli.reconstruct import main as recon
+    from event_utils_tpu.cli.train_reconstruction import main as train
+    ckpt = str(tmp_path / "e2v_ckpt")
+    train([h5_path, "--seq_len", "2", "--batch_size", "1", "--epochs", "1",
+           "--max_steps", "1", "--ckpt_dir", ckpt])
+    out = str(tmp_path / "recon_out")
+    recon([h5_path, "--output_dir", out, "--ckpt_dir", ckpt,
+           "--method", "k_events", "--k", "800", "--max_frames", "3",
+           "--chunk", "2", "--npy"])
+    pngs = sorted(f for f in os.listdir(out) if f.endswith(".png"))
+    assert len(pngs) == 3
+    stack = np.load(os.path.join(out, "frames.npy"))
+    assert stack.shape == (3, 24, 32)
+    assert stack.min() >= 0.0 and stack.max() <= 1.0
+    assert len(np.loadtxt(os.path.join(out, "timestamps.txt"))) == 3
