@@ -53,6 +53,18 @@ def events_to_voxel(xs, ys, ts, ps, B: int, sensor_size=(180, 240),
     ts = jnp.asarray(ts, jnp.float32)
     ps = jnp.asarray(ps, jnp.float32)
 
+    if impl == "tiled":
+        # Explicit large-sensor route (host bucketing; see
+        # events_to_voxel_tiled for the restrictions it asserts).
+        if not (temporal_bilinear and spatial_interpolation is None
+                and mask is None and t0 is None and t1 is None):
+            from ..errors import ConfigurationError
+            raise ConfigurationError(
+                "impl='tiled' supports only the default temporal-bilinear "
+                "integer-coordinate path with no mask/t0/t1 overrides "
+                "(host-side bucketing; call events_to_voxel_tiled directly "
+                "for tile/capacity control)")
+        return events_to_voxel_tiled(xs, ys, ts, ps, B, sensor_size)
     if impl in ("matmul", "matmul_hilo", "matmul_bf16", "matmul_int8") \
             and temporal_bilinear and spatial_interpolation is None:
         # Pallas MXU kernel (ops/pallas_scatter.py): requires time-sorted
@@ -63,13 +75,21 @@ def events_to_voxel(xs, ys, ts, ps, B: int, sensor_size=(180, 240),
                          "matmul_bf16": "bf16", "matmul_int8": "int8"}[impl]
             return voxel_matmul(xs, ys, ts, ps, B, sensor_size=sensor_size,
                                 mask=mask, t0=t0, t1=t1, precision=precision)
-        # sensor too large for the one-hot formulation's VMEM working set
-        # (its cost grows with pixel count anyway): exact scatter below
+        # Sensor too large for the one-hot formulation's VMEM working set.
+        # Outside jit with no overrides the spatially-tiled builder restores
+        # MXU rates (host counting-sort per tile); under tracing or with
+        # mask/t0/t1 overrides, degrade to the exact scatter.
+        concrete = not any(isinstance(a, jax.core.Tracer)
+                           for a in (xs, ys, ts, ps))
+        if concrete and mask is None and t0 is None and t1 is None:
+            return events_to_voxel_tiled(xs, ys, ts, ps, B, sensor_size)
         import warnings
         warnings.warn(
             f"events_to_voxel: sensor {tuple(sensor_size)} x {B} bins "
-            "exceeds the MXU kernel's VMEM budget; using the exact XLA "
-            "scatter. Pass impl=None to silence.", stacklevel=2)
+            "exceeds the MXU kernel's VMEM budget and the tiled builder "
+            "needs host-side bucketing (untraceable inputs / no overrides); "
+            "using the exact XLA scatter. Pass impl=None to silence.",
+            stacklevel=2)
         impl = None
     if impl == "matmul_int8":
         # int8 exists only for the temporal-bilinear Pallas kernel above;

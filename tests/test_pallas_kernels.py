@@ -167,9 +167,13 @@ def test_bilinear_matmul_mask(rng):
 
 
 def test_large_sensor_vmem_fallback(rng):
-    """Oversized sensors must degrade to the exact scatter with a warning,
-    never a Mosaic compile OOM; mid-size sensors auto-shrink the chunk."""
+    """Oversized sensors must never hit a Mosaic compile OOM: concrete
+    inputs auto-upgrade to the spatially-tiled MXU builder (silently);
+    traced inputs / overrides degrade to the exact scatter with a warning;
+    mid-size sensors auto-shrink the chunk."""
     import warnings
+
+    import jax
 
     from event_utils_tpu.ops.pallas_scatter import voxel_matmul_max_chunk
     from event_utils_tpu.representations.voxel_grid import events_to_voxel
@@ -184,10 +188,39 @@ def test_large_sensor_vmem_fallback(rng):
     ys = rng.integers(0, 480, n)
     ts = np.sort(rng.uniform(0, 1, n))
     ps = rng.choice([-1.0, 1.0], n)
+    exact = np.asarray(events_to_voxel(xs, ys, ts, ps, 5,
+                                       sensor_size=(480, 640)))
+    scale = np.abs(exact).max()
+
+    # concrete host inputs: silent auto-upgrade to the tiled MXU builder
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
-        got = events_to_voxel(xs, ys, ts, ps, 5, sensor_size=(480, 640),
-                              impl="matmul")
+        got = np.asarray(events_to_voxel(xs, ys, ts, ps, 5,
+                                         sensor_size=(480, 640),
+                                         impl="matmul"))
+        assert not any("VMEM" in str(x.message) for x in w)
+    assert np.abs(got - exact).max() / scale < 1e-4
+
+    # impl='tiled' is also accepted explicitly at the standard entry point
+    got_t = np.asarray(events_to_voxel(xs, ys, ts, ps, 5,
+                                       sensor_size=(480, 640), impl="tiled"))
+    assert np.abs(got_t - exact).max() / scale < 1e-4
+
+    # under tracing the host bucketing is impossible: warn + exact scatter
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got_j = np.asarray(jax.jit(
+            lambda a, b, c, d: events_to_voxel(
+                a, b, c, d, 5, sensor_size=(480, 640), impl="matmul"))(
+                    xs, ys, ts, ps))
         assert any("VMEM" in str(x.message) for x in w)
-    exact = events_to_voxel(xs, ys, ts, ps, 5, sensor_size=(480, 640))
-    np.testing.assert_allclose(np.asarray(got), np.asarray(exact))
+    np.testing.assert_allclose(got_j, exact, rtol=1e-6)
+
+    # tiled with an unsupported override is a typed configuration error
+    from event_utils_tpu.errors import ConfigurationError
+    try:
+        events_to_voxel(xs, ys, ts, ps, 5, sensor_size=(480, 640),
+                        impl="tiled", mask=np.ones(n, np.float32))
+        raise AssertionError("tiled+mask must raise")
+    except ConfigurationError:
+        pass
