@@ -57,7 +57,11 @@ def main(argv=None):
                   combined_voxel_channels=args.combined_channels,
                   return_events=False, return_format="numpy")
 
-    H, W = np.asarray(dataset[0]["voxel"]).shape[-2:]
+    H, W = dataset.sensor_resolution
+    if args.render:
+        import matplotlib
+
+        matplotlib.use("Agg")
     Hp, Wp = H + (-H) % 8, W + (-W) % 8
     trainer = FlowTrainer(sensor_size=(Hp, Wp), num_bins=args.num_bins,
                           combined_channels=args.combined_channels)
@@ -83,9 +87,6 @@ def main(argv=None):
             _, idx1 = dataset.get_event_indices(i)
             stamps.append(float(dataset.ts(max(idx1 - 1, 0))))
             if args.render:
-                import matplotlib
-
-                matplotlib.use("Agg")
                 import matplotlib.pyplot as plt
 
                 from ..utils.util import flow2bgr_np

@@ -55,6 +55,10 @@ def main(argv=None):
 
     import os
 
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
     import numpy as np
 
     from ..data_loaders import DynamicH5Dataset, MemMapDataset
@@ -67,7 +71,7 @@ def main(argv=None):
                   combined_voxel_channels=args.combined_channels,
                   return_events=False, return_format="numpy")
 
-    H, W = np.asarray(dataset[0]["voxel"]).shape[-2:]
+    H, W = dataset.sensor_resolution
     Hp, Wp = H + (-H) % 8, W + (-W) % 8
     trainer = ReconstructionTrainer(
         sensor_size=(Hp, Wp), num_bins=args.num_bins,
@@ -92,11 +96,6 @@ def main(argv=None):
         preds, state = trainer.reconstruct(voxels[:, None], state=state)
         imgs = np.asarray(preds)[:, 0, 0, :H, :W]  # (T, H, W) in [0, 1]
         for i, img in zip(idxs, imgs):
-            import matplotlib
-
-            matplotlib.use("Agg")
-            import matplotlib.pyplot as plt
-
             plt.imsave(os.path.join(args.output_dir,
                                     f"frame_{written:05d}.png"),
                        img, cmap="gray", vmin=0.0, vmax=1.0)

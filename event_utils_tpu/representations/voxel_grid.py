@@ -77,17 +77,20 @@ def events_to_voxel(xs, ys, ts, ps, B: int, sensor_size=(180, 240),
                                 mask=mask, t0=t0, t1=t1, precision=precision)
         # Sensor too large for the one-hot formulation's VMEM working set.
         # Outside jit with no overrides the spatially-tiled builder restores
-        # MXU rates (host counting-sort per tile); under tracing or with
-        # mask/t0/t1 overrides, degrade to the exact scatter.
+        # MXU rates (host counting-sort per tile) — provided the default
+        # tile itself fits at this bin count; under tracing, with mask/t0/t1
+        # overrides, or for huge B, degrade to the exact scatter.
         concrete = not any(isinstance(a, jax.core.Tracer)
                            for a in (xs, ys, ts, ps))
-        if concrete and mask is None and t0 is None and t1 is None:
+        if (concrete and mask is None and t0 is None and t1 is None
+                and voxel_matmul_max_chunk(B, (256, 256)) is not None):
             return events_to_voxel_tiled(xs, ys, ts, ps, B, sensor_size)
         import warnings
         warnings.warn(
             f"events_to_voxel: sensor {tuple(sensor_size)} x {B} bins "
-            "exceeds the MXU kernel's VMEM budget and the tiled builder "
-            "needs host-side bucketing (untraceable inputs / no overrides); "
+            "exceeds the MXU kernel's VMEM budget, and the tiled builder "
+            "requires concrete (non-traced) inputs, no mask/t0/t1 "
+            "overrides, and a tile that fits VMEM at this bin count; "
             "using the exact XLA scatter. Pass impl=None to silence.",
             stacklevel=2)
         impl = None

@@ -224,3 +224,15 @@ def test_large_sensor_vmem_fallback(rng):
         raise AssertionError("tiled+mask must raise")
     except ConfigurationError:
         pass
+
+    # huge bin counts where even the default tile overflows VMEM must NOT
+    # raise from the auto-route: warn + exact scatter (regression: B>=30)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got_b = np.asarray(events_to_voxel(xs, ys, ts, ps, 32,
+                                           sensor_size=(480, 640),
+                                           impl="matmul"))
+        assert any("VMEM" in str(x.message) for x in w)
+    exact_b = np.asarray(events_to_voxel(xs, ys, ts, ps, 32,
+                                         sensor_size=(480, 640)))
+    np.testing.assert_allclose(got_b, exact_b, rtol=1e-6)
