@@ -70,10 +70,16 @@ def make_objective_loss(objective: objective_function,
     Objectives that are not plain IWE reductions define ``make_event_loss``
     (zhu's timestamp-image loss) and get their true loss here — so every
     optimizer path (host scipy, jitted BFGS/GD, grid search, batched ROI
-    solves) optimizes the correct objective."""
+    solves) optimizes the correct objective. Objectives whose exact loss
+    has zero gradient a.e. define ``soft_loss_fn`` (isoa's hard indicator
+    -> sigmoid surrogate, objectives.py) and the surrogate is optimized
+    here — exactly as in ``make_patch_loss`` — since grid search + GD/BFGS
+    all need slopes; report parity-exact *values* via
+    ``objective.evaluate_function``."""
     if hasattr(objective, "make_event_loss"):
         return objective.make_event_loss(warpfunc, img_size, blur_sigma,
                                          impl=iwe_impl)
+    reduce_fn = getattr(objective, "soft_loss_fn", objective.loss_fn)
 
     def loss(params, xs, ys, ts, ps, mask=None):
         iwe, _ = get_iwe(params, xs, ys, ts, ps, warpfunc, img_size,
@@ -81,14 +87,15 @@ def make_objective_loss(objective: objective_function,
                          impl=iwe_impl)
         if blur_sigma and blur_sigma > 0:
             iwe = gaussian_filter(iwe, blur_sigma)
-        return objective.loss_fn(iwe)
+        return reduce_fn(iwe)
 
     return loss
 
 
-def _get_jitted(objective, warpfunc, img_size, blur_sigma):
-    """lru-cached compiled loss for the host-driven optimizer."""
-    sigma = objective.default_blur if blur_sigma is None else blur_sigma
+def _objective_kwargs(objective):
+    """The objective's tuning knobs as a hashable tuple (cache-key part:
+    two objectives of the same class but different knobs must never share
+    a compiled loss — the floats are baked in at trace time)."""
     obj_kwargs = []
     if isinstance(objective, variance_objective):
         obj_kwargs.append(("minimum_events", objective.minimum_events))
@@ -96,10 +103,38 @@ def _get_jitted(objective, warpfunc, img_size, blur_sigma):
         obj_kwargs.append(("thresh", objective.thresh))
     if hasattr(objective, "p"):
         obj_kwargs.append(("p", objective.p))
-    obj_kwargs = tuple(obj_kwargs)
+    return tuple(obj_kwargs)
+
+
+def _get_jitted(objective, warpfunc, img_size, blur_sigma):
+    """lru-cached compiled loss for the host-driven optimizer."""
+    sigma = objective.default_blur if blur_sigma is None else blur_sigma
+    obj_kwargs = _objective_kwargs(objective)
     key = (objective.name, obj_kwargs)
     return _compiled_loss(key, type(warpfunc), tuple(img_size), float(sigma),
                           objective.use_polarity, type(objective), obj_kwargs)
+
+
+@functools.lru_cache(maxsize=256)
+def _compiled_vmap_loss(obj_key, warp_cls, img_size, blur_sigma,
+                        obj_cls, obj_kwargs):
+    """lru-cached jitted params-batched evaluator ``(coords, xs, ys, ts, ps)
+    -> (S,) losses`` — grid searches call this per recursion level / per
+    ROI, and a fresh ``jax.jit(jax.vmap(lambda ...))`` closure would defeat
+    jit's cache and recompile every call (seconds each over a device
+    tunnel)."""
+    del obj_key
+    warpfunc = warp_cls()
+    objective = obj_cls(**dict(obj_kwargs))
+    loss = make_objective_loss(objective, warpfunc, img_size, blur_sigma)
+    return jax.jit(jax.vmap(loss, in_axes=(0, None, None, None, None)))
+
+
+def _get_jitted_vmap(objective, warpfunc, img_size, blur_sigma):
+    obj_kwargs = _objective_kwargs(objective)
+    return _compiled_vmap_loss((objective.name, obj_kwargs), type(warpfunc),
+                               tuple(img_size), float(blur_sigma),
+                               type(objective), obj_kwargs)
 
 
 # ---------------------------------------------------------------------------
@@ -301,14 +336,13 @@ def grid_search_initial(xs, ys, ts, ps, warp_function, objective_function,
     grids = np.meshgrid(*axes)
     coords = np.stack([g.ravel() for g in grids], axis=-1)  # (S, dims)
 
-    loss = make_objective_loss(objective_function, warp_function, img_size,
-                               blur_sigma=1.0)
+    vloss = _get_jitted_vmap(objective_function, warp_function,
+                             tuple(img_size), 1.0)
     dxs = jnp.asarray(xs, jnp.float32)
     dys = jnp.asarray(ys, jnp.float32)
     dts = jnp.asarray(ts, jnp.float32)
     dps = jnp.asarray(ps, jnp.float32)
-    evals = jax.jit(jax.vmap(lambda p: loss(p, dxs, dys, dts, dps)))(
-        jnp.asarray(coords, jnp.float32))
+    evals = vloss(jnp.asarray(coords, jnp.float32), dxs, dys, dts, dps)
     evals = np.asarray(evals, np.float64)
 
     best = int(np.argmin(evals))
@@ -605,6 +639,11 @@ def grid_cmax(xs, ys, ts, ps, roi_size=(20, 20), step=None, warp=None,
     own IWE over the full-sensor image as in the reference, and unlike the
     reference — which silently re-instantiates its ``warp``/``obj`` arguments
     (events_cmax.py:48, 65) — the passed ``warp``/``obj`` are honoured.
+    Reference-parity quirk kept: like the reference (events_cmax.py:53-57,
+    ``xs < xc+step[1]``), ``step`` is both the stride AND the window extent,
+    so ``roi_size`` only sets ``step``'s default — passing ``step`` smaller
+    than ``roi_size`` yields disjoint step-sized windows, not overlapping
+    ROIs.
     For TPU-scale throughput use :func:`grid_cmax_batched`.
     """
     step = roi_size if step is None else step
@@ -801,9 +840,15 @@ def make_roi_solve_one(warp, obj, resolution, roi_size, blur_sigma, maxiter,
     (parallel.sharded_grid_cmax)."""
     use_patch = obj.name in ("variance", "sos", "rms", "soe", "sosa",
                              "isoa", "moa", "r1", "zhu")
+    # The patch window must enclose the ROI with warp margin, whatever the
+    # caller's roi_size: grow beyond PATCH_DEFAULT in MXU-aligned steps
+    # (8 rows / 128 lanes). Without this, ROIs larger than the default
+    # patch would silently drop events at zero warp and corrupt the loss.
+    patch = (max(PATCH_DEFAULT[0], -(-(roi_size[0] + 32) // 8) * 8),
+             max(PATCH_DEFAULT[1], -(-(roi_size[1] + 32) // 128) * 128))
     if use_patch:
         patch_loss = make_patch_loss(
-            warp, roi_size, obj, blur_sigma=blur_sigma,
+            warp, roi_size, obj, patch=patch, blur_sigma=blur_sigma,
             full_pixels=(resolution[0] + 1) * (resolution[1] + 1))
     else:  # unknown/custom objectives: full-frame loss fallback
         full_loss = make_objective_loss(obj, warp, resolution, blur_sigma)
@@ -816,8 +861,8 @@ def make_roi_solve_one(warp, obj, resolution, roi_size, blur_sigma, maxiter,
     # mass-losing objectives (isoa/zhu count/timestamp collapse; the sensor
     # boundary plays the same trick on the reference, just further out).
     # Never search params that empty the patch within the ROI's window.
-    margin = (min(PATCH_DEFAULT[0] - roi_size[0],
-                  PATCH_DEFAULT[1] - roi_size[1]) / 2.0 - 2.0)
+    margin = (min(patch[0] - roi_size[0],
+                  patch[1] - roi_size[1]) / 2.0 - 2.0)
     # ROIs approaching the patch size leave no margin: disable the cap
     # rather than searching a degenerate (non-positive) range
     velocity_cap = (use_patch and isinstance(warp, linvel_warp)
@@ -939,13 +984,12 @@ def draw_objective_function(xs, ys, ts, ps, objective=None, warpfunc=None,
                            indexing="ij")
     coords = np.stack([vxs.ravel() * resolution + x_range[0],
                        vys.ravel() * resolution + y_range[0]], axis=-1)
-    loss = make_objective_loss(objective, warpfunc, img_size, blur_sigma=0)
+    vloss = _get_jitted_vmap(objective, warpfunc, tuple(img_size), 0.0)
     dxs = jnp.asarray(xs, jnp.float32)
     dys = jnp.asarray(ys, jnp.float32)
     dts = jnp.asarray(ts, jnp.float32)
     dps = jnp.asarray(ps, jnp.float32)
-    evals = jax.jit(jax.vmap(lambda p: loss(p, dxs, dys, dts, dps)))(
-        jnp.asarray(coords, jnp.float32))
+    evals = vloss(jnp.asarray(coords, jnp.float32), dxs, dys, dts, dps)
     img = -np.asarray(evals).reshape(imshape)
 
     norm_min = img.min() if norm_min is None else norm_min

@@ -237,6 +237,10 @@ def voxel_matmul(xs, ys, ts, ps, B: int, sensor_size=(180, 240),
     ts = jnp.asarray(ts, jnp.float32)
     ps = jnp.asarray(ps, jnp.float32)
     n = xs.shape[0]
+    if n == 0:
+        # zero grid steps would skip the kernel's program_id(0)-gated
+        # accumulator initialization and return uninitialized VMEM
+        return jnp.zeros((B, H, W), jnp.float32)
 
     in_img = (xs >= 0) & (xs < W) & (ys >= 0) & (ys < H)
     ps = jnp.where(in_img, ps, 0.0)
@@ -256,6 +260,20 @@ def voxel_matmul(xs, ys, ts, ps, B: int, sensor_size=(180, 240),
         t1 = tt1 if t1 is None else t1
     dt = t1 - t0
     t_norm = (ts - t0) / jnp.where(dt == 0, 1.0, dt) * (B - 1)
+
+    # Below-window events (t_norm < 0, possible only under explicit t0
+    # overrides): their bin -1 tap must be DROPPED, but the kernel's
+    # residual trick assumes the taps partition the full polarity, so the
+    # dropped tap's mass would leak into bin blo+1. Fold the surviving
+    # bin-0 tap weight (1 + t_norm, clamped at 0) into ps and pin t_norm to
+    # 0: tap(0) is then exact and the residual is 0 — matching the exact
+    # scatter path and this kernel's own VJP (which drops ib < 0).
+    # Above-window taps land in the sliced-away padding bins; no fix needed.
+    below = t_norm < 0.0
+    # where (not maximum/clip): lax.max's tie gradient at t_norm == 0 would
+    # halve the time cotangent of events exactly at the window start
+    ps = jnp.where(below, ps * jnp.maximum(0.0, 1.0 + t_norm), ps)
+    t_norm = jnp.where(below, 0.0, t_norm)
 
     return _voxel_core(xs, ys, t_norm, ps,
                        (B, H, W, HP, WP, chunk, precision,
@@ -385,7 +403,18 @@ def image_matmul(ix, iy, w, shape: Tuple[int, int],
     ix = jnp.asarray(ix).astype(jnp.int32)
     iy = jnp.asarray(iy).astype(jnp.int32)
     w = jnp.asarray(w, jnp.float32)
+    # VMEM working-set guard (row one-hot grows with H): oversized shapes
+    # fall back to the exact scatter instead of a Mosaic compile failure
+    fitted = _fit_chunk(chunk, HP * W * 4, 6 * HP + 2 * WP)
+    if fitted is None:
+        from .scatter import scatter_add_2d
+        _too_big_warning("image_matmul", shape, "exact XLA scatter")
+        return scatter_add_2d(ix, iy, w, shape)
+    chunk = fitted
     n = ix.shape[0]
+    if n == 0:
+        # zero grid steps would skip the program_id(0)-gated zeroing
+        return jnp.zeros((H, W), jnp.float32)
     pad = (-n) % chunk
     ix = jnp.pad(ix, (0, pad), constant_values=-1)
     iy = jnp.pad(iy, (0, pad), constant_values=-1)
@@ -510,6 +539,10 @@ def bilinear_matmul(x, y, w, shape: Tuple[int, int],
         _too_big_warning("bilinear_matmul", shape, "exact XLA scatter")
         out = jnp.stack([bilinear_scatter(x, y, w2[k], shape)
                          for k in range(K)])
+        return out[0] if single else out
+    if x.shape[0] == 0:
+        # zero grid steps would skip the program_id(0)-gated zeroing
+        out = jnp.zeros((K, H, W), jnp.float32)
         return out[0] if single else out
     out = _bilinear_core(x, y, w2,
                          (H, W, K, fitted, precision,

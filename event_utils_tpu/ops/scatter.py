@@ -199,8 +199,10 @@ def bilinear_scatter(x: Array, y: Array, w: Array, shape: Tuple[int, int], *,
     impl = impl or _DEFAULT_IMPL
     if impl in _MATMUL_IMPLS:
         # Pallas kernel (VMEM-resident accumulator; ~2x the pure-XLA
-        # lax.scan formulation in ops/matmul_scatter.py, which remains as
-        # the non-Pallas fallback)
+        # lax.scan formulation in ops/matmul_scatter.py — an independent
+        # same-factorization implementation kept as a parity cross-check
+        # and for non-Pallas backends; oversized sensors fall back to the
+        # exact scatter inside bilinear_matmul itself)
         from .pallas_scatter import bilinear_matmul
         return bilinear_matmul(x, y, w, shape, mask=mask,
                                precision=_matmul_precision(impl))
@@ -270,6 +272,19 @@ def bilinear_scatter_derivative(x: Array, y: Array, jx: Array, jy: Array,
 
     flat_idx = jnp.concatenate(idxs)          # (4N,)
     flat_w = jnp.concatenate(ws, axis=1)      # (D, 4N)
+
+    if (impl or _DEFAULT_IMPL) in _MATMUL_IMPLS:
+        # The signed derivative taps don't share the standard bilinear
+        # row/column factorization, but the tap list is a plain flat
+        # scatter — route it through the MXU flat-scatter kernel rather
+        # than rejecting the impl (hilo ~1e-5 relative). Python loop over
+        # the small D axis: vmapping a program_id(0)-gated Pallas kernel
+        # would turn the batch into a grid dim and skip the accumulator
+        # zeroing.
+        from .pallas_scatter import scatter_add_flat_pallas
+        return jnp.stack([
+            scatter_add_flat_pallas(flat_idx, flat_w[d], H * W).reshape(H, W)
+            for d in range(flat_w.shape[0])])
 
     def one_dim(wd):
         return scatter_add_flat(flat_idx, wd, H * W, impl=impl).reshape(H, W)

@@ -41,6 +41,18 @@ def _mesh_key(mesh: Mesh):
             mesh.devices.shape)
 
 
+def _objective_key(objective):
+    """Cache-key identity for an objective INCLUDING its tuning knobs: two
+    instances of the same class with different thresh/p/lifespan settings
+    must never share a compiled solver (the Python floats are baked into the
+    traced loss)."""
+    return (objective.name, getattr(objective, "thresh", None),
+            getattr(objective, "p", None),
+            getattr(objective, "adaptive_lifespan", False),
+            getattr(objective, "pixel_crossings", 5),
+            getattr(objective, "minimum_events", 105))
+
+
 def make_mesh(n_devices: Optional[int] = None, axis_name: str = "events"):
     """1-D device mesh over the first ``n_devices`` devices."""
     devices = jax.devices()
@@ -218,8 +230,9 @@ def sharded_cmax_train_step(mesh: Mesh, params, opt_state, xs, ys, ts, ps,
     """Convenience one-shot wrapper around
     :func:`make_sharded_cmax_train_step` (shards the events, builds/caches
     the step for this config, runs one update)."""
-    key = (_mesh_key(mesh), objective.name, type(warpfunc).__name__,
-           tuple(img_size), blur_sigma, lr, axis_name)
+    key = (_mesh_key(mesh), _objective_key(objective),
+           type(warpfunc).__name__, tuple(img_size), blur_sigma, lr,
+           axis_name)
     step = _train_step_cache.get(key)
     if step is None:
         step = make_sharded_cmax_train_step(
@@ -269,8 +282,9 @@ def sharded_grid_cmax(mesh: Mesh, xs, ys, ts, ps, roi_size=(20, 20),
     bmask, _ = pad_to_multiple(bmask, n_dev)
     borigins, _ = pad_to_multiple(jnp.asarray(origins, jnp.float32), n_dev)
 
-    key = (_mesh_key(mesh), type(warp).__name__, obj.name, tuple(resolution),
-           tuple(roi_size), float(blur_sigma), int(maxiter), axis_name)
+    key = (_mesh_key(mesh), type(warp).__name__, _objective_key(obj),
+           tuple(resolution), tuple(roi_size), float(blur_sigma),
+           int(maxiter), axis_name)
     fn = _sharded_cmax_cache.get(key)
     if fn is None:
         solve_one = make_roi_solve_one(warp, obj, tuple(resolution),

@@ -285,3 +285,40 @@ def test_matmul_impl_precision_unified(rng):
     rel = np.abs(np.asarray(bilinear_scatter(x, y, w, (80, 100), impl="matmul"))
                  - exact).max() / scale
     assert rel < 1e-4, rel
+
+
+def test_bilinear_scatter_derivative_matmul_impl(rng):
+    """impl='matmul' on the Jacobian scatter routes through the MXU flat
+    scatter instead of raising (review r2); parity vs the exact path."""
+    from event_utils_tpu.ops.scatter import bilinear_scatter_derivative
+    n = 1500
+    x = jnp.asarray(rng.uniform(-1, 100, n), jnp.float32)
+    y = jnp.asarray(rng.uniform(-1, 80, n), jnp.float32)
+    jx = jnp.asarray(rng.normal(0, 1, (2, n)), jnp.float32)
+    jy = jnp.asarray(rng.normal(0, 1, (2, n)), jnp.float32)
+    w = jnp.asarray(rng.choice([-1.0, 1.0], n), jnp.float32)
+    exact = np.asarray(bilinear_scatter_derivative(x, y, jx, jy, w, (80, 100)))
+    got = np.asarray(bilinear_scatter_derivative(x, y, jx, jy, w, (80, 100),
+                                                 impl="matmul"))
+    assert got.shape == exact.shape == (2, 80, 100)
+    rel = np.abs(got - exact).max() / max(np.abs(exact).max(), 1e-9)
+    assert rel < 1e-4, rel
+
+
+def test_matmul_scan_formulation_parity(rng):
+    """ops/matmul_scatter's pure-XLA scan formulation is an independent
+    implementation of the same factorization — pin it to the exact scatter
+    so it cannot silently drift (review r2: it had no coverage)."""
+    from event_utils_tpu.ops.matmul_scatter import bilinear_scatter_matmul
+    n = 3000
+    x = jnp.asarray(rng.uniform(-2, 101, n), jnp.float32)
+    y = jnp.asarray(rng.uniform(-2, 81, n), jnp.float32)
+    w = jnp.asarray(rng.normal(0, 1, n), jnp.float32)
+    exact = np.asarray(bilinear_scatter(x, y, w, (80, 100)))
+    scale = max(np.abs(exact).max(), 1e-9)
+    # documented tolerance classes (matmul_scatter.py module docstring)
+    got = np.asarray(bilinear_scatter_matmul(x, y, w, (80, 100)))
+    assert np.abs(got - exact).max() / scale < 5e-3  # bf16 default ~1e-3
+    got_hl = np.asarray(bilinear_scatter_matmul(x, y, w, (80, 100),
+                                                precision="hilo"))
+    assert np.abs(got_hl - exact).max() / scale < 5e-4  # hilo ~1e-4

@@ -236,3 +236,62 @@ def test_large_sensor_vmem_fallback(rng):
     exact_b = np.asarray(events_to_voxel(xs, ys, ts, ps, 32,
                                          sensor_size=(480, 640)))
     np.testing.assert_allclose(got_b, exact_b, rtol=1e-6)
+
+
+def test_voxel_matmul_below_window_t0_override(rng):
+    """Events before an overridden t0 must not leak weight into bin 1: the
+    residual trick's partition-of-unity assumption breaks for dropped
+    below-window taps (review r2); the kernel must match the exact path."""
+    from event_utils_tpu.representations.voxel_grid import events_to_voxel
+    n = 512
+    xs = rng.integers(0, 64, n)
+    ys = rng.integers(0, 48, n)
+    ts = np.sort(rng.uniform(0.0, 1.0, n))
+    ps = rng.choice([-1.0, 1.0], n)
+    t0 = 0.5  # mid-window: ~half the events are below-window
+    exact = np.asarray(events_to_voxel(xs, ys, ts, ps, 5, sensor_size=(48, 64),
+                                       t0=t0, t1=1.0))
+    got = np.asarray(events_to_voxel(xs, ys, ts, ps, 5, sensor_size=(48, 64),
+                                     t0=t0, t1=1.0, impl="matmul"))
+    scale = max(np.abs(exact).max(), 1e-9)
+    assert np.abs(got - exact).max() / scale < 1e-4, (
+        np.abs(got - exact).max() / scale)
+
+
+def test_pallas_kernels_zero_events(rng):
+    """Zero-length inputs must return zeros, not uninitialized VMEM (the
+    program_id(0)-gated zeroing never runs with an empty grid; review r2)."""
+    from event_utils_tpu.ops.pallas_scatter import (bilinear_matmul,
+                                                    image_matmul,
+                                                    voxel_matmul)
+    e_i = jnp.zeros(0, jnp.int32)
+    e_f = jnp.zeros(0, jnp.float32)
+    assert float(jnp.abs(image_matmul(e_i, e_i, e_f, (48, 64))).max()) == 0.0
+    assert float(jnp.abs(bilinear_matmul(e_f, e_f, e_f, (48, 64))).max()) == 0.0
+    assert float(jnp.abs(voxel_matmul(e_i, e_i, e_f, e_f, 5,
+                                      (48, 64))).max()) == 0.0
+
+
+def test_image_matmul_vmem_guard(rng):
+    """Oversized image shapes fall back to the exact scatter with a warning
+    instead of a Mosaic compile-time VMEM failure (review r2); covers
+    temporal_bilinear=False voxels at VGA via scatter_add_2d."""
+    import warnings
+
+    from event_utils_tpu.representations.voxel_grid import events_to_voxel
+    n = 1000
+    xs = rng.integers(0, 640, n)
+    ys = rng.integers(0, 480, n)
+    ts = np.sort(rng.uniform(0, 1, n))
+    ps = rng.choice([-1.0, 1.0], n)
+    exact = np.asarray(events_to_voxel(xs, ys, ts, ps, 5,
+                                       sensor_size=(480, 640),
+                                       temporal_bilinear=False))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got = np.asarray(events_to_voxel(xs, ys, ts, ps, 5,
+                                         sensor_size=(480, 640),
+                                         temporal_bilinear=False,
+                                         impl="matmul"))
+        assert any("VMEM" in str(x.message) for x in w)
+    np.testing.assert_allclose(got, exact, rtol=1e-6)
