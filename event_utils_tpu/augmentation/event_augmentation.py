@@ -60,7 +60,12 @@ def merge_events(event_sets, sort: bool = False):
 
 def sample(cdf, ts, rng=None):
     """Draw an event index by sampling a CDF over timestamps
-    (reference event_augmentation.py:8-21)."""
+    (reference event_augmentation.py:8-21).
+
+    Reference-parity quirk kept: the draw is uniform over the *CDF's value
+    range* but searchsorted against ``ts`` — the two only agree when the
+    caller passes ``cdf`` and ``ts`` spanning the same values (as the
+    reference does). Neither library calls this internally."""
     rng = _default_rng(rng)
     rnd = rng.uniform(cdf[0], cdf[-1])
     return int(np.searchsorted(ts, rnd))

@@ -202,9 +202,9 @@ class memmap_packager(packager):
                     np.stack(self._images))
             np.save(os.path.join(out, "timestamps.npy"),
                     np.asarray(self._image_ts))
-            from .read_events import compute_indices
-            index = compute_indices(ts.reshape(-1, 1),
-                                    np.asarray(self._image_ts))
+            from .read_events import frame_event_indices
+            index = frame_event_indices(ts.reshape(-1, 1),
+                                        np.asarray(self._image_ts))
             np.save(os.path.join(out, "index.npy"), index)
         if self._flows:
             np.save(os.path.join(out, "optic_flow.npy"),

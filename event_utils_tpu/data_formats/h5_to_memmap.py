@@ -74,8 +74,12 @@ def h5_to_memmap(h5_path, output_dir, overwrite: bool = False,
                     dtype=np.int64)
                 np.save(os.path.join(output_dir, "images.npy"), imgs)
                 np.save(os.path.join(output_dir, "timestamps.npy"), stamps)
+                # canonical (F, 2) (start, end) table: frame i's events are
+                # [end_{i-1}, event_idx_i) — the between_frames convention
+                # (see read_events.frame_event_indices)
                 np.save(os.path.join(output_dir, "index.npy"),
-                        np.stack([eidx, np.append(eidx[1:], n)], axis=-1))
+                        np.stack([np.concatenate([[0], eidx[:-1]]), eidx],
+                                 axis=-1))
         if "flow" in f:
             keys = sorted(f["flow"])
             num_flow = len(keys)

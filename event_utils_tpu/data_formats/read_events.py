@@ -24,9 +24,14 @@ from ..errors import DataFormatError, DataNotFoundError
 
 
 def compute_indices(event_stamps, frame_stamps):
-    """Event index range bracketing each frame interval
-    (reference read_events.py:5-17): ``index[i] = (start_i, end_i)`` found by
-    searchsorted of the frame stamps into the event stamps."""
+    """Reference-parity event index table (reference read_events.py:5-17).
+
+    Reference quirk kept: the returned ``(F-1, 2)`` rows are
+    ``(end_i, start_i)`` — column 0 is the searchsorted of frame i+1's
+    stamp (the interval END), column 1 of frame i's (the START) — despite
+    the reference docstring claiming "beginning and end". Use
+    :func:`frame_event_indices` for the sane ``(start, end)`` layout this
+    framework's writers emit."""
     event_stamps = np.asarray(event_stamps)
     if event_stamps.ndim > 1:
         event_stamps = event_stamps[:, 0]
@@ -34,6 +39,41 @@ def compute_indices(event_stamps, frame_stamps):
     indices_first = np.searchsorted(event_stamps, frame_stamps[1:])
     indices_last = np.searchsorted(event_stamps, frame_stamps[:-1])
     return np.stack([indices_first, indices_last], -1)
+
+
+def frame_event_indices(event_stamps, frame_stamps):
+    """Canonical ``(F, 2)`` int64 index table: row i is the ``(start, end)``
+    (end exclusive) range of events up to and including frame i's timestamp,
+    with ``start_i = end_{i-1}`` and ``end_i = searchsorted(ts, frame_ts[i],
+    'right')-ish via searchsorted left — exactly the ``between_frames``
+    windowing convention of the dataset layer. This is the layout BOTH
+    framework writers (``memmap_packager``, ``h5_to_memmap``) store in
+    ``index.npy``."""
+    event_stamps = np.asarray(event_stamps)
+    if event_stamps.ndim > 1:
+        event_stamps = event_stamps[:, 0]
+    ends = np.searchsorted(event_stamps, np.asarray(frame_stamps))
+    starts = np.concatenate([[0], ends[:-1]])
+    return np.stack([starts, ends], axis=-1).astype(np.int64)
+
+
+def _normalize_frame_index(raw, num_events):
+    """Best-effort normalisation of an ``index.npy`` into the canonical
+    ``(F, 2) (start, end)`` layout: handles this framework's canonical
+    tables, reference ``compute_indices`` output (columns reversed), and
+    reference ``h5_to_memmap`` attr dumps (``(F, 1)``/``(F,)`` end
+    indices)."""
+    raw = np.asarray(raw).astype(np.int64)
+    if raw.ndim == 1 or (raw.ndim == 2 and raw.shape[1] == 1):
+        ends = raw.reshape(-1)
+        starts = np.concatenate([[0], ends[:-1]])
+        return np.stack([starts, ends], axis=-1)
+    if raw.ndim == 2 and raw.shape[1] == 2:
+        if np.all(raw[:, 0] <= raw[:, 1]):
+            return raw  # already (start, end)
+        if np.all(raw[:, 1] <= raw[:, 0]):
+            return raw[:, ::-1]  # reference (end, start): swap
+    return raw  # unknown layout: hand back as loaded
 
 
 # ---------------------------------------------------------------------------
@@ -111,9 +151,7 @@ def read_memmap_events(memmap_path, skip_frames: int = 1,
         if not fname.endswith(".npy"):
             continue
         if fname == "index.npy":
-            indices = np.load(path).astype("int64")
-            assert indices.ndim == 2 and indices.shape[1] == 2
-            data["index"] = indices.T
+            data["index_raw"] = np.load(path).astype("int64")
         elif fname == images_ts_file:
             data["frame_stamps"] = np.load(path)[::skip_frames, ...]
         elif fname == images_file:
@@ -140,9 +178,15 @@ def read_memmap_events(memmap_path, skip_frames: int = 1,
             f"Inconsistent event component lengths in {memmap_path}")
     data["path"] = memmap_path
     data["num_events"] = len(data["p"])
-    if "index" not in data and "frame_stamps" in data:
+    # "index" is ALWAYS the canonical (F, 2) (start, end) table (see
+    # frame_event_indices); foreign layouts (reference compute_indices /
+    # attr dumps) are normalized, the as-loaded table stays in "index_raw".
+    if "index_raw" in data:
+        data["index"] = _normalize_frame_index(data["index_raw"],
+                                               data["num_events"])
+    elif "frame_stamps" in data:
         t = np.asarray(data["t"]).reshape(-1, 1)
-        data["index"] = compute_indices(t, data["frame_stamps"])
+        data["index"] = frame_event_indices(t, data["frame_stamps"])
     return data
 
 

@@ -307,14 +307,22 @@ class BaseVoxelDataset:
             if self.return_flow:
                 item["flow"] = flow
                 item["flow_ts"] = self.frame_ts[index]
+            # Divergence (documented): the reference returns the CURRENT
+            # frame/flow for prev_* (base_dataset.py:270-276 calls
+            # get_frame(index)/get_flow(index) again), so temporal-pair
+            # consumers trained on zero-motion pairs; here prev_* really is
+            # index-1 (clamped at the sequence start).
+            prev_idx = max(index - 1, 0)
             if self.return_prev_flow:
-                item["prev_flow"] = flow
+                item["prev_flow"] = (self.transform_flow(
+                    self.get_flow(prev_idx) * dt, seed)
+                    if self.has_flow else flow)
             if self.return_frame:
                 item["frame"] = frame
                 item["frame_ts"] = self.frame_ts[index]
             if self.return_prev_frame:
                 item["prev_frame"] = self.transform_frame(
-                    self.get_frame(index), seed)
+                    self.get_frame(prev_idx), seed)
         else:
             frames, frame_ts = [], []
             if self.has_frames and self.return_frame:

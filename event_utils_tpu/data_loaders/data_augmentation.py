@@ -57,21 +57,34 @@ class CenterCrop:
 
 
 class RandomCrop:
-    """Random crop with an explicit rng (new; the deterministic complement of
-    CenterCrop for training pipelines)."""
+    """Random crop (new; the stochastic complement of CenterCrop for
+    training pipelines).
+
+    Offsets come from the stdlib ``random`` module by default:
+    ``BaseVoxelDataset._apply`` synchronizes an item's voxel/frame/flow
+    transforms by re-seeding ``random`` with a shared per-item seed, so a
+    module-level draw gives all three the SAME crop window (a private
+    ``np.random.Generator`` here would silently desynchronize them). Pass
+    an explicit ``rng`` only for standalone use outside the dataset."""
 
     def __init__(self, size, rng: Optional[np.random.Generator] = None):
         if isinstance(size, numbers.Number):
             self.size = (int(size), int(size))
         else:
             self.size = tuple(size)
-        self.rng = rng or np.random.default_rng()
+        self.rng = rng
 
     def __call__(self, x, is_flow: bool = False):
+        import random
+
         h, w = x.shape[1], x.shape[2]
         th, tw = self.size
-        i = int(self.rng.integers(0, h - th + 1))
-        j = int(self.rng.integers(0, w - tw + 1))
+        if self.rng is not None:
+            i = int(self.rng.integers(0, h - th + 1))
+            j = int(self.rng.integers(0, w - tw + 1))
+        else:
+            i = random.randint(0, h - th)
+            j = random.randint(0, w - tw)
         return x[:, i:i + th, j:j + tw]
 
 

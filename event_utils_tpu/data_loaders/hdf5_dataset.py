@@ -52,13 +52,27 @@ class DynamicH5Dataset(BaseVoxelDataset):
     def ts(self, index):
         return self.h5_file["events/ts"][index]
 
-    def compute_frame_indices(self):
-        """Per-frame event ranges from the stored event_idx attrs
-        (reference hdf5_dataset.py:59-66)."""
+    def compute_between_frame_indices(self):
+        """Per-frame event ranges from the stored event_idx attrs when the
+        file carries them — O(frames) attr reads instead of one on-disk
+        binary search per frame.
+
+        The reference's equivalent (hdf5_dataset.py:59-66, named
+        ``compute_frame_indices``) is dead code upstream: its base class
+        only ever calls ``compute_between_frame_indices``, so the stored
+        attrs were never used. Wired in here, with a fallback to the base
+        binary-search path for files without (or with inconsistent) attrs.
+        """
         frame_indices = []
         start_idx = 0
         for name in sorted(self.h5_file["images"]):
-            end_idx = self.h5_file[f"images/{name}"].attrs["event_idx"]
-            frame_indices.append([start_idx, end_idx])
-            start_idx = end_idx
+            attrs = self.h5_file[f"images/{name}"].attrs
+            if "event_idx" not in attrs:
+                return super().compute_between_frame_indices()
+            end_idx = int(attrs["event_idx"])
+            if end_idx < start_idx or end_idx > self.num_events:
+                return super().compute_between_frame_indices()
+            frame_indices.append([start_idx, min(end_idx,
+                                                 self.num_events - 1)])
+            start_idx = frame_indices[-1][1]
         return frame_indices

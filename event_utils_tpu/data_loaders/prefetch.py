@@ -45,6 +45,12 @@ class EventDataLoader:
         self.queue_depth = queue_depth
         if collate_fn is None:
             collate_fn = getattr(type(dataset), "collate_padded", None)
+            # collate_padded packs item["events"]; a dataset configured
+            # without return_events has no such key, so defaulting to it
+            # would KeyError on the first batch
+            if collate_fn is not None and not getattr(dataset,
+                                                      "return_events", True):
+                collate_fn = None
             if collate_fn is None:
                 collate_fn = getattr(type(dataset), "collate_fn", _default_collate)
         self.collate_fn = collate_fn

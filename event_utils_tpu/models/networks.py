@@ -146,7 +146,11 @@ def contrast_flow_loss(flow, events, events_mask, sensor_size,
 
     def one(flow_b, ev, mask):
         xs, ys, ts, ps = ev[:, 0], ev[:, 1], ev[:, 2], ev[:, 3]
-        t_last = jnp.max(jnp.where(mask != 0, ts, -jnp.inf))
+        # empty windows (all-zero mask, e.g. a quiet t_seconds interval)
+        # would give t_last = -inf -> NaN warp -> NaN batch loss
+        any_valid = jnp.any(mask != 0)
+        t_last = jnp.where(any_valid,
+                           jnp.max(jnp.where(mask != 0, ts, -jnp.inf)), 0.0)
         xw, yw = warp_events_flow(xs, ys, ts, ps, flow_b, t0=t_last,
                                   mask=mask)
         valid = ((xw >= 0) & (xw < W) & (yw >= 0) & (yw < H)

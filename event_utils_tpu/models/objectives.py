@@ -458,6 +458,12 @@ class r1_objective(objective_function):
         iwe = self._blur(iwe, blur_sigma)
         sos = float(jnp.mean(iwe * iwe))
         sosa = float(jnp.sum(jnp.exp(-self.p * iwe)))
+        # Reference-parity quirk kept (objectives.py:571-589): last_sosa is
+        # initialized to 0 and only updated when sosa <= last_sosa, but
+        # sosa = sum(exp(.)) > 0 always, so the gate NEVER closes and this
+        # host API permanently returns plain -sos. The jitted/batched paths
+        # use loss_fn above — the true SOS*SOSA product — so optimizers are
+        # unaffected; this method exists for reference API compatibility.
         if sosa > self.last_sosa:
             return -sos
         self.last_sosa = sosa

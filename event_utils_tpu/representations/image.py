@@ -129,11 +129,14 @@ def events_to_image(xs, ys, ps, sensor_size=(180, 240),
                                     mask=mask, impl=impl)
         img = jnp.where(img == 0, default, img)
         if meanval:
-            cnt = events_to_image_torch(xs, ys, jnp.ones_like(jnp.asarray(xs, jnp.float32)),
-                                        sensor_size=sensor_size,
-                                        clip_out_of_range=True,
-                                        interpolation=None, padding=padding,
-                                        mask=mask, impl=impl)
+            # Latent reference defect repaired (image.py:24-27 counts on the
+            # UNPADDED grid, so meanval+bilinear+padding crashes upstream
+            # with a (H+1, W+1) vs (H, W) broadcast error): count events at
+            # their integer pixel on the image's own grid, OOB dropped.
+            fx = jnp.floor(jnp.asarray(xs, jnp.float32))
+            fy = jnp.floor(jnp.asarray(ys, jnp.float32))
+            cnt = scatter_add_2d(fx, fy, jnp.ones_like(fx), img.shape,
+                                 mask=mask, impl=impl)
     else:
         img_size = (H + 1, W + 1)
         img = scatter_add_2d(xs, ys, jnp.asarray(ps, jnp.float32), img_size,

@@ -126,23 +126,30 @@ def events_to_voxel(xs, ys, ts, ps, B: int, sensor_size=(180, 240),
 
         if spatial_interpolation == "bilinear":
             from ..ops.scatter import bilinear_scatter
-            grid = jnp.zeros((B, H, W), ps.dtype)
             fx = xs.astype(jnp.float32)
             fy = ys.astype(jnp.float32)
+            # Bin stride H+1 (not H): each bin gets one guard row so that a
+            # y0+1 tap of an event with fy in (H-1, H) lands in its own
+            # bin's guard row (sliced away) instead of crossing into the
+            # NEXT bin's row 0, and a y0 tap of fy in (-1, 0) lands in the
+            # previous bin's guard row instead of its last row.
+            SH = H + 1
+            # events with no valid y tap (fy <= -1 or fy >= H) must be
+            # dropped entirely — one guard row only absorbs single-row
+            # spill, anything further would alias into a neighbouring bin
+            y_ok = (fy > -1.0) & (fy < H)
             flat = []
             for ib, wb in ((ib0, 1.0 - fb), (ib0 + 1, fb)):
-                bin_ok = (ib >= 0) & (ib < B)
+                bin_ok = (ib >= 0) & (ib < B) & y_ok
                 m = jnp.where(bin_ok, 1.0, 0.0)
-                # spatial 4-tap inside each temporal tap: offset the flat id
-                # by bin * H * W through a y-offset of bin * H.
-                flat.append((fx, fy + jnp.clip(ib, 0, B - 1).astype(jnp.float32) * H,
+                flat.append((fx, fy + jnp.clip(ib, 0, B - 1).astype(jnp.float32) * SH,
                              ps * wb * m))
             img = bilinear_scatter(
                 jnp.concatenate([f[0] for f in flat]),
                 jnp.concatenate([f[1] for f in flat]),
                 jnp.concatenate([f[2] for f in flat]),
-                (B * H, W), impl=impl)
-            return img.reshape(B, H, W)
+                (B * SH, W), impl=impl)
+            return img.reshape(B, SH, W)[:, :H, :]
 
         # Integer-coordinate path (reference parity): 2 temporal taps.
         flat_px = iys * W + ixs

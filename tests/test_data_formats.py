@@ -116,3 +116,82 @@ def test_rosbag_gated():
     from event_utils_tpu.data_formats import extract_rosbag
     with pytest.raises(ImportError):
         extract_rosbag("/nope.bag", "/tmp/x.h5", "/dvs/events")
+
+
+def test_index_npy_canonical_contract(tmp_path, rng):
+    """Both writers emit the canonical (F, 2) int64 (start, end) table and
+    the reader normalizes foreign layouts (review r2: the packager wrote
+    reference-quirk (end, start) rows while h5_to_memmap wrote a different
+    shape, and the reader transposed one of them)."""
+    from event_utils_tpu.data_formats.read_events import (
+        _normalize_frame_index, compute_indices, frame_event_indices,
+        read_memmap_events)
+
+    ts = np.sort(rng.uniform(0, 1, 500))
+    frame_ts = np.array([0.25, 0.5, 0.75])
+    canon = frame_event_indices(ts, frame_ts)
+    assert canon.shape == (3, 2)
+    assert (canon[:, 0] <= canon[:, 1]).all()
+    assert canon[0, 0] == 0
+    # start_i == end_{i-1} (between_frames convention)
+    np.testing.assert_array_equal(canon[1:, 0], canon[:-1, 1])
+    # ends are the searchsorted positions of the frame stamps
+    np.testing.assert_array_equal(canon[:, 1], np.searchsorted(ts, frame_ts))
+
+    # reference compute_indices output normalizes to (start, end)
+    ref = compute_indices(ts.reshape(-1, 1), frame_ts)
+    norm = _normalize_frame_index(ref, len(ts))
+    assert (norm[:, 0] <= norm[:, 1]).all()
+    # attr-dump (F,) layout normalizes too
+    ends = np.searchsorted(ts, frame_ts)
+    norm2 = _normalize_frame_index(ends, len(ts))
+    np.testing.assert_array_equal(norm2, canon)
+
+
+def test_memmap_writers_agree_on_index(tmp_path, rng):
+    """memmap_packager and h5_to_memmap produce the SAME index.npy for the
+    same recording."""
+    import os
+
+    from event_utils_tpu.data_formats.event_packagers import (hdf5_packager,
+                                                              memmap_packager)
+    from event_utils_tpu.data_formats.h5_to_memmap import main as h5mm
+    from event_utils_tpu.data_formats.read_events import read_memmap_events
+
+    n = 2000
+    xs = rng.integers(0, 32, n).astype(np.int16)
+    ys = rng.integers(0, 24, n).astype(np.int16)
+    ts = np.sort(rng.uniform(0, 1, n))
+    ps = rng.integers(0, 2, n).astype(np.int8)
+    frames = [(np.full((24, 32), i, np.uint8), 0.2 + 0.3 * i) for i in range(3)]
+
+    h5p = str(tmp_path / "scene.h5")
+    ep = hdf5_packager(h5p)
+    ep.set_data_available(3, 0)
+    ep.package_events(xs, ys, ts, ps)
+    for i, (img, ft) in enumerate(frames):
+        ep.package_image(img, ft, i)
+    ep.add_metadata(n, int((ps > 0).sum()), int((ps == 0).sum()),
+                    ts[-1] - ts[0], ts[0], ts[-1], 3, 0, sensor_size=(24, 32))
+    ep.close()
+
+    mm_dir = str(tmp_path / "direct")
+    mp = memmap_packager(mm_dir)
+    mp.set_data_available(3, 0)
+    mp.package_events(xs, ys, ts, ps)
+    for i, (img, ft) in enumerate(frames):
+        mp.package_image(img, ft, i)
+    mp.add_metadata(n, int((ps > 0).sum()), int((ps == 0).sum()),
+                    ts[-1] - ts[0], ts[0], ts[-1], 3, 0, sensor_size=(24, 32))
+
+    conv_root = str(tmp_path / "converted")
+    h5mm([h5p, "--output_dir", conv_root])
+    conv_dir = os.path.join(conv_root, "scene")
+
+    i1 = np.load(os.path.join(mm_dir, "index.npy"))
+    i2 = np.load(os.path.join(conv_dir, "index.npy"))
+    np.testing.assert_array_equal(i1, i2)
+    # reader exposes the canonical table either way
+    d = read_memmap_events(mm_dir)
+    np.testing.assert_array_equal(np.asarray(d["index"]), i1)
+    assert (i1[:, 0] <= i1[:, 1]).all()

@@ -201,3 +201,68 @@ def test_memmap_flow_stamps_not_confused_with_frame_stamps(tmp_path):
     # flow stamps land in optic_flow_stamps; frame stamps stay empty
     assert len(ds.frame_ts) == 0
     assert np.allclose(ds.filehandle["optic_flow_stamps"], flow_stamps)
+
+
+def test_default_loader_without_events_key(h5_path):
+    """EventDataLoader over a dataset with return_events=False must not
+    default to collate_padded (which requires item['events']; review r2)."""
+    from event_utils_tpu.data_loaders.hdf5_dataset import DynamicH5Dataset
+    from event_utils_tpu.data_loaders.prefetch import EventDataLoader
+
+    ds = DynamicH5Dataset(h5_path, voxel_method={"method": "k_events",
+                                                 "k": 2000,
+                                                 "sliding_window_w": 0})
+    batches = list(EventDataLoader(ds, batch_size=2))
+    assert len(batches) >= 1
+    assert "voxel" in batches[0]
+
+
+def test_random_crop_synchronized_across_tensors():
+    """RandomCrop must draw offsets from the stdlib random module so the
+    per-item seed in BaseVoxelDataset._apply gives voxel/frame/flow the
+    SAME window (review r2)."""
+    import random
+
+    from event_utils_tpu.data_loaders.data_augmentation import RandomCrop
+
+    crop = RandomCrop(4)
+    marker = np.arange(20 * 30, dtype=np.float32).reshape(1, 20, 30)
+    random.seed(123)
+    a = crop(marker)
+    random.seed(123)
+    b = crop(marker * 2.0)
+    np.testing.assert_allclose(b, a * 2.0)  # same window
+
+
+def test_h5_between_frames_uses_event_idx_attrs(h5_path):
+    """DynamicH5Dataset's attrs-based between-frames windows must agree
+    with the base class's binary-search computation (the override was dead
+    code — named after the reference's own dead hook; review r2)."""
+    from event_utils_tpu.data_loaders.base_dataset import BaseVoxelDataset
+    from event_utils_tpu.data_loaders.hdf5_dataset import DynamicH5Dataset
+
+    ds = DynamicH5Dataset(h5_path,
+                          voxel_method={"method": "between_frames",
+                                        "sliding_window_w": 0})
+    expected = BaseVoxelDataset.compute_between_frame_indices(ds)
+    assert ds.compute_between_frame_indices() == expected
+    assert ds.event_indices == expected[:len(ds.event_indices)]
+
+
+def test_prev_frame_and_flow_are_previous(h5_path):
+    """prev_frame/prev_flow return index-1 data (documented divergence: the
+    reference returns the CURRENT frame/flow for both)."""
+    from event_utils_tpu.data_loaders.hdf5_dataset import DynamicH5Dataset
+
+    ds = DynamicH5Dataset(h5_path,
+                          voxel_method={"method": "between_frames",
+                                        "sliding_window_w": 0},
+                          return_frame=True, return_prev_frame=True,
+                          return_format="numpy")
+    item = ds[1]
+    exp_prev = ds.get_frame(0)
+    exp_cur = ds.get_frame(1)
+    if not np.array_equal(exp_prev, exp_cur):  # frames differ in fixture
+        assert not np.array_equal(item["prev_frame"], item["frame"])
+    np.testing.assert_array_equal(np.asarray(item["prev_frame"]).squeeze(),
+                                  exp_prev.squeeze())

@@ -128,3 +128,22 @@ def test_perceptual_distance_properties(rng):
     l0 = float(reconstruction_loss(img, shuffled))
     l1 = float(reconstruction_loss(img, shuffled, lpips_weight=1.0))
     assert l1 > l0
+
+
+def test_contrast_flow_loss_empty_window_finite(rng):
+    """A window whose mask is all zero (quiet t_seconds interval) must give
+    a finite loss, not t_last=-inf -> NaN warp (review r2)."""
+    import jax.numpy as jnp
+
+    from event_utils_tpu.models.networks import contrast_flow_loss
+
+    B, N, H, W = 2, 64, 16, 24
+    ev = rng.uniform(0, 1, (B, N, 4)).astype(np.float32)
+    ev[..., 0] *= W - 1
+    ev[..., 1] *= H - 1
+    mask = np.ones((B, N), np.float32)
+    mask[1] = 0.0  # second window entirely empty
+    flow = np.zeros((B, 2, H, W), np.float32)
+    loss = float(contrast_flow_loss(jnp.asarray(flow), jnp.asarray(ev),
+                                    jnp.asarray(mask), (H, W)))
+    assert np.isfinite(loss)

@@ -240,3 +240,52 @@ def test_events_to_voxel_tiled_negative_coords_and_capacity_guard(rng):
     with pytest.raises(ValueError, match="capacity"):
         events_to_voxel_tiled(xs, ys, ts, ps, 3, (H, W), tile=(128, 128),
                               impl=None, capacity=8)
+
+
+def test_voxel_spatial_bilinear_no_bin_crossing(rng):
+    """Fractional-y taps must stay inside their temporal bin: the flat
+    (B*H, W) trick let a y0+1 tap at fy in (H-1, H) cross into the next
+    bin's row 0 (review r2; fixed with per-bin guard rows)."""
+    from event_utils_tpu.representations.voxel_grid import events_to_voxel
+
+    H, W, B = 8, 16, 3
+    # one event per bin at fy = H - 0.5 (tap y0+1 = H must be dropped),
+    # plus one at fy = -0.5 (tap y0 = -1 must be dropped)
+    xs = np.array([4.0, 4.0, 4.0, 6.0])
+    ys = np.array([H - 0.5, H - 0.5, H - 0.5, -0.5])
+    ts = np.array([0.0, 0.5, 1.0, 0.0])
+    ps = np.ones(4)
+    g = np.asarray(events_to_voxel(xs, ys, ts, ps, B, sensor_size=(H, W),
+                                   spatial_interpolation="bilinear"))
+    # bin 0 row 0: only the fy=-0.5 event's y0+1 tap (weight 0.5 * its
+    # temporal weight 1.0 at bin 0) — nothing from the fy=H-0.5 events
+    assert np.isclose(g[0, 0, 6], 0.5), g[0, 0, :]
+    assert np.isclose(g[0, 0, 4], 0.0)
+    # each bin's last row holds the fy=H-0.5 event's y0 tap only
+    for b, expected in ((0, 0.5), (1, 0.5), (2, 0.5)):
+        col = g[b, H - 1, 4]
+        assert col > 0.0
+    # events fully below/above the image contribute nothing anywhere
+    g2 = np.asarray(events_to_voxel(np.array([4.0]), np.array([H + 0.5]),
+                                    np.array([0.5]), np.ones(1), B,
+                                    sensor_size=(H, W),
+                                    spatial_interpolation="bilinear"))
+    assert g2.sum() == 0.0
+
+
+def test_events_to_image_bilinear_padding_meanval(rng):
+    """meanval + bilinear + padding crashed with a (H+1, W+1) vs (H, W)
+    broadcast error (review r2; the reference's own path has the same
+    latent defect — repaired here with an integer count on the image
+    grid)."""
+    from event_utils_tpu.representations.image import events_to_image
+
+    n = 500
+    xs = rng.uniform(0, 31, n)
+    ys = rng.uniform(0, 23, n)
+    ps = rng.choice([-1.0, 1.0], n)
+    img = np.asarray(events_to_image(xs, ys, ps, sensor_size=(24, 32),
+                                     interpolation="bilinear", padding=True,
+                                     meanval=True))
+    assert img.shape == (24, 32)
+    assert np.isfinite(img).all()
