@@ -235,43 +235,70 @@ class H5WindowedLoader:
             # queue depth 2 + one slab being consumed + one being read stays
             # within the slab pool's depth (no in-flight overwrite); reader
             # errors propagate to the consumer instead of silently ending
-            # the epoch
+            # the epoch. An abandoned iteration's reader must STOP: it
+            # shares the rotating slab pool with any subsequent iteration,
+            # so a survivor would overwrite slabs the new epoch is
+            # consuming (and block forever on the full queue).
+            prev_stop = getattr(self, "_reader_stop", None)
+            if prev_stop is not None:
+                prev_stop.set()
+            stop = threading.Event()
+            self._reader_stop = stop
             q: "queue.Queue" = queue.Queue(maxsize=_POOL_DEPTH - 2)
+
+            def put(item):
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.1)
+                        return True
+                    except queue.Full:
+                        continue
+                return False
 
             def reader():
                 try:
                     for sel in batches:
-                        q.put(("ok", self._read_slab(sel)))
-                    q.put(("done", None))
+                        if stop.is_set():
+                            return
+                        if not put(("ok", self._read_slab(sel))):
+                            return
+                    put(("done", None))
                 except BaseException as exc:  # noqa: BLE001 - re-raised below
-                    q.put(("err", exc))
+                    put(("err", exc))
 
             th = threading.Thread(target=reader, daemon=True)
             th.start()
 
             def drain():
-                while True:
-                    kind, item = q.get()
-                    if kind == "err":
-                        raise item
-                    if kind == "done":
-                        return
-                    yield item
+                try:
+                    while True:
+                        kind, item = q.get()
+                        if kind == "err":
+                            raise item
+                        if kind == "done":
+                            return
+                        yield item
+                finally:
+                    stop.set()  # runs on break/close/GC of the generator
 
             slabs = drain()
 
-        for (xs, ys, ts, ps, rel_windows) in slabs:
-            B = len(rel_windows)
-            events, mask, trunc = native.fill_padded_batches_components(
-                ts, xs, ys, ps, rel_windows, self.capacity,
-                relative_time=self.relative_time, nthreads=self.nthreads,
-                out=_out_buffers(self._out_pool, B, self.capacity))
-            self.truncated_events += trunc
-            yield {
-                "events": events,
-                "events_mask": mask,
-                "window_idx0": rel_windows[:, 0],
-                "window_idx1": rel_windows[:, 1],
-                "t_starts": ts[np.clip(rel_windows[:, 0], 0,
-                                       len(ts) - 1)] - t_first,
-            }
+        try:
+            for (xs, ys, ts, ps, rel_windows) in slabs:
+                B = len(rel_windows)
+                events, mask, trunc = native.fill_padded_batches_components(
+                    ts, xs, ys, ps, rel_windows, self.capacity,
+                    relative_time=self.relative_time, nthreads=self.nthreads,
+                    out=_out_buffers(self._out_pool, B, self.capacity))
+                self.truncated_events += trunc
+                yield {
+                    "events": events,
+                    "events_mask": mask,
+                    "window_idx0": rel_windows[:, 0],
+                    "window_idx1": rel_windows[:, 1],
+                    "t_starts": ts[np.clip(rel_windows[:, 0], 0,
+                                           len(ts) - 1)] - t_first,
+                }
+        finally:
+            if self.prefetch:
+                stop.set()  # abandoned iteration: halt the reader thread

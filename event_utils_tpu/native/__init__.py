@@ -114,6 +114,11 @@ def searchsorted_f64(ts: np.ndarray, x: float, side: str = "left") -> int:
 
 def k_event_windows(num_events: int, k: int, overlap: int = 0) -> np.ndarray:
     """(n, 2) fixed-count window index table."""
+    if overlap >= k:
+        from ..errors import ConfigurationError
+        raise ConfigurationError(
+            f"k_event_windows: overlap ({overlap}) must be < k ({k}) — "
+            "a non-positive stride never advances")
     lib = _get_lib()
     stride = k - overlap
     max_windows = max(num_events // max(stride, 1) + 1, 1)
@@ -132,6 +137,11 @@ def k_event_windows(num_events: int, k: int, overlap: int = 0) -> np.ndarray:
 def t_second_windows(ts: np.ndarray, t_width: float,
                      overlap: float = 0.0) -> np.ndarray:
     """(n, 2) fixed-duration window index table over sorted timestamps."""
+    if overlap >= t_width:
+        from ..errors import ConfigurationError
+        raise ConfigurationError(
+            f"t_second_windows: overlap ({overlap}) must be < t_width "
+            f"({t_width}) — a non-positive stride never advances")
     lib = _get_lib()
     ts = np.ascontiguousarray(ts, np.float64)
     if lib is None or len(ts) == 0:

@@ -265,3 +265,54 @@ def test_native_bucket_fill_matches_numpy(rng):
     for a, b, name in zip(got[:6], ref[:6], "xytpmo"):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4,
                                    err_msg=name)
+
+
+def test_h5_loader_abandoned_iteration_no_corruption(tmp_path, rng):
+    """Breaking out of a prefetching iteration must stop its reader thread:
+    a survivor shares the rotating slab pool with the next epoch and would
+    overwrite in-flight slabs (review r2)."""
+    import time
+
+    import h5py
+
+    from event_utils_tpu.data_loaders.native_loader import H5WindowedLoader
+
+    n = 20000
+    t = np.sort(rng.uniform(0, 1, n))
+    path = str(tmp_path / "a.h5")
+    with h5py.File(path, "w") as f:
+        g = f.create_group("events")
+        g.create_dataset("xs", data=rng.integers(0, 64, n).astype(np.int16))
+        g.create_dataset("ys", data=rng.integers(0, 48, n).astype(np.int16))
+        g.create_dataset("ts", data=t)
+        g.create_dataset("ps", data=rng.integers(0, 2, n).astype(bool))
+    loader = H5WindowedLoader(path, method="k_events", k=500,
+                              batch_size=2, prefetch=True)
+    full = [np.array(b["events"]) for b in loader]  # reference epoch
+
+    it = iter(loader)
+    next(it)  # consume one batch, then abandon
+    del it
+    time.sleep(0.2)  # give an orphaned reader time to misbehave (pre-fix)
+
+    again = [np.array(b["events"]) for b in loader]
+    assert len(again) == len(full)
+    for a, b in zip(full, again):
+        np.testing.assert_array_equal(a, b)
+    stop = getattr(loader, "_reader_stop", None)
+    assert stop is not None and stop.is_set()
+
+
+def test_window_tables_reject_degenerate_stride():
+    """overlap >= width is a typed configuration error, not an infinite
+    window table / giant allocation (review r2)."""
+    import pytest
+
+    from event_utils_tpu import native
+    from event_utils_tpu.errors import ConfigurationError
+
+    with pytest.raises(ConfigurationError):
+        native.k_event_windows(1000, k=100, overlap=100)
+    with pytest.raises(ConfigurationError):
+        native.t_second_windows(np.linspace(0, 1, 100), t_width=0.1,
+                                overlap=0.1)
