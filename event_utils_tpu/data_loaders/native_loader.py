@@ -223,7 +223,6 @@ class H5WindowedLoader:
         import queue
         import threading
 
-        t_first = float(self._ts[0]) if self.num_events else 0.0
         batches = [self.windows[s:s + self.batch_size]
                    for s in range(0, len(self.windows), self.batch_size)]
         if self.drop_last:
@@ -296,8 +295,12 @@ class H5WindowedLoader:
                     "events_mask": mask,
                     "window_idx0": rel_windows[:, 0],
                     "window_idx1": rel_windows[:, 1],
+                    # ABSOLUTE window-start stamps (same contract as
+                    # NativeWindowedLoader; the slab's ts is already
+                    # absolute — only the padded batch is window-relative
+                    # under relative_time)
                     "t_starts": ts[np.clip(rel_windows[:, 0], 0,
-                                           len(ts) - 1)] - t_first,
+                                           len(ts) - 1)].copy(),
                 }
         finally:
             if self.prefetch:
