@@ -11,6 +11,12 @@ import argparse
 import os
 
 
+def _num_compress(v):
+    """--num_compress accepts "auto", "all", or an integer count (the
+    str-typed flag previously made every numeric value a TypeError)."""
+    return v if v in ("auto", "all") else int(v)
+
+
 def build_parser():
     parser = argparse.ArgumentParser(
         description="Render an event dataset to figures/video frames")
@@ -22,7 +28,11 @@ def build_parser():
     parser.add_argument("--w_width", type=float, default=0.01,
                         help="t_seconds window width")
     parser.add_argument("--sw_width", type=float, default=None,
-                        help="sliding-window overlap (seconds)")
+                        help="sliding-window OVERLAP in seconds (dataset "
+                             "stride = w_width - sw_width). NB: "
+                             "visualize_events/visualize_voxel use the same "
+                             "flag name as a STRIDE — the split is "
+                             "inherited from the reference CLIs")
     parser.add_argument("--num_bins", type=int, default=5)
     parser.add_argument("--show_plot", action="store_true")
     parser.add_argument("--num_show", type=int, default=-1)
@@ -32,7 +42,8 @@ def build_parser():
     parser.add_argument("--hide_events", action="store_true")
     parser.add_argument("--hide_frames", action="store_true")
     parser.add_argument("--show_axes", action="store_true")
-    parser.add_argument("--num_compress", type=str, default="auto")
+    parser.add_argument("--num_compress", type=_num_compress,
+                        default="auto")
     parser.add_argument("--compress_front", action="store_true")
     parser.add_argument("--invert", action="store_true")
     parser.add_argument("--crop", type=str, default=None,

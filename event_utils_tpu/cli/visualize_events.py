@@ -7,6 +7,12 @@ import argparse
 import numpy as np
 
 
+def _num_compress(v):
+    """--num_compress accepts "auto", "all", or an integer count (the
+    str-typed flag previously made every numeric value a TypeError)."""
+    return v if v in ("auto", "all") else int(v)
+
+
 def build_parser():
     parser = argparse.ArgumentParser(description="3-D event stream renderer")
     parser.add_argument("path", help="HDF5 file or memmap dir")
@@ -16,7 +22,8 @@ def build_parser():
     parser.add_argument("--renderer", default="matplotlib",
                         choices=["matplotlib", "mayavi"])
     parser.add_argument("--w_width", type=float, default=0.01)
-    parser.add_argument("--sw_width", type=float, default=None)
+    parser.add_argument("--sw_width", type=float, default=None,
+                        help="sliding-window STRIDE in seconds (default:\n                        advance one full window). NB: visualize.py's\n                        flag of the same name is an OVERLAP — that\n                        semantic split is inherited from the\n                        reference CLIs")
     parser.add_argument("--num_show", type=int, default=-1)
     parser.add_argument("--event_size", type=float, default=2)
     parser.add_argument("--elev", type=float, default=0)
@@ -24,7 +31,8 @@ def build_parser():
     parser.add_argument("--hide_events", action="store_true")
     parser.add_argument("--hide_frames", action="store_true")
     parser.add_argument("--show_axes", action="store_true")
-    parser.add_argument("--num_compress", type=str, default="auto")
+    parser.add_argument("--num_compress", type=_num_compress,
+                        default="auto")
     parser.add_argument("--compress_front", action="store_true")
     parser.add_argument("--invert", action="store_true")
     parser.add_argument("--crop", type=str, default=None)
@@ -64,7 +72,9 @@ def main(argv=None):
         renderer.plot_between_frames(xs, ys, ts, ps, frames, fei, args,
                                      plttype="events")
     else:
-        renderer.plot_events_sliding(xs, ys, ts, ps, args, frames=frames,
+        renderer.plot_events_sliding(xs, ys, ts, ps, args,
+                                     dt=args.w_width, sdt=args.sw_width,
+                                     frames=frames,
                                      frame_ts=frame_ts)
 
 

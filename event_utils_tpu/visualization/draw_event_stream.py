@@ -201,15 +201,21 @@ def plot_voxel_grid(xs, ys, ts, ps, bins: int = 5, frames=(), frame_ts=(),
     return vox
 
 
-def plot_events_sliding(xs, ys, ts, ps, args, frames=(), frame_ts=()):
+def plot_events_sliding(xs, ys, ts, ps, args, dt=None, sdt=None, frames=(),
+                        frame_ts=()):
     """Sliding-window video rendering with an animated camera ramp
     (reference draw_event_stream.py:15-73). ``args`` carries the
-    ``plot_events`` options (see ``cli.visualize_events``)."""
+    ``plot_events`` options (see ``cli.visualize_events``); explicit
+    ``dt``/``sdt`` override ``args.w_width``/``args.sw_width`` (same
+    signature as the mayavi twin, so the CLI can call either renderer)."""
     xs, ys, ts, ps = map(np.asarray, (xs, ys, ts, ps))
-    dt, sdt = args.w_width, args.sw_width
+    dt = args.w_width if dt is None else dt
+    sdt = args.sw_width if sdt is None else sdt
     if dt is None:
         dt = (ts[-1] - ts[0]) / 10
         sdt = dt / 10
+    if sdt is None:  # window width given but stride not: advance one window
+        sdt = dt
 
     frames = list(frames)
     if frames:
@@ -270,9 +276,11 @@ def plot_between_frames(xs, ys, ts, ps, frames, frame_event_idx, args,
         else:
             frame = frames[i:i + args.skip_frames]
             frame_indices = frame_event_idx[i:i + args.skip_frames]
-        s, e = int(frame_indices[0, 1]), int(frame_indices[-1, 0])
+        # canonical (start, end) rows (cli/visualize_events.py builds
+        # them via frame_event_indices): full span = first start..last end
+        s, e = int(frame_indices[0, 0]), int(frame_indices[-1, 1])
         if e <= s:
-            s, e = sorted((s, e))
+            continue
         img_ts = [ts[int(f[1])] for f in frame_indices]
         fname = os.path.join(args.output_path, f"events_{i:09d}.png")
         if plttype == "voxel":

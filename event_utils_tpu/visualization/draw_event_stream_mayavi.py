@@ -166,8 +166,11 @@ def plot_events(xs, ys, ts, ps, save_path=None, num_compress="auto",
         # at the front/back of the volume (matplotlib twin's semantics)
         n_c = int(num_compress)
         if n_c > 0:
-            cs = slice(0, n_c) if compress_front else slice(-n_c, None)
-            zc = 0.0 if compress_front else float(t[-1])
+            # matplotlib-twin parity (draw_event_stream.py:115-118):
+            # compress_front=False -> FIRST events sheeted at the start of
+            # the time axis; True -> LAST events at the end
+            cs = slice(-n_c, None) if compress_front else slice(0, n_c)
+            zc = float(t[-1]) if compress_front else 0.0
             mlab.points3d(ys[cs], xs[cs], np.full(len(xs[cs]), zc),
                           mode="sphere", scale_factor=event_size,
                           color=(0, 0, 0), figure=fig)
@@ -183,7 +186,7 @@ def plot_events(xs, ys, ts, ps, save_path=None, num_compress="auto",
     else:
         _apply_camera_preset(mlab)
     if save_path is not None:
-        ensure_dir(save_path)
+        ensure_dir(os.path.dirname(save_path))
         mlab.savefig(save_path, figure=fig, magnification=8)
     if show_plot:
         mlab.show()
@@ -200,6 +203,8 @@ def plot_events_sliding(xs, ys, ts, ps, args, dt=None, sdt=None, frames=None,
     if dt is None:
         dt = (ts[-1] - ts[0]) / 10
         sdt = dt / 10
+    if sdt is None:  # window width given but stride not: advance one window
+        sdt = dt
     num_show = getattr(args, "num_show", -1)
     skip = max(len(xs) // num_show, 1) if num_show and num_show > 0 else 1
     xs, ys, ts, ps = xs[::skip], ys[::skip], ts[::skip], ps[::skip]
@@ -264,7 +269,8 @@ def plot_between_frames(xs, ys, ts, ps, frames, frame_event_idx, args,
         else:
             frame = frames[i:i + args.skip_frames]
             frame_indices = np.asarray(frame_event_idx[i:i + args.skip_frames])
-        s, e = int(frame_indices[0, 1]), int(frame_indices[-1, 0])
+        # canonical (start, end) rows: full span = first start..last end
+        s, e = int(frame_indices[0, 0]), int(frame_indices[-1, 1])
         if e <= s:
             continue
         img_ts = [ts[f_idx[1]] for f_idx in frame_indices]

@@ -177,3 +177,35 @@ def test_reconstruct_cli(h5_path, tmp_path):
     assert stack.shape == (3, 24, 32)
     assert stack.min() >= 0.0 and stack.max() <= 1.0
     assert len(np.loadtxt(os.path.join(out, "timestamps.txt"))) == 3
+
+
+def test_visualize_cli_num_compress_numeric(h5_path, tmp_path):
+    """--num_compress accepts integers (was str-typed -> TypeError in
+    plot_events; review r2)."""
+    from event_utils_tpu.cli.visualize_events import main
+    out = str(tmp_path / "ev_nc")
+    main([h5_path, "--output_path", out, "--plot_method", "t_seconds",
+          "--w_width", "0.2", "--num_show", "200", "--num_compress", "50"])
+    assert len(os.listdir(out)) >= 1
+
+
+def test_visualize_events_between_frames_skip(h5_path, tmp_path):
+    """between_frames with skip_frames > 1 renders the FULL span (the
+    reference-layout column mix-up rendered empty/truncated ranges;
+    review r2)."""
+    from event_utils_tpu.cli.visualize_events import main
+    out = str(tmp_path / "ev_bf")
+    main([h5_path, "--output_path", out, "--plot_method", "between_frames",
+          "--num_show", "200", "--skip_frames", "2"])
+    assert len(os.listdir(out)) >= 1
+
+
+def test_visualize_events_sliding_stride_default(h5_path, tmp_path):
+    """w_width without sw_width advances one window per frame (was a silent
+    1-second arange step; review r2): a 0.5 s recording at 0.1 s windows
+    must yield ~4 frames, not 1."""
+    from event_utils_tpu.cli.visualize_events import main
+    out = str(tmp_path / "ev_sl")
+    main([h5_path, "--output_path", out, "--plot_method", "t_seconds",
+          "--w_width", "0.1", "--num_show", "100"])
+    assert len(os.listdir(out)) >= 3
