@@ -17,8 +17,9 @@ TimoStoff/event_utils (reference: /root/reference):
 - ``data_formats``    HDF5 / memmap / npy readers & packagers, converters
 - ``data_loaders``    windowed voxel datasets + double-buffered device prefetch
 - ``parallel``        jax.sharding mesh utilities, event-sharded accumulation
+- ``simulation``      ESIM-style event-camera simulator (ground-truth data)
 - ``visualization``   matplotlib 3-D event / voxel / flow renderers
-- ``cli``             visualize / convert entry points
+- ``cli``             visualize / convert / simulate entry points
 
 Events are component arrays ``(xs, ys, ts, ps)`` exactly as in the reference
 API, with an optional validity ``mask`` everywhere so irregular event counts
@@ -31,3 +32,4 @@ from . import errors  # noqa: F401
 from . import ops, utils, representations, models, contrast_max  # noqa: F401
 from . import transforms, augmentation, data_formats, data_loaders  # noqa: F401
 from . import parallel, visualization, native, training  # noqa: F401
+from . import simulation  # noqa: F401

@@ -8,6 +8,8 @@ import argparse
 
 import numpy as np
 
+from ..errors import ConfigurationError, DataError
+
 
 def main(argv=None):
     parser = argparse.ArgumentParser(
@@ -27,10 +29,17 @@ def main(argv=None):
     from ..data_formats import read_h5_event_components
 
     xs, ys, ts, ps = read_h5_event_components(args.path)
+    if len(ts) == 0:
+        raise DataError(f"{args.path} contains no events")
+    total = len(ts)
     ts = ts - ts[0]
     s = args.start_idx
     e = s + args.num_events
     xs, ys, ts, ps = xs[s:e], ys[s:e], ts[s:e], ps[s:e]
+    if len(ts) == 0:
+        raise ConfigurationError(
+            f"empty slice: --start_idx {s} is beyond the file's "
+            f"{total} events")
     img_size = tuple(args.img_size)
     gt = tuple(args.gt)
     warp = linvel_warp()

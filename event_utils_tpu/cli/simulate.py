@@ -1,0 +1,127 @@
+"""Simulated-sequence generator CLI.
+
+Renders a parametric moving scene through the ESIM-style sensor model
+(`simulation/esim.py`) and writes a full ground-truth dataset — events,
+intensity frames, dense flow, metadata — through the same packagers the
+converters use (`data_formats/event_packagers.py`), so the output is
+loadable by every downstream consumer (`DynamicH5Dataset`, the visualize
+CLIs, `cli.train_flow`, `cli.reconstruct`). New capability with no
+reference counterpart: the reference assumes pre-recorded recordings
+(SURVEY.md §0); this produces recordings with *exact* ground truth.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(
+        description="Simulate an event-camera sequence with ground truth")
+    parser.add_argument("output_path",
+                        help="Output .h5 file or memmap directory")
+    parser.add_argument("--scene", choices=("translate", "rotate"),
+                        default="translate")
+    parser.add_argument("--sensor", type=int, nargs=2, default=(180, 240),
+                        metavar=("H", "W"))
+    parser.add_argument("--velocity", type=float, nargs=2, default=(30.0, -20.0),
+                        metavar=("VX", "VY"),
+                        help="Texture velocity in px/s (translate scene)")
+    parser.add_argument("--omega", type=float, default=1.5,
+                        help="Angular velocity in rad/s (rotate scene)")
+    parser.add_argument("--duration", type=float, default=0.5,
+                        help="Sequence length in seconds")
+    parser.add_argument("--fps", type=float, default=200.0,
+                        help="Internal render rate (timestamp resolution)")
+    parser.add_argument("--frame_fps", type=float, default=25.0,
+                        help="Rate at which frames/flow are written out")
+    parser.add_argument("--c_pos", type=float, default=0.2)
+    parser.add_argument("--c_neg", type=float, default=0.2)
+    parser.add_argument("--sigma_c", type=float, default=0.0,
+                        help="Per-pixel threshold-mismatch sigma")
+    parser.add_argument("--refractory", type=float, default=0.0,
+                        help="Refractory period in seconds")
+    parser.add_argument("--octaves", type=int, default=4,
+                        help="Texture octaves (higher = finer structure)")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--format", choices=("h5", "memmap"), default=None,
+                        help="Default: memmap if output_path is a directory-"
+                             "style path (no .h5 suffix), else h5")
+    return parser
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    import jax
+
+    from ..data_formats.event_packagers import hdf5_packager, memmap_packager
+    from ..simulation.esim import (SimulatorConfig, rotating_scene,
+                                   simulate_scene, smooth_texture,
+                                   translating_scene)
+
+    key = jax.random.PRNGKey(args.seed)
+    H, W = args.sensor
+    texture = smooth_texture(key, (H, W), octaves=args.octaves)
+    if args.scene == "translate":
+        scene = translating_scene(texture, tuple(args.velocity))
+    else:
+        scene = rotating_scene(texture, args.omega)
+
+    cfg = SimulatorConfig(c_pos=args.c_pos, c_neg=args.c_neg,
+                          sigma_c=args.sigma_c, refractory=args.refractory)
+    noise_key = key if (args.sigma_c > 0 or cfg.noise_std > 0) else None
+    events, frames, frame_ts, flows = simulate_scene(
+        scene, args.duration, args.fps, cfg, key=noise_key)
+    print(f"simulated {len(events)} events "
+          f"({events.stats['num_pos']} pos / {events.stats['num_neg']} neg, "
+          f"{events.stats['dropped']} dropped)")
+
+    fmt = args.format or ("h5" if args.output_path.endswith(".h5") else
+                          "memmap")
+    if fmt == "h5":
+        pk = hdf5_packager(args.output_path)
+    else:
+        os.makedirs(args.output_path, exist_ok=True)
+        pk = memmap_packager(args.output_path)
+    pk.set_data_available(num_images=1, num_flow=1)
+    pk.package_events(events.xs.astype(np.int64),
+                      events.ys.astype(np.int64), events.ts, events.ps)
+
+    # Write frames/flow at the (coarser) output rate, picking the nearest
+    # rendered sample for each requested stamp.
+    n_out = max(2, int(round(args.duration * args.frame_fps)) + 1)
+    out_ts = np.linspace(0.0, args.duration, n_out)
+    idx = np.searchsorted(frame_ts, out_ts).clip(0, len(frame_ts) - 1)
+    for k, i in enumerate(idx):
+        frame8 = np.clip(frames[i] * 255.0, 0, 255).astype(np.uint8)
+        pk.package_image(frame8, float(frame_ts[i]), img_idx=k)
+        pk.package_flow(flows[i].astype(np.float32), float(frame_ts[i]),
+                        flow_idx=k)
+
+    n = len(events)
+    t0 = float(events.ts[0]) if n else 0.0
+    tk = float(events.ts[-1]) if n else 0.0
+    pk.add_metadata(num_events=n, num_pos=events.stats["num_pos"],
+                    num_neg=events.stats["num_neg"], duration=tk - t0,
+                    t0=t0, tk=tk, num_imgs=len(idx), num_flow=len(idx),
+                    sensor_size=(H, W))
+    if hasattr(pk, "close"):
+        pk.close()
+
+    gt = {"scene": args.scene, "params": scene.params.tolist(),
+          "sensor": [H, W], "duration": args.duration,
+          "c_pos": args.c_pos, "c_neg": args.c_neg, "seed": args.seed}
+    gt_path = (args.output_path + ".gt.json" if fmt == "h5"
+               else os.path.join(args.output_path, "gt.json"))
+    with open(gt_path, "w") as f:
+        json.dump(gt, f, indent=1)
+    print(f"wrote {fmt} dataset to {args.output_path} "
+          f"(ground truth: {gt_path})")
+
+
+if __name__ == "__main__":
+    main()

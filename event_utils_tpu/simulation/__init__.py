@@ -1,0 +1,11 @@
+"""Event-camera simulation (ESIM-style) — ground-truth data generation."""
+
+from .esim import (Scene, SimulatedEvents, SimulatorConfig, rotating_scene,
+                   simulate_events, simulate_scene, smooth_texture,
+                   translating_scene)
+
+__all__ = [
+    "Scene", "SimulatedEvents", "SimulatorConfig", "rotating_scene",
+    "simulate_events", "simulate_scene", "smooth_texture",
+    "translating_scene",
+]
