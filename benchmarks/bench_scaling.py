@@ -118,7 +118,10 @@ def main():
 
     for r in results:
         print(json.dumps(r))
-    log("ALL MESH SIZES AGREE")
+    if len(sizes) > 1:
+        log(f"ALL MESH SIZES AGREE ({sizes})")
+    else:
+        log("single mesh size available — no cross-mesh invariance checked")
 
 
 if __name__ == "__main__":

@@ -38,8 +38,8 @@ def main(argv=None):
     xs, ys, ts, ps = xs[s:e], ys[s:e], ts[s:e], ps[s:e]
     if len(ts) == 0:
         raise ConfigurationError(
-            f"empty slice: --start_idx {s} is beyond the file's "
-            f"{total} events")
+            f"empty slice [{s}:{e}] of the file's {total} events — check "
+            "--start_idx / --num_events")
     img_size = tuple(args.img_size)
     gt = tuple(args.gt)
     warp = linvel_warp()

@@ -18,6 +18,8 @@ import os
 
 import numpy as np
 
+from ..errors import ConfigurationError
+
 
 def build_parser():
     parser = argparse.ArgumentParser(
@@ -63,9 +65,14 @@ def main(argv=None):
                                    simulate_scene, smooth_texture,
                                    translating_scene)
 
-    key = jax.random.PRNGKey(args.seed)
+    if args.frame_fps > args.fps:
+        raise ConfigurationError(
+            f"--frame_fps {args.frame_fps} exceeds the render rate "
+            f"--fps {args.fps}; frames would duplicate")
+    # Independent streams for scene texture and sensor noise.
+    tex_key, sim_key = jax.random.split(jax.random.PRNGKey(args.seed))
     H, W = args.sensor
-    texture = smooth_texture(key, (H, W), octaves=args.octaves)
+    texture = smooth_texture(tex_key, (H, W), octaves=args.octaves)
     if args.scene == "translate":
         scene = translating_scene(texture, tuple(args.velocity))
     else:
@@ -73,7 +80,7 @@ def main(argv=None):
 
     cfg = SimulatorConfig(c_pos=args.c_pos, c_neg=args.c_neg,
                           sigma_c=args.sigma_c, refractory=args.refractory)
-    noise_key = key if (args.sigma_c > 0 or cfg.noise_std > 0) else None
+    noise_key = sim_key if (args.sigma_c > 0 or cfg.noise_std > 0) else None
     events, frames, frame_ts, flows = simulate_scene(
         scene, args.duration, args.fps, cfg, key=noise_key)
     print(f"simulated {len(events)} events "
@@ -91,11 +98,13 @@ def main(argv=None):
     pk.package_events(events.xs.astype(np.int64),
                       events.ys.astype(np.int64), events.ts, events.ps)
 
-    # Write frames/flow at the (coarser) output rate, picking the nearest
-    # rendered sample for each requested stamp.
+    # Write frames/flow at the (coarser) output rate, picking the truly
+    # nearest rendered sample for each requested stamp.
     n_out = max(2, int(round(args.duration * args.frame_fps)) + 1)
     out_ts = np.linspace(0.0, args.duration, n_out)
-    idx = np.searchsorted(frame_ts, out_ts).clip(0, len(frame_ts) - 1)
+    hi = np.searchsorted(frame_ts, out_ts).clip(1, len(frame_ts) - 1)
+    lo = hi - 1
+    idx = np.where(out_ts - frame_ts[lo] <= frame_ts[hi] - out_ts, lo, hi)
     for k, i in enumerate(idx):
         frame8 = np.clip(frames[i] * 255.0, 0, 255).astype(np.uint8)
         pk.package_image(frame8, float(frame_ts[i]), img_idx=k)

@@ -22,7 +22,8 @@ interval (validity-masked — the same capacity-padding idiom the rest of the
 framework uses), so the hot loop is pure vectorized VPU work with no
 data-dependent shapes. Host code only compacts the padded blocks into a
 sorted stream. Long sequences stream through in fixed-size frame chunks
-(one compiled program, state carried across chunks).
+(one compiled program, state carried across chunks, device memory bounded
+by the chunk size).
 """
 
 from __future__ import annotations
@@ -257,12 +258,21 @@ def simulate_events(frames, frame_ts, cfg: Optional[SimulatorConfig] = None,
     """Run the sensor model over intensity ``frames (F, H, W)`` in (0, 1].
 
     Returns the compacted time-sorted stream. Noise (threshold mismatch,
-    log-intensity noise) is deterministic per ``key``. Frame pairs stream
-    through one compiled ``lax.scan`` in chunks of ``cfg.chunk`` (the last
-    chunk is padded with zero-length intervals, which emit nothing).
+    log-intensity noise) is deterministic per ``key``; the per-frame noise
+    is keyed on the absolute frame index, so chunk boundaries see identical
+    noise for the shared frame. Frame pairs stream through one compiled
+    ``lax.scan`` in chunks of ``cfg.chunk`` (the last chunk is padded with
+    zero-length intervals, which emit nothing); frames transfer to the
+    device one chunk at a time, so *device* memory is bounded by the chunk
+    size. The host-side ``frames`` stack itself is the caller's to bound
+    (it scales with F·H·W).
+
+    Timestamps: the scan runs in float32 *relative* time (``frame_ts -
+    frame_ts[0]``) and the float64 origin is added back on the host, so
+    epoch-style stamps survive at full precision.
     """
     cfg = cfg or SimulatorConfig()
-    frames = jnp.asarray(frames, jnp.float32)
+    frames = np.asarray(frames, np.float32)
     frame_ts = np.asarray(frame_ts, np.float64)
     if frames.ndim != 3 or frames.shape[0] != len(frame_ts):
         raise ConfigurationError(
@@ -276,17 +286,26 @@ def simulate_events(frames, frame_ts, cfg: Optional[SimulatorConfig] = None,
     noise_key = thresh_key = None
     if key is not None:
         thresh_key, noise_key = jax.random.split(jnp.asarray(key))
+    if cfg.noise_std > 0.0 and noise_key is None:
+        raise ConfigurationError("noise_std > 0 requires an explicit PRNG key")
     cp, cn = _threshold_maps(thresh_key, (H, W), cfg)
-    logI = jnp.log(frames + cfg.log_eps)
-    if cfg.noise_std > 0.0:
-        if noise_key is None:
-            raise ConfigurationError(
-                "noise_std > 0 requires an explicit PRNG key")
-        logI = logI + cfg.noise_std * jax.random.normal(noise_key, logI.shape)
+
+    def log_block(block, first_index):
+        """Log-transform (+ per-frame-indexed noise) one frame chunk on
+        device; noise is a pure function of the absolute frame index so the
+        frame shared by consecutive chunks gets identical noise."""
+        logI = jnp.log(jnp.asarray(block) + cfg.log_eps)
+        if cfg.noise_std > 0.0:
+            idx = first_index + jnp.arange(block.shape[0])
+            keys = jax.vmap(lambda i: jax.random.fold_in(noise_key, i))(idx)
+            noise = jax.vmap(
+                lambda k: jax.random.normal(k, (H, W)))(keys)
+            logI = logI + cfg.noise_std * noise
+        return logI
 
     run_chunk = _compiled_scan(int(cfg.max_events_per_pixel),
                                float(cfg.refractory))
-    L_ref = logI[0]
+    L_ref = log_block(frames[:1], 0)[0]
     t_last = jnp.full((H, W), -jnp.inf, jnp.float32)
 
     xx, yy = np.meshgrid(np.arange(W, dtype=np.int32),
@@ -294,11 +313,13 @@ def simulate_events(frames, frame_ts, cfg: Optional[SimulatorConfig] = None,
     blocks = []
     dropped_total = 0
     chunk = max(1, int(cfg.chunk))
-    stamps32 = jnp.asarray(frame_ts, jnp.float32)
+    # Relative float32 time inside the scan; float64 origin restored below.
+    t_origin = frame_ts[0]
+    rel_ts = (frame_ts - t_origin).astype(np.float32)
     for start in range(0, F - 1, chunk):
         stop = min(start + chunk, F - 1)
-        fr = logI[start:stop + 1]
-        st = stamps32[start:stop + 1]
+        fr = log_block(frames[start:stop + 1], start)
+        st = jnp.asarray(rel_ts[start:stop + 1])
         pad = chunk - (stop - start)
         if pad:
             # Zero-length tail intervals: repeat the last frame/stamp.
@@ -324,10 +345,11 @@ def simulate_events(frames, frame_ts, cfg: Optional[SimulatorConfig] = None,
     if not blocks:
         empty = np.array([], np.float32)
         return SimulatedEvents(empty, empty, empty.astype(np.float64), empty,
-                               {"num_events": 0, "dropped": dropped_total})
+                               {"num_events": 0, "dropped": dropped_total,
+                                "num_pos": 0, "num_neg": 0})
     xs = np.concatenate([b[0] for b in blocks]).astype(np.float32)
     ys = np.concatenate([b[1] for b in blocks]).astype(np.float32)
-    ts = np.concatenate([b[2] for b in blocks]).astype(np.float64)
+    ts = np.concatenate([b[2] for b in blocks]).astype(np.float64) + t_origin
     ps = np.concatenate([b[3] for b in blocks])
     order = np.argsort(ts, kind="stable")
     stats = {"num_events": len(ts), "dropped": dropped_total,

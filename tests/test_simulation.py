@@ -268,3 +268,38 @@ def test_rotation_warp_ground_truth_on_simulated():
                                          img_size=(64, 64), x0=x0))
     assert abs(p[2] - gt[2]) < 0.5, (p, gt)
     assert np.abs(p[:2] - gt[:2]).max() < 6.0, (p, gt)
+
+
+def test_epoch_offset_timestamps_survive():
+    """Absolute (epoch-style) frame stamps must not collapse in the
+    float32 scan: the scan runs in relative time and the float64 origin is
+    restored on the host."""
+    t0 = 1.6e9
+    ev = simulate_events(ramp_frames(0.0, 1.0, 11),
+                         t0 + np.linspace(0, 1, 11),
+                         SimulatorConfig(c_pos=0.3, c_neg=0.3))
+    np.testing.assert_allclose(ev.ts - t0, [0.3, 0.6, 0.9], atol=1e-5)
+
+
+def test_zero_event_run_has_full_stats_contract(tmp_path):
+    """A threshold too high to fire anything still yields the documented
+    stats keys, and the CLI writes a valid (empty) dataset."""
+    ev = simulate_events(ramp_frames(0.0, 0.1, 5), np.linspace(0, 1, 5),
+                         SimulatorConfig(c_pos=5.0, c_neg=5.0))
+    assert ev.stats == {"num_events": 0, "dropped": 0,
+                       "num_pos": 0, "num_neg": 0}
+
+    from event_utils_tpu.cli.simulate import main
+    path = str(tmp_path / "empty.h5")
+    main([path, "--sensor", "16", "16", "--velocity", "1", "0",
+          "--duration", "0.05", "--fps", "60", "--frame_fps", "20",
+          "--c_pos", "50", "--c_neg", "50"])
+    import h5py
+    with h5py.File(path, "r") as f:
+        assert f.attrs["num_events"] == 0
+
+
+def test_cli_rejects_frame_fps_above_fps(tmp_path):
+    from event_utils_tpu.cli.simulate import main
+    with pytest.raises(ConfigurationError):
+        main([str(tmp_path / "x.h5"), "--fps", "50", "--frame_fps", "100"])
