@@ -9,6 +9,12 @@ from .read_events import (  # noqa: F401
     read_memmap_events_dict,
     read_npy_events,
 )
+from .txt_events import (  # noqa: F401
+    read_images_txt,
+    read_txt_events,
+    txt_to_h5,
+    write_txt_events,
+)
 from .event_packagers import hdf5_packager, memmap_packager, packager  # noqa: F401
 from .h5_to_memmap import find_safe_alternative, h5_to_memmap  # noqa: F401
 from .rosbag_to_h5 import BagExtractor, extract_rosbag, extract_rosbags  # noqa: F401
