@@ -1,11 +1,11 @@
 """Event-camera simulation (ESIM-style) — ground-truth data generation."""
 
-from .esim import (Scene, SimulatedEvents, SimulatorConfig, rotating_scene,
-                   simulate_events, simulate_scene, smooth_texture,
-                   translating_scene)
+from .esim import (Scene, SimulatedEvents, SimulatorConfig, affine_scene,
+                   rotating_scene, simulate_events, simulate_scene,
+                   smooth_texture, translating_scene)
 
 __all__ = [
-    "Scene", "SimulatedEvents", "SimulatorConfig", "rotating_scene",
-    "simulate_events", "simulate_scene", "smooth_texture",
+    "Scene", "SimulatedEvents", "SimulatorConfig", "affine_scene",
+    "rotating_scene", "simulate_events", "simulate_scene", "smooth_texture",
     "translating_scene",
 ]

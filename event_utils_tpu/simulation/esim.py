@@ -137,6 +137,41 @@ def rotating_scene(texture: Array, omega: float,
     return Scene(render, flow, np.array([cx, cy, omega], np.float64), (H, W))
 
 
+def affine_scene(texture: Array, divergence: float = 0.0, omega: float = 0.0,
+                 center: Optional[Tuple[float, float]] = None) -> Scene:
+    """Texture expanding at rate ``divergence`` (1/s) while rotating at
+    ``omega`` (rad/s) about ``center`` — the motion field of the 4-DoF
+    `models.warps.xyztheta_warp` (flow ``s·(x-c) + ω·J(x-c)``).
+
+    ``params`` is the xyztheta ground truth about the image origin:
+    ``(vx, vy, s, ω)`` with ``vx = -s·cx + ω·cy``, ``vy = -s·cy - ω·cx``.
+    """
+    texture = jnp.asarray(texture, jnp.float32)
+    H, W = texture.shape
+    cx, cy = center if center is not None else ((W - 1) / 2.0, (H - 1) / 2.0)
+    s, w = float(divergence), float(omega)
+    yy, xx = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
+                          jnp.arange(W, dtype=jnp.float32), indexing="ij")
+
+    def render(t):
+        # Trajectories are exponential spirals x(t) = c + e^{st} R(wt)(p-c);
+        # invert to sample the initial texture.
+        scale = jnp.exp(-s * t)
+        ca, sa = jnp.cos(w * t), jnp.sin(w * t)
+        dx, dy = xx - cx, yy - cy
+        return jax.scipy.ndimage.map_coordinates(
+            texture, [cy + scale * (-sa * dx + ca * dy),
+                      cx + scale * (ca * dx + sa * dy)],
+            order=1, mode="wrap")
+
+    def flow(t):
+        dx, dy = xx - cx, yy - cy
+        return jnp.stack([s * dx - w * dy, s * dy + w * dx])
+
+    gt = np.array([-s * cx + w * cy, -s * cy - w * cx, s, w], np.float64)
+    return Scene(render, flow, gt, (H, W))
+
+
 # ---------------------------------------------------------------------------
 # The simulator core
 # ---------------------------------------------------------------------------

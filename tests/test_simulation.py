@@ -16,7 +16,8 @@ import numpy as np
 import pytest
 
 from event_utils_tpu.errors import ConfigurationError
-from event_utils_tpu.simulation.esim import (SimulatorConfig, rotating_scene,
+from event_utils_tpu.simulation.esim import (SimulatorConfig, affine_scene,
+                                             rotating_scene,
                                              simulate_events, simulate_scene,
                                              smooth_texture,
                                              translating_scene)
@@ -303,3 +304,62 @@ def test_cli_rejects_frame_fps_above_fps(tmp_path):
     from event_utils_tpu.cli.simulate import main
     with pytest.raises(ConfigurationError):
         main([str(tmp_path / "x.h5"), "--fps", "50", "--frame_fps", "100"])
+
+
+def test_affine_scene_matches_rotating_scene_when_pure_rotation():
+    key = jax.random.PRNGKey(2)
+    tex = smooth_texture(key, (32, 32))
+    a = affine_scene(tex, divergence=0.0, omega=2.0, center=(10.0, 12.0))
+    r = rotating_scene(tex, 2.0, center=(10.0, 12.0))
+    np.testing.assert_allclose(np.asarray(a.render(0.13)),
+                               np.asarray(r.render(0.13)), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a.flow(0.0)),
+                               np.asarray(r.flow(0.0)), atol=1e-5)
+
+
+def test_xyztheta_warp_ground_truth_on_simulated():
+    """xyztheta_warp (the reference's other stub, implemented here) against
+    a simulated contracting+rotating scene: contrast peaks at the true
+    (vx, vy, s, w) and BFGS refines onto the divergence/rotation rates.
+
+    The scene CONTRACTS (divergence < 0) deliberately: with the IWE formed
+    at the window end, compensating a contracting scene pulls warped events
+    inward (all stay in frame) while an *expanding* scene's true
+    compensation pushes them outward where the bounds mask drops them — on
+    the divergence axis, variance-style objectives carry a concentration
+    bias that can beat the true expansion params (measured: for s=+0.35
+    the spurious contraction optimum wins, -3.41 vs -2.21). A production
+    expansion workload should warp to the window *start* instead; the bias
+    is a cmax property, not a simulator or warp defect."""
+    from event_utils_tpu.contrast_max.events_cmax import (
+        make_objective_loss, optimize_contrast_jit)
+    from event_utils_tpu.models.objectives import variance_objective
+    from event_utils_tpu.models.warps import xyztheta_warp
+
+    import jax.numpy as jnp
+    key = jax.random.PRNGKey(13)
+    tex = smooth_texture(key, (64, 64), octaves=4)
+    sc = affine_scene(tex, divergence=-0.35, omega=1.2)
+    ev, *_ = simulate_scene(sc, 0.3, 200.0,
+                            SimulatorConfig(c_pos=0.15, c_neg=0.15))
+    assert len(ev) > 2000
+    gt = sc.params.astype(np.float32)
+    loss = make_objective_loss(variance_objective(), xyztheta_warp(),
+                               (64, 64), 1.0)
+    args = (jnp.asarray(ev.xs), jnp.asarray(ev.ys),
+            jnp.asarray(ev.ts, jnp.float32), jnp.asarray(ev.ps), None)
+    l_gt = float(loss(jnp.asarray(gt), *args))
+    l_zero = float(loss(jnp.zeros(4, jnp.float32), *args))
+    l_neg = float(loss(jnp.asarray(-gt), *args))
+    assert l_gt < l_zero and l_gt < l_neg, (l_gt, l_zero, l_neg)
+
+    x0 = gt + np.array([2.0, -2.0, 0.1, 0.2], np.float32)
+    p = np.asarray(optimize_contrast_jit(ev.xs, ev.ys,
+                                         ev.ts.astype(np.float32), ev.ps,
+                                         xyztheta_warp(),
+                                         variance_objective(),
+                                         img_size=(64, 64), x0=x0))
+    # ~10% bias expected: the warp linearizes the exponential spiral over
+    # w*dt = 0.36 rad.
+    assert abs(p[2] - gt[2]) < 0.1, (p, gt)    # divergence rate
+    assert abs(p[3] - gt[3]) < 0.25, (p, gt)   # angular velocity
