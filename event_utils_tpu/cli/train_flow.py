@@ -70,8 +70,7 @@ def main(argv=None):
         step = trainer.restore_checkpoint(args.ckpt_dir)
         print(f"resumed from step {step}")
 
-    losses = trainer.fit(loader, epochs=args.epochs, num_bins=args.num_bins,
-                         ckpt_dir=args.ckpt_dir)
+    losses = trainer.fit(loader, epochs=args.epochs, ckpt_dir=args.ckpt_dir)
     print(f"final loss: {np.mean(losses[-10:]):.5f} over {len(losses)} steps")
 
 

@@ -217,7 +217,7 @@ class H5WindowedLoader:
         _np.copyto(buf["xs"], buf["raw_xs"], casting="unsafe")
         _np.copyto(buf["ys"], buf["raw_ys"], casting="unsafe")
         _np.greater(buf["raw_ps"], 0, out=buf["ps"], casting="unsafe")
-        return (buf["xs"], buf["ys"], buf["ts"], buf["ps"], sel - s)
+        return (buf["xs"], buf["ys"], buf["ts"], buf["ps"], sel - s, sel)
 
     def __iter__(self) -> Iterator[dict]:
         import queue
@@ -241,6 +241,13 @@ class H5WindowedLoader:
             prev_stop = getattr(self, "_reader_stop", None)
             if prev_stop is not None:
                 prev_stop.set()
+                # The abandoned reader may be inside a long h5 read; it
+                # shares the rotating slab pool with this iteration, so
+                # wait for it to actually exit before handing pool buffers
+                # out again (concurrent _read_slab would corrupt slabs).
+                prev_th = getattr(self, "_reader_thread", None)
+                if prev_th is not None and prev_th.is_alive():
+                    prev_th.join()
             stop = threading.Event()
             self._reader_stop = stop
             q: "queue.Queue" = queue.Queue(maxsize=_POOL_DEPTH - 2)
@@ -266,6 +273,7 @@ class H5WindowedLoader:
                     put(("err", exc))
 
             th = threading.Thread(target=reader, daemon=True)
+            self._reader_thread = th
             th.start()
 
             def drain():
@@ -283,7 +291,7 @@ class H5WindowedLoader:
             slabs = drain()
 
         try:
-            for (xs, ys, ts, ps, rel_windows) in slabs:
+            for (xs, ys, ts, ps, rel_windows, abs_windows) in slabs:
                 B = len(rel_windows)
                 events, mask, trunc = native.fill_padded_batches_components(
                     ts, xs, ys, ps, rel_windows, self.capacity,
@@ -293,8 +301,11 @@ class H5WindowedLoader:
                 yield {
                     "events": events,
                     "events_mask": mask,
-                    "window_idx0": rel_windows[:, 0],
-                    "window_idx1": rel_windows[:, 1],
+                    # ABSOLUTE event-file indices (same contract as
+                    # NativeWindowedLoader; the slab-relative offsets are
+                    # an internal detail of the native fill)
+                    "window_idx0": abs_windows[:, 0],
+                    "window_idx1": abs_windows[:, 1],
                     # ABSOLUTE window-start stamps (same contract as
                     # NativeWindowedLoader; the slab's ts is already
                     # absolute — only the padded batch is window-relative

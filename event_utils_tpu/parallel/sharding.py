@@ -85,12 +85,10 @@ def shard_events(mesh: Mesh, xs, ys, ts, ps, mask=None, axis_name="events"):
     out = []
     sharding = NamedSharding(mesh, P(axis_name))
     for a in (xs, ys, ts, ps, mask):
+        # pad_to_multiple fills with 0, so the padded tail of the mask is
+        # already invalid — no extra masking pass needed.
         padded, _ = pad_to_multiple(a, n_dev)
         out.append(jax.device_put(padded, sharding))
-    # padded tail entries carry mask 0
-    n = xs.shape[0]
-    pos_mask = (jnp.arange(out[0].shape[0]) < n).astype(jnp.float32)
-    out[4] = out[4] * jax.device_put(pos_mask, sharding)
     return tuple(out)
 
 
@@ -251,6 +249,7 @@ _train_step_cache: dict = {}
 
 def sharded_grid_cmax(mesh: Mesh, xs, ys, ts, ps, roi_size=(20, 20),
                       img_size=None, warp=None, obj=None,
+                      min_events: int = 10,
                       blur_sigma: float = 1.0, maxiter: int = 50,
                       capacity: Optional[int] = None,
                       axis_name: str = "events"):
@@ -295,8 +294,13 @@ def sharded_grid_cmax(mesh: Mesh, xs, ys, ts, ps, roi_size=(20, 20),
                      out_shardings=(sharding, sharding))
         _sharded_cmax_cache[key] = fn
     params, f_evals = fn(bx, by, bt, bp, bmask, borigins)
-    return (params[:R], origins, f_evals[:R],
-            jnp.sum(bmask[:R], axis=1) > 0)
+    # Same return contract as grid_cmax_batched: (R, 4) rois and the same
+    # min_events validity gate, so the two are drop-in substitutes.
+    rois = jnp.concatenate(
+        [jnp.asarray(origins, jnp.float32),
+         jnp.tile(jnp.asarray([[rh, rw]], jnp.float32), (R, 1))], axis=-1)
+    return (params[:R], rois, f_evals[:R],
+            jnp.sum(bmask[:R], axis=1) > min_events)
 
 
 _sharded_cmax_cache: dict = {}

@@ -45,6 +45,8 @@ class FlowTrainer:
         self.sensor_size = tuple(sensor_size)
         self.model = EVFlowNet()
         self.mesh = mesh
+        self.num_bins = num_bins
+        self.combined_channels = combined_channels
         channels = num_bins if combined_channels else 2 * num_bins
         dummy = jnp.zeros((1, channels) + self.sensor_size, jnp.float32)
         self.params = self.model.init(jax.random.PRNGKey(seed), dummy)
@@ -90,14 +92,20 @@ class FlowTrainer:
             arr = jax.device_put(arr, self._batch_sharding)
         return arr
 
-    def train_batch(self, voxel, events, mask) -> float:
+    def train_batch_async(self, voxel, events, mask):
         """One optimization step on a (B, C, H, W) voxel batch + its raw
-        padded events. Returns the loss."""
+        padded events. Returns the loss as a device scalar WITHOUT
+        synchronizing — convert with float() only when you need the value,
+        so the host keeps dispatching ahead of the device."""
         self.params, self.opt_state, loss = self._train_step(
             self.params, self.opt_state, self._place(voxel),
             self._place(events), self._place(mask))
         self.step += 1
-        return float(loss)
+        return loss
+
+    def train_batch(self, voxel, events, mask) -> float:
+        """Synchronous `train_batch_async` (returns the loss float)."""
+        return float(self.train_batch_async(voxel, events, mask))
 
     def predict(self, voxel):
         return self.model.apply(self.params, self._place(voxel))
@@ -107,10 +115,15 @@ class FlowTrainer:
     # ------------------------------------------------------------------
 
     def save_checkpoint(self, ckpt_dir: str):
-        """Save params/opt_state/step with orbax (atomic, resumable)."""
+        """Save params/opt_state/step with orbax (atomic, resumable).
+        Saving the same step twice is a no-op (orbax raises
+        StepAlreadyExistsError otherwise — e.g. fit()'s final save landing
+        on a step the in-loop cadence already wrote)."""
         import orbax.checkpoint as ocp
         ckpt_dir = os.path.abspath(ckpt_dir)
         with ocp.CheckpointManager(ckpt_dir) as mngr:
+            if self.step in mngr.all_steps():
+                return
             mngr.save(self.step, args=ocp.args.StandardSave(
                 {"params": self.params, "opt_state": self.opt_state}))
             mngr.wait_until_finished()
@@ -128,52 +141,69 @@ class FlowTrainer:
         return step
 
     # ------------------------------------------------------------------
-    def fit(self, loader, epochs: int = 1, num_bins: int = 5,
+    def fit(self, loader, epochs: int = 1,
             log_every: int = 10, ckpt_dir: Optional[str] = None,
             ckpt_every: int = 500, prefetch_depth: int = 2,
             log_fn: Callable[[str], None] = print):
         """Drive a streaming loader (``NativeWindowedLoader`` /
         ``EventDataLoader`` batches with ``events``+``events_mask``) for
-        ``epochs`` passes, voxelizing on device, logging Mev/s throughput."""
+        ``epochs`` passes, voxelizing on device with the trainer's own
+        ``num_bins``/``combined_channels`` (the model's input width was
+        fixed at construction), logging Mev/s throughput.
+
+        The loop stays async: device losses are converted to floats only
+        at log points, so a train step's D2H never blocks the next batch's
+        dispatch.
+        """
         import time
 
         from ..data_loaders.prefetch import device_prefetch
-        from ..representations.voxel_grid import events_to_voxel
+        from ..representations.voxel_grid import (events_to_neg_pos_voxel,
+                                                  events_to_voxel)
 
         H, W = self.sensor_size
+        num_bins, combined = self.num_bins, self.combined_channels
+        # The native loaders rotate 4 host buffers (2 queued + 1 yielded +
+        # 1 being filled): deeper prefetch would hand a queued buffer back
+        # to the filler while its H2D copy may still be in flight.
+        prefetch_depth = min(prefetch_depth, 2)
 
         @jax.jit
         def voxelize(events, mask):
             def one(ev, m):
-                vp, vn = _neg_pos(ev, m)
-                return jnp.concatenate([vp, vn], 0)
-
-            def _neg_pos(ev, m):
                 xs, ys, ts, ps = ev[:, 0], ev[:, 1], ev[:, 2], ev[:, 3]
-                from ..representations.voxel_grid import events_to_neg_pos_voxel
-                return events_to_neg_pos_voxel(xs, ys, ts, ps, num_bins,
-                                               sensor_size=(H, W), mask=m)
+                if combined:
+                    return events_to_voxel(xs, ys, ts, ps, num_bins,
+                                           sensor_size=(H, W), mask=m)
+                vp, vn = events_to_neg_pos_voxel(xs, ys, ts, ps, num_bins,
+                                                 sensor_size=(H, W), mask=m)
+                return jnp.concatenate([vp, vn], 0)
 
             return jax.vmap(one)(events, mask)
 
         losses = []
         for epoch in range(epochs):
             t0 = time.perf_counter()
-            n_events = 0
+            n_events_dev = jnp.zeros((), jnp.float32)  # lazy device count
+            pending = []  # device loss scalars awaiting a log point
             for i, batch in enumerate(
                     device_prefetch(loader, prefetch_depth=prefetch_depth)):
                 events = jnp.asarray(batch["events"], jnp.float32)
                 mask = jnp.asarray(batch["events_mask"], jnp.float32)
                 voxel = voxelize(events, mask)
-                loss = self.train_batch(voxel, events, mask)
-                losses.append(loss)
-                n_events += int(np.asarray(mask).sum())
+                pending.append(self.train_batch_async(voxel, events, mask))
+                n_events_dev = n_events_dev + mask.sum()
                 if log_every and (i + 1) % log_every == 0:
-                    rate = n_events / (time.perf_counter() - t0) / 1e6
+                    losses.extend(float(x) for x in pending)
+                    pending = []
+                    rate = float(n_events_dev) / (
+                        time.perf_counter() - t0) / 1e6
                     log_fn(f"epoch {epoch} step {self.step}: "
-                           f"loss {loss:.5f}, {rate:.1f} Mev/s ingested")
+                           f"loss {losses[-1]:.5f}, {rate:.1f} Mev/s "
+                           "ingested")
                 if ckpt_dir and self.step % ckpt_every == 0:
                     self.save_checkpoint(ckpt_dir)
+            losses.extend(float(x) for x in pending)
         if ckpt_dir:
             self.save_checkpoint(ckpt_dir)
         return losses

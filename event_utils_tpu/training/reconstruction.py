@@ -44,9 +44,12 @@ class ReconstructionTrainer:
                 return state, reconstruction_loss(pred, frame,
                                                   lpips_weight=lpips_weight)
 
-            # init state from the first window's shapes
-            _, state0 = self.model.apply(params, voxels[0], None)
-            state0 = jnp.zeros_like(state0)
+            # zero init state, shaped abstractly (eval_shape traces without
+            # executing — no throwaway forward pass)
+            _, state_sd = jax.eval_shape(
+                lambda p, v: self.model.apply(p, v, None), params, voxels[0])
+            state0 = jax.tree.map(
+                lambda sd: jnp.zeros(sd.shape, sd.dtype), state_sd)
             _, losses = jax.lax.scan(scan_fn, state0, (voxels, frames))
             return jnp.mean(losses)
 
@@ -92,8 +95,11 @@ class ReconstructionTrainer:
             return state, pred
 
         if state is None:
-            _, state = self.model.apply(self.params, voxels[0], None)
-            state = jnp.zeros_like(state)
+            _, state_sd = jax.eval_shape(
+                lambda p, v: self.model.apply(p, v, None),
+                self.params, voxels[0])
+            state = jax.tree.map(
+                lambda sd: jnp.zeros(sd.shape, sd.dtype), state_sd)
         state, preds = jax.lax.scan(scan_fn, state, voxels)
         return preds, state
 
@@ -103,6 +109,8 @@ class ReconstructionTrainer:
 
         import orbax.checkpoint as ocp
         with ocp.CheckpointManager(os.path.abspath(ckpt_dir)) as mngr:
+            if self.step in mngr.all_steps():  # re-save of same step: no-op
+                return
             mngr.save(self.step, args=ocp.args.StandardSave(
                 {"params": self.params, "opt_state": self.opt_state}))
             mngr.wait_until_finished()

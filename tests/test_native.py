@@ -316,3 +316,35 @@ def test_window_tables_reject_degenerate_stride():
     with pytest.raises(ConfigurationError):
         native.t_second_windows(np.linspace(0, 1, 100), t_width=0.1,
                                 overlap=0.1)
+
+
+def test_h5_loader_window_indices_absolute(tmp_path, rng):
+    """H5WindowedLoader must yield ABSOLUTE event-file indices for
+    window_idx0/1 — the same contract as NativeWindowedLoader (they used
+    to be slab-relative from the second slab on)."""
+    import h5py
+
+    from event_utils_tpu.data_loaders.native_loader import H5WindowedLoader
+
+    n = 8000
+    t = np.sort(rng.uniform(0, 1, n))
+    with h5py.File(str(tmp_path / "abs.h5"), "w") as f:
+        g = f.create_group("events")
+        g.create_dataset("xs", data=rng.integers(0, 64, n).astype(np.int16))
+        g.create_dataset("ys", data=rng.integers(0, 48, n).astype(np.int16))
+        g.create_dataset("ts", data=t)
+        g.create_dataset("ps", data=rng.integers(0, 2, n).astype(bool))
+    ld = H5WindowedLoader(str(tmp_path / "abs.h5"), method="k_events",
+                          k=500, batch_size=2, prefetch=False)
+    expected_start = 0
+    count = 0
+    for b in ld:
+        for i0, i1 in zip(b["window_idx0"], b["window_idx1"]):
+            assert i0 == expected_start, (i0, expected_start)
+            assert i1 == expected_start + 500
+            # stamps must agree with the absolute index into the file
+            expected_start += 500
+            count += 1
+        np.testing.assert_allclose(
+            b["t_starts"], t[np.asarray(b["window_idx0"], np.int64)])
+    assert count > 4  # spans multiple slabs

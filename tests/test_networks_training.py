@@ -147,3 +147,33 @@ def test_contrast_flow_loss_empty_window_finite(rng):
     loss = float(contrast_flow_loss(jnp.asarray(flow), jnp.asarray(ev),
                                     jnp.asarray(mask), (H, W)))
     assert np.isfinite(loss)
+
+
+def test_flow_trainer_combined_channels_fit(rng, tmp_path):
+    """fit() voxelizes with the trainer's own num_bins/combined_channels:
+    combined_channels=True used to crash with a param-shape mismatch, and
+    the final checkpoint save used to collide with the in-loop save of the
+    same step (orbax StepAlreadyExistsError)."""
+    from event_utils_tpu.training import FlowTrainer
+
+    B, cap = 2, 512
+    H, W = SENSOR
+
+    def loader():
+        for _ in range(4):
+            ev = np.zeros((B, cap, 4), np.float32)
+            ev[..., 0] = rng.uniform(0, W - 1, (B, cap))
+            ev[..., 1] = rng.uniform(0, H - 1, (B, cap))
+            ev[..., 2] = np.sort(rng.uniform(0, 0.1, (B, cap)), axis=-1)
+            ev[..., 3] = rng.choice([-1.0, 1.0], (B, cap))
+            yield {"events": ev, "events_mask": np.ones((B, cap), np.float32)}
+
+    trainer = FlowTrainer(sensor_size=SENSOR, num_bins=3,
+                          combined_channels=True, learning_rate=1e-3)
+    ckpt = str(tmp_path / "cc_ckpt")
+    # ckpt_every=4 makes the in-loop save land on the same step as the
+    # final save — must be a no-op, not an orbax error
+    losses = trainer.fit(loader(), epochs=1, log_every=2, ckpt_dir=ckpt,
+                         ckpt_every=4)
+    assert len(losses) == 4 and all(np.isfinite(losses))
+    assert trainer.restore_checkpoint(ckpt) == 4

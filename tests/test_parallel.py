@@ -65,8 +65,11 @@ def test_sharded_grid_cmax(rng, mesh):
     from test_cmax import synthetic_flow_events
     xs, ys, ts, ps = synthetic_flow_events(rng, vx=12.0, vy=6.0,
                                            n_events=6000, sensor=SENSOR)
-    params, origins, f_evals, valid = sharded_grid_cmax(
+    params, rois, f_evals, valid = sharded_grid_cmax(
         mesh, xs, ys, ts, ps, roi_size=(12, 16), img_size=SENSOR, maxiter=25)
+    # same return contract as grid_cmax_batched: (R, 4) [yc, xc, rh, rw]
+    assert np.asarray(rois).shape == (len(np.asarray(params)), 4)
+    assert set(np.asarray(rois)[:, 2]) == {12.0}
     p = np.asarray(params)[np.asarray(valid)]
     med = np.median(p, axis=0)
     np.testing.assert_allclose(med, [12.0, 6.0], atol=5.0)
