@@ -248,19 +248,51 @@ def rotate_events_jax(key, xs, ys, sensor_resolution=(180, 240),
     return c * rx - s * ry + cx, s * rx + c * ry + cy, theta_radians, center_of_rotation
 
 
+def _f32_time_offset(ts) -> float:
+    """Host-side float64 origin to subtract before a float32 device cast.
+
+    Absolute (epoch-style) stamps ~1e9 s have float32 ulp ~128 s — a cast
+    would collapse every stamp in a window to one value, silently zeroing
+    jitters and randomizing time sorts. Device ops therefore work in
+    relative time and the caller's float64 origin is added back on return.
+    Traced inputs (already f32 on device) get offset 0.0.
+    """
+    if isinstance(ts, (np.ndarray, list, tuple)) and len(ts):
+        return float(np.asarray(ts).reshape(-1)[0])
+    return 0.0
+
+
+def _restore_time_origin(t_rel, t0: float):
+    """Add a float64 time origin back onto a relative-time result.
+
+    Concrete outputs come back as float64 numpy at full precision; traced
+    outputs (the op ran under jit, which cannot return float64) get a
+    float32 add — the jitter/sort still happened exactly in relative time,
+    only the returned absolute stamps are f32-quantized.
+    """
+    if not t0:
+        return t_rel
+    if isinstance(t_rel, jax.core.Tracer):
+        return t_rel + np.float32(t0)
+    return np.asarray(t_rel, np.float64) + t0
+
+
 def jitter_events_jax(key, xs, ys, ts, xy_std: float = 1.5,
                       ts_std: float = 0.001):
     """Gaussian spatio-temporal jitter — the device-side core of
     ``add_correlated_events`` (capacity-preserving: jitter a copy, then merge
-    on the host or keep as an extra batch)."""
+    on the host or keep as an extra batch). Host (numpy) timestamps may be
+    absolute float64; they are jittered in relative float32 time and the
+    origin restored, so epoch-style stamps keep sub-ms resolution."""
     kx, ky, kt = jax.random.split(key, 3)
+    t0 = _f32_time_offset(ts)
     xs = jnp.asarray(xs, jnp.float32)
     ys = jnp.asarray(ys, jnp.float32)
-    ts = jnp.asarray(ts, jnp.float32)
+    ts_rel = jnp.asarray(np.asarray(ts) - t0 if t0 else ts, jnp.float32)
     nx = xs + jnp.trunc(jax.random.normal(kx, xs.shape) * xy_std)
     ny = ys + jnp.trunc(jax.random.normal(ky, ys.shape) * xy_std)
-    nt = ts + jax.random.normal(kt, ts.shape) * ts_std
-    return nx, ny, nt
+    nt = ts_rel + jax.random.normal(kt, ts_rel.shape) * ts_std
+    return nx, ny, _restore_time_origin(nt, t0)
 
 
 def add_correlated_events_jax(key, xs, ys, ts, ps, mask=None,
@@ -281,9 +313,13 @@ def add_correlated_events_jax(key, xs, ys, ts, ps, mask=None,
     time-sorted input.
     """
     H, W = sensor_resolution
+    # Work in relative float32 time (see _f32_time_offset): jitter, merge
+    # and sort stay exact for absolute-epoch host stamps; the origin is
+    # restored (float64, on host) before returning.
+    t0 = _f32_time_offset(ts)
     xs = jnp.asarray(xs, jnp.float32)
     ys = jnp.asarray(ys, jnp.float32)
-    ts = jnp.asarray(ts, jnp.float32)
+    ts = jnp.asarray(np.asarray(ts) - t0 if t0 else ts, jnp.float32)
     ps = jnp.asarray(ps, jnp.float32)
     if mask is None:
         mask = jnp.ones_like(ts)
@@ -297,16 +333,21 @@ def add_correlated_events_jax(key, xs, ys, ts, ps, mask=None,
     ct = jnp.concatenate([ts, nt])
     cp = jnp.concatenate([ps, ps])
     cm = jnp.concatenate([mask, mask])
-    if not sort:
-        return cx, cy, ct, cp, cm
-    # pad slots sort to the tail (+inf keys), valid events by time
-    order = jnp.argsort(jnp.where(cm != 0, ct, jnp.inf), stable=True)
-    return (cx[order], cy[order], ct[order], cp[order], cm[order])
+    if sort:
+        # pad slots sort to the tail (+inf keys), valid events by time
+        order = jnp.argsort(jnp.where(cm != 0, ct, jnp.inf), stable=True)
+        cx, cy, ct, cp, cm = (cx[order], cy[order], ct[order], cp[order],
+                              cm[order])
+    return cx, cy, _restore_time_origin(ct, t0), cp, cm
 
 
 def remove_events_mask_jax(key, n: int, to_remove: int):
     """Random keep-mask over a fixed-capacity batch: device analogue of
-    ``remove_events`` (drops exactly ``to_remove`` of ``n`` slots)."""
+    ``remove_events`` (drops exactly ``to_remove`` of ``n`` slots).
+    ``to_remove >= n`` drops everything (a clamped gather would otherwise
+    keep the max-score slot)."""
     scores = jax.random.uniform(key, (n,))
+    if to_remove >= n:
+        return jnp.zeros((n,), bool)
     thresh = jnp.sort(scores)[to_remove]
     return scores >= thresh

@@ -158,20 +158,34 @@ class memmap_packager(packager):
     """Stream events into an RPG-style memmap directory (new component —
     writes the layout that ``read_memmap_events`` consumes:
     ``t.npy (float64 Nx1), xy.npy (int16 Nx2), p.npy (uint8 Nx1)`` plus
-    frames/flow stacks and ``metadata.json``)."""
+    frames/flow stacks and ``metadata.json``).
+
+    Events genuinely stream: each ``package_events`` call appends converted
+    raw bytes to spill files on disk, and ``add_metadata`` finalizes them
+    into ``.npy`` files by chunked memmap copy — RAM stays O(chunk)
+    regardless of stream length (frames/flow, typically few and small, are
+    buffered)."""
+
+    _SPILLS = (("t", np.float64, 1), ("xy", np.int16, 2), ("p", np.uint8, 1))
 
     def __init__(self, output_dir, max_buffer_size: int = 1000000):
         super().__init__("memmap", output_dir, max_buffer_size)
         os.makedirs(output_dir, exist_ok=True)
-        self._xs, self._ys, self._ts, self._ps = [], [], [], []
+        self._spill = {name: open(os.path.join(output_dir, f".{name}.bin"),
+                                  "wb") for name, _, _ in self._SPILLS}
+        self._num_events = 0
         self._images, self._image_ts = [], []
         self._flows, self._flow_ts = [], []
 
     def package_events(self, xs, ys, ts, ps):
-        self._xs.append(np.asarray(xs))
-        self._ys.append(np.asarray(ys))
-        self._ts.append(np.asarray(ts))
-        self._ps.append(np.asarray(ps))
+        xs = np.asarray(xs)
+        self._spill["t"].write(
+            np.ascontiguousarray(np.asarray(ts, np.float64)).tobytes())
+        self._spill["xy"].write(np.ascontiguousarray(
+            np.stack([xs, np.asarray(ys)], -1).astype(np.int16)).tobytes())
+        self._spill["p"].write(np.ascontiguousarray(
+            (np.asarray(ps) > 0).astype(np.uint8)).tobytes())
+        self._num_events += len(xs)
 
     def package_image(self, image, timestamp, img_idx=None):
         self._images.append(np.asarray(image))
@@ -184,27 +198,43 @@ class memmap_packager(packager):
     def set_data_available(self, num_images, num_flow):
         pass
 
+    def _finalize_events(self):
+        """Spill files -> proper .npy memmaps, chunked (O(chunk) RAM)."""
+        out = self.output_path
+        n = self._num_events
+        chunk = max(1, int(self.max_buffer_size))
+        for name, dtype, width in self._SPILLS:
+            self._spill[name].close()
+            spill_path = os.path.join(out, f".{name}.bin")
+            npy_path = os.path.join(out, f"{name}.npy")
+            if n == 0:  # an empty file cannot be mmapped
+                np.save(npy_path, np.zeros((0, width), dtype))
+                os.remove(spill_path)
+                continue
+            mm = np.lib.format.open_memmap(npy_path, mode="w+", dtype=dtype,
+                                           shape=(n, width))
+            with open(spill_path, "rb") as f:
+                row = np.dtype(dtype).itemsize * width
+                for start in range(0, n, chunk):
+                    m = min(chunk, n - start)
+                    buf = np.frombuffer(f.read(m * row), dtype=dtype)
+                    mm[start:start + m] = buf.reshape(m, width)
+            mm.flush()
+            del mm
+            os.remove(spill_path)
+
     def add_metadata(self, num_events, num_pos, num_neg, duration, t0, tk,
                      num_imgs, num_flow, sensor_size=None):
         out = self.output_path
-        ts = np.concatenate(self._ts) if self._ts else np.zeros(0)
-        xs = np.concatenate(self._xs) if self._xs else np.zeros(0)
-        ys = np.concatenate(self._ys) if self._ys else np.zeros(0)
-        ps = np.concatenate(self._ps) if self._ps else np.zeros(0)
-        np.save(os.path.join(out, "t.npy"),
-                ts.astype(np.float64).reshape(-1, 1))
-        np.save(os.path.join(out, "xy.npy"),
-                np.stack([xs, ys], -1).astype(np.int16))
-        np.save(os.path.join(out, "p.npy"),
-                (ps > 0).astype(np.uint8).reshape(-1, 1))
+        self._finalize_events()
         if self._images:
             np.save(os.path.join(out, "images.npy"),
                     np.stack(self._images))
             np.save(os.path.join(out, "timestamps.npy"),
                     np.asarray(self._image_ts))
             from .read_events import frame_event_indices
-            index = frame_event_indices(ts.reshape(-1, 1),
-                                        np.asarray(self._image_ts))
+            t_mm = np.load(os.path.join(out, "t.npy"), mmap_mode="r")
+            index = frame_event_indices(t_mm, np.asarray(self._image_ts))
             np.save(os.path.join(out, "index.npy"), index)
         if self._flows:
             np.save(os.path.join(out, "optic_flow.npy"),

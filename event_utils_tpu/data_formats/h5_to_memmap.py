@@ -37,11 +37,10 @@ def h5_to_memmap(h5_path, output_dir, overwrite: bool = False,
         output_dir = find_safe_alternative(output_dir)
     os.makedirs(output_dir, exist_ok=True)
 
+    from .read_events import _h5_event_datasets
+
     with h5py.File(h5_path, "r") as f:
-        if "events/x" in f:
-            dx, dy, dt, dp = f["events/x"], f["events/y"], f["events/ts"], f["events/p"]
-        else:
-            dx, dy, dt, dp = f["events/xs"], f["events/ys"], f["events/ts"], f["events/ps"]
+        dx, dy, dt, dp = _h5_event_datasets(f)
         n = dt.shape[0]
 
         t_mm = np.lib.format.open_memmap(

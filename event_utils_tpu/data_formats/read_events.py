@@ -57,12 +57,13 @@ def frame_event_indices(event_stamps, frame_stamps):
     return np.stack([starts, ends], axis=-1).astype(np.int64)
 
 
-def _normalize_frame_index(raw, num_events):
+def _normalize_frame_index(raw, num_events, num_frames=None):
     """Best-effort normalisation of an ``index.npy`` into the canonical
-    ``(F, 2) (start, end)`` layout: handles this framework's canonical
-    tables, reference ``compute_indices`` output (columns reversed), and
-    reference ``h5_to_memmap`` attr dumps (``(F, 1)``/``(F,)`` end
-    indices)."""
+    ``(F, 2) (start, end)`` "events up to frame i" layout: handles this
+    framework's canonical tables, reference ``compute_indices`` output
+    (``(F-1, 2)`` reversed-column rows covering ``[frame_i, frame_{i+1})``
+    — realigned AND re-rowed, not just swapped), and reference
+    ``h5_to_memmap`` attr dumps (``(F, 1)``/``(F,)`` end indices)."""
     raw = np.asarray(raw).astype(np.int64)
     if raw.ndim == 1 or (raw.ndim == 2 and raw.shape[1] == 1):
         ends = raw.reshape(-1)
@@ -72,7 +73,15 @@ def _normalize_frame_index(raw, num_events):
         if np.all(raw[:, 0] <= raw[:, 1]):
             return raw  # already (start, end)
         if np.all(raw[:, 1] <= raw[:, 0]):
-            return raw[:, ::-1]  # reference (end, start): swap
+            # Reference compute_indices: row i is (idx(frame_{i+1}),
+            # idx(frame_i)) — the events AFTER frame i, one row per frame
+            # interval (F-1 rows). Canonical row i is the events UP TO
+            # frame i (F rows): prepend [0, idx(frame_0)] and shift.
+            if num_frames is not None and raw.shape[0] == num_frames - 1:
+                ends = np.concatenate([[raw[0, 1]], raw[:, 0]])
+                starts = np.concatenate([[0], ends[:-1]])
+                return np.stack([starts, ends], axis=-1)
+            return raw[:, ::-1]  # frame count unknown: column swap only
     return raw  # unknown layout: hand back as loaded
 
 
@@ -145,9 +154,19 @@ def read_memmap_events(memmap_path, skip_frames: int = 1,
     if not os.path.isdir(memmap_path):
         raise NotADirectoryError(f"{memmap_path} is not a memmap directory")
 
+    # Reference-style roots may nest the component files one level down
+    # (reference read_events.py:55 walks subroots; MemMapDataset does too):
+    # descend to the first directory that holds the timestamp file.
+    root = memmap_path
+    if not os.path.exists(os.path.join(root, events_t_file)):
+        for sub, _dirs, files in sorted(os.walk(memmap_path)):
+            if events_t_file in files:
+                root = sub
+                break
+
     data = {}
-    for fname in sorted(os.listdir(memmap_path)):
-        path = os.path.join(memmap_path, fname)
+    for fname in sorted(os.listdir(root)):
+        path = os.path.join(root, fname)
         if not fname.endswith(".npy"):
             continue
         if fname == "index.npy":
@@ -163,7 +182,8 @@ def read_memmap_events(memmap_path, skip_frames: int = 1,
         elif fname == events_t_file:
             handle = np.load(path, mmap_mode="r")
             data["t"] = handle[:].squeeze() if return_events else handle
-            data["t0"] = float(np.asarray(handle[0]).squeeze())
+            data["t0"] = (float(np.asarray(handle[0]).squeeze())
+                          if len(handle) else 0.0)
         elif fname == events_xy_file:
             handle = np.load(path, mmap_mode="r")
             data["xy"] = handle[:].squeeze() if return_events else handle
@@ -171,8 +191,12 @@ def read_memmap_events(memmap_path, skip_frames: int = 1,
             handle = np.load(path, mmap_mode="r")
             data["p"] = handle[:].squeeze() if return_events else handle
 
-    if "t" not in data:
-        raise DataNotFoundError(f"No event data found in {memmap_path}")
+    missing = [n for n, k in ((events_t_file, "t"), (events_xy_file, "xy"),
+                              (events_p_file, "p")) if k not in data]
+    if missing:
+        raise DataNotFoundError(
+            f"No event data found in {memmap_path} (missing "
+            f"{', '.join(missing)})")
     if not (len(data["p"]) == len(data["xy"]) == len(data["t"])):
         raise DataFormatError(
             f"Inconsistent event component lengths in {memmap_path}")
@@ -182,8 +206,19 @@ def read_memmap_events(memmap_path, skip_frames: int = 1,
     # frame_event_indices); foreign layouts (reference compute_indices /
     # attr dumps) are normalized, the as-loaded table stays in "index_raw".
     if "index_raw" in data:
-        data["index"] = _normalize_frame_index(data["index_raw"],
-                                               data["num_events"])
+        num_frames = (len(np.load(os.path.join(root, images_ts_file)))
+                      if os.path.exists(os.path.join(root, images_ts_file))
+                      else None)
+        idx = _normalize_frame_index(data["index_raw"], data["num_events"],
+                                     num_frames=num_frames)
+        if skip_frames > 1 and idx.ndim == 2 and idx.shape[1] == 2:
+            # Frames were strided; merge the skipped windows so row j still
+            # ends at retained frame j and starts at the previous retained
+            # frame's end (canonical contract under subsampling).
+            ends = idx[::skip_frames, 1]
+            starts = np.concatenate([[idx[0, 0]], ends[:-1]])
+            idx = np.stack([starts, ends], axis=-1)
+        data["index"] = idx
     elif "frame_stamps" in data:
         t = np.asarray(data["t"]).reshape(-1, 1)
         data["index"] = frame_event_indices(t, data["frame_stamps"])

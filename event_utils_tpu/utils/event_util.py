@@ -134,18 +134,18 @@ def lifespan_mask(ts: Array, params: Array, pixel_crossings: float,
     magnitude = jnp.linalg.norm(jnp.atleast_1d(jnp.asarray(params)))
     dt = jnp.where(magnitude == 0, 5.0, pixel_crossings / jnp.maximum(magnitude, 1e-30))
     t_last = jnp.max(jnp.where(valid, ts, -jnp.inf))
-    # Padded batches (e.g. bucket_events_by_roi) zero-fill the tail, so the
-    # raw ts array is NOT sorted; search over pad-slots-sent-to-+inf instead
-    # (valid events form a sorted prefix, so the effective array is sorted).
-    ts_eff = jnp.where(valid, ts, jnp.inf)
-    s_idx = jnp.searchsorted(ts_eff, t_last - dt)
-    num_valid = jnp.sum(valid).astype(s_idx.dtype)
-    # Minimum-events fallback counts *valid* events, not array capacity.
-    s_idx = jnp.where(num_valid - s_idx < minimum_events,
-                      jnp.maximum(num_valid - minimum_events, 0), s_idx)
-    pos = jnp.arange(n)
-    keep = pos >= s_idx
+    # Rank arithmetic instead of searchsorted: robust to ANY hole pattern
+    # in base_mask (padded tails, bounds masks, hot-pixel masks), where a
+    # where(valid, ts, inf) array would only stay sorted for prefix holes.
+    keep_time = valid & (ts >= t_last - dt)
+    num_valid = jnp.sum(valid)
+    num_kept = jnp.sum(keep_time)
+    # Minimum-events fallback: the newest `minimum_events` VALID events.
+    rank_from_end = num_valid - jnp.cumsum(valid)  # 0 = last valid event
+    keep_min = valid & (rank_from_end < minimum_events)
+    keep = jnp.where(num_kept < minimum_events, keep_min, keep_time)
     if drop_last:
+        pos = jnp.arange(n)
         last_valid = jnp.max(jnp.where(valid, pos, -1))
         keep = keep & (pos < last_valid)
     return base_mask * keep.astype(base_mask.dtype)
@@ -193,7 +193,12 @@ def binary_search_array(t, x, l=0, r=None, side="left"):
 
 # Reference-name alias (event_util.py:141: binary_search_torch_tensor).
 def binary_search_torch_tensor(t, l, r, x, side="left"):
-    return binary_search_array(t, x, l=l or 0, r=r, side=side)
+    # The reference's r is INCLUSIVE (its callers pass len(t)-1 to search
+    # the whole array, event_util.py:152-161); binary_search_array slices
+    # exclusively, so widen by one.
+    n = len(t)
+    r_excl = n if r is None else min(int(r) + 1, n)
+    return binary_search_array(t, x, l=l or 0, r=r_excl, side=side)
 
 
 def remove_hot_pixels(xs, ys, ts, ps, sensor_size=(180, 240), num_hot: int = 50):

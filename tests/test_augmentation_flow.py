@@ -184,3 +184,33 @@ def test_add_correlated_events_jax_device_densify(rng):
     assert not np.any(np.asarray(om)[len(valid_t):])  # pads at the tail
     assert np.asarray(ox).min() >= 0 and np.asarray(ox).max() <= 239
     assert set(np.unique(np.asarray(op)[np.asarray(om) != 0])) <= {-1.0, 1.0}
+
+
+def test_jitter_epoch_timestamps_keep_resolution(rng):
+    """Device jitter on absolute epoch-style float64 stamps: the ms-scale
+    jitter must survive (f32 ulp at 1.6e9 s is ~128 s — a naive cast
+    collapses every stamp)."""
+    import jax
+    from event_utils_tpu.augmentation.event_augmentation import (
+        jitter_events_jax)
+
+    n = 500
+    t0 = 1.6e9
+    ts = t0 + np.sort(rng.uniform(0, 0.5, n))
+    _, _, nt = jitter_events_jax(jax.random.PRNGKey(0),
+                                 rng.uniform(0, 100, n),
+                                 rng.uniform(0, 100, n), ts, ts_std=0.001)
+    nt = np.asarray(nt)
+    assert nt.dtype == np.float64
+    d = nt - ts
+    assert 1e-4 < np.std(d) < 1e-2, np.std(d)  # jitter present, ms scale
+
+
+def test_remove_events_mask_jax_remove_all(rng):
+    import jax
+    from event_utils_tpu.augmentation.event_augmentation import (
+        remove_events_mask_jax)
+    m = remove_events_mask_jax(jax.random.PRNGKey(1), 64, 64)
+    assert not bool(np.asarray(m).any())
+    m2 = remove_events_mask_jax(jax.random.PRNGKey(1), 64, 10)
+    assert int(np.asarray(m2).sum()) == 54

@@ -284,3 +284,83 @@ def test_txt_to_h5_with_frames_feeds_loaders(rng, tmp_path):
     item = ds[1]
     assert item["voxel"].shape == (3, 24, 32)
     assert np.abs(item["voxel"]).sum() > 0
+
+
+def test_normalize_reference_compute_indices_table(rng, tmp_path):
+    """A reference compute_indices index.npy ((F-1, 2) reversed rows
+    covering [frame_i, frame_{i+1})) must normalize into the canonical
+    (F, 2) events-up-to-frame-i table, not just a column swap."""
+    from event_utils_tpu.data_formats import (compute_indices,
+                                              memmap_packager,
+                                              read_memmap_events)
+    from event_utils_tpu.data_formats.read_events import frame_event_indices
+
+    n = 600
+    ts = np.sort(rng.uniform(0.0, 1.0, n))
+    frame_ts = np.linspace(0.1, 0.9, 5)
+    d = str(tmp_path / "refidx")
+    mp = memmap_packager(d)
+    mp.package_events(rng.integers(0, 32, n), rng.integers(0, 24, n),
+                      ts, rng.choice([-1.0, 1.0], n))
+    for k, ft in enumerate(frame_ts):
+        mp.package_image(rng.integers(0, 255, (24, 32), np.uint8), ft, k)
+    mp.add_metadata(n, 0, 0, 1.0, 0.0, 1.0, 5, 0, sensor_size=(24, 32))
+    # overwrite index.npy with the REFERENCE layout
+    np.save(os.path.join(d, "index.npy"),
+            compute_indices(ts.reshape(-1, 1), frame_ts))
+
+    got = read_memmap_events(d)["index"]
+    expect = frame_event_indices(ts.reshape(-1, 1), frame_ts)
+    np.testing.assert_array_equal(got, expect)
+
+
+def test_read_memmap_events_nested_root_and_partial(rng, tmp_path):
+    from event_utils_tpu.data_formats import memmap_packager, read_memmap_events
+    from event_utils_tpu.errors import DataNotFoundError
+
+    root = tmp_path / "nested"
+    sub = root / "scene0"
+    mp = memmap_packager(str(sub))
+    n = 100
+    mp.package_events(rng.integers(0, 32, n), rng.integers(0, 24, n),
+                      np.sort(rng.uniform(0, 1, n)),
+                      rng.choice([-1.0, 1.0], n))
+    mp.add_metadata(n, 0, 0, 1.0, 0.0, 1.0, 0, 0)
+    # reference-style: components one level below the root the user passes
+    d = read_memmap_events(str(root))
+    assert d["num_events"] == n
+
+    # partial dir: typed error naming the missing files, not a KeyError
+    partial = tmp_path / "partial"
+    partial.mkdir()
+    np.save(str(partial / "t.npy"), np.sort(rng.uniform(0, 1, 10)).reshape(-1, 1))
+    with pytest.raises(DataNotFoundError):
+        read_memmap_events(str(partial))
+
+
+def test_memmap_packager_streams_chunked(rng, tmp_path):
+    """Spill-file streaming: many small package_events calls with a tiny
+    max_buffer_size finalize into the exact same npy contents."""
+    from event_utils_tpu.data_formats import memmap_packager, read_memmap_events
+
+    d = str(tmp_path / "stream")
+    mp = memmap_packager(d, max_buffer_size=64)  # force many copy chunks
+    all_xs, all_ts = [], []
+    t_cursor = 0.0
+    for _ in range(7):
+        m = int(rng.integers(10, 50))
+        xs = rng.integers(0, 32, m)
+        ts = t_cursor + np.sort(rng.uniform(0, 0.01, m))
+        t_cursor = ts[-1]
+        mp.package_events(xs, rng.integers(0, 24, m), ts,
+                          rng.choice([-1.0, 1.0], m))
+        all_xs.append(xs)
+        all_ts.append(ts)
+    n = sum(len(a) for a in all_xs)
+    mp.add_metadata(n, 0, 0, 1.0, 0.0, 1.0, 0, 0)
+    d2 = read_memmap_events(d, return_events=True)
+    assert d2["num_events"] == n
+    np.testing.assert_array_equal(d2["xy"][:, 0], np.concatenate(all_xs))
+    np.testing.assert_allclose(np.asarray(d2["t"]).squeeze(),
+                               np.concatenate(all_ts))
+    assert not [f for f in os.listdir(d) if f.startswith(".")]  # no spills
