@@ -33,6 +33,19 @@ def _conv(features, kernel=3, stride=1):
                    padding="SAME")
 
 
+def _check_divisible(hw, depth, name):
+    """Fail loudly on spatial dims the stride-2 pyramid cannot round-trip —
+    otherwise the decoder silently drops skip connections and returns a
+    differently-shaped output."""
+    H, W = int(hw[0]), int(hw[1])
+    d = 2 ** depth
+    if H % d or W % d:
+        from ..errors import ConfigurationError
+        raise ConfigurationError(
+            f"{name}: input {H}x{W} not divisible by 2^depth={d}; pad with "
+            "utils.util.CropParameters first")
+
+
 class ConvGRU(nn.Module):
     """Convolutional GRU cell (the E2VID recurrent state)."""
 
@@ -90,6 +103,7 @@ class EVFlowNet(nn.Module):
 
     @nn.compact
     def __call__(self, voxel):
+        _check_divisible(voxel.shape[-2:], self.depth, "EVFlowNet")
         x = jnp.transpose(voxel, (0, 2, 3, 1))  # NCHW -> NHWC
         feats = [self.base_features * (2 ** i) for i in range(self.depth)]
         x, skips = _Encoder(feats)(x)
@@ -111,6 +125,7 @@ class E2VID(nn.Module):
 
     @nn.compact
     def __call__(self, voxel, state=None):
+        _check_divisible(voxel.shape[-2:], self.depth, "E2VID")
         x = jnp.transpose(voxel, (0, 2, 3, 1))
         feats = [self.base_features * (2 ** i) for i in range(self.depth)]
         x, skips = _Encoder(feats)(x)
@@ -134,6 +149,14 @@ def contrast_flow_loss(flow, events, events_mask, sensor_size,
     the predicted dense flow and maximise IWE contrast (variance), plus a
     total-variation smoothness prior on the flow.
 
+    The warp runs with the *compensating* sign (``-flow`` through
+    `warp_events_flow`, whose reference-faithful formula advects events
+    backward — see its docstring), so the trained network emits TRUE
+    forward optic flow: positive (u, v) px/s for a scene moving in +x/+y,
+    the same convention as the simulator's ground truth and the velocities
+    `contrast_max` recovers. (Before this was pinned, training converged to
+    the negated field: loss(-gt) beat loss(+gt) on simulated GT.)
+
     @param flow ``(B, 2, H, W)`` predicted flow
     @param events ``(B, N, 4)`` padded raw events (x, y, t, p)
     @param events_mask ``(B, N)`` validity
@@ -146,13 +169,8 @@ def contrast_flow_loss(flow, events, events_mask, sensor_size,
 
     def one(flow_b, ev, mask):
         xs, ys, ts, ps = ev[:, 0], ev[:, 1], ev[:, 2], ev[:, 3]
-        # empty windows (all-zero mask, e.g. a quiet t_seconds interval)
-        # would give t_last = -inf -> NaN warp -> NaN batch loss
-        any_valid = jnp.any(mask != 0)
-        t_last = jnp.where(any_valid,
-                           jnp.max(jnp.where(mask != 0, ts, -jnp.inf)), 0.0)
-        xw, yw = warp_events_flow(xs, ys, ts, ps, flow_b, t0=t_last,
-                                  mask=mask)
+        # default t0 (last valid event; empty windows fall back finitely)
+        xw, yw = warp_events_flow(xs, ys, ts, ps, -flow_b, mask=mask)
         valid = ((xw >= 0) & (xw < W) & (yw >= 0) & (yw < H)
                  & (mask != 0))
         iwe = bilinear_scatter(xw, yw, ps * mask, (H, W), mask=valid)

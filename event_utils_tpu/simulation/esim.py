@@ -75,8 +75,12 @@ class Scene:
     """A renderable moving scene: intensity frames + ground-truth flow.
 
     ``render(t) -> (H, W)`` intensity in (0, 1];
-    ``flow(t) -> (2, H, W)`` optic flow (u, v) in px/s (the displacement
-    convention `transforms.optic_flow.warp_events_flow` compensates);
+    ``flow(t) -> (2, H, W)`` TRUE forward optic flow (u, v) in px/s — the
+    image motion of scene features, the convention `contrast_max` recovers
+    and `contrast_flow_loss` trains EVFlowNet to emit. NB
+    `transforms.optic_flow.warp_events_flow` is reference-faithful and
+    advects *backward*: motion-compensating these events requires passing
+    ``-flow`` to it (see its docstring);
     ``params`` the motion ground truth in `models.warps` parameter layout.
     """
     render: Callable[[Array], Array]
@@ -362,20 +366,20 @@ def simulate_events(frames, frame_ts, cfg: Optional[SimulatorConfig] = None,
             st = jnp.concatenate([st, jnp.repeat(st[-1:], pad)])
         L_ref, t_last, (t_ev, kept, sign, dropped) = run_chunk(
             L_ref, t_last, fr, st, cp, cn)
-        t_ev = np.asarray(t_ev)       # (chunk, H, W, K)
-        kept = np.asarray(kept)
-        sign = np.asarray(sign)       # (chunk, H, W)
+        real = stop - start
+        t_ev = np.asarray(t_ev)[:real]   # (real, H, W, K)
+        kept = np.asarray(kept)[:real]
+        sign = np.asarray(sign)[:real]   # (real, H, W)
         # Padded tail steps can shadow-fire while catching the state up to
-        # the repeated last frame; they are never emitted (the loop below
-        # stops at the real step count) and must not count as drops either.
-        dropped_total += int(np.asarray(dropped)[:stop - start].sum())
-        for s in range(stop - start):
-            m = kept[s]
-            if not m.any():
-                continue
-            iy, ix, _ = np.nonzero(m)
-            blocks.append((xx[iy, ix], yy[iy, ix], t_ev[s][m],
-                           sign[s][iy, ix].astype(np.float32)))
+        # the repeated last frame; the [:real] crops exclude them from both
+        # the stream and the drop count.
+        dropped_total += int(np.asarray(dropped)[:real].sum())
+        # One vectorized nonzero over the whole chunk (a per-step Python
+        # loop re-scans the (H, W, K) block twice per frame pair).
+        si, iy, ix, _ = np.nonzero(kept)
+        if len(si):
+            blocks.append((xx[iy, ix], yy[iy, ix], t_ev[kept],
+                           sign[si, iy, ix].astype(np.float32)))
 
     if not blocks:
         empty = np.array([], np.float32)
@@ -403,10 +407,24 @@ def simulate_scene(scene: Scene, duration: float, fps: float,
     """
     if duration <= 0 or fps <= 0:
         raise ConfigurationError("duration and fps must be positive")
+    cfg = cfg or SimulatorConfig()
     n_frames = max(2, int(round(duration * fps)) + 1)
     frame_ts = np.linspace(0.0, duration, n_frames)
-    t_batch = jnp.asarray(frame_ts, jnp.float32)
-    frames = jax.jit(jax.vmap(scene.render))(t_batch)
-    flows = jax.jit(jax.vmap(scene.flow))(t_batch)
+    # Render in chunk-sized vmapped batches: keeps device memory bounded by
+    # the chunk (matching simulate_events' own chunked consumption) instead
+    # of materializing the full (F, H, W) + (F, 2, H, W) stacks on device.
+    chunk = max(1, int(cfg.chunk))
+    render_c = jax.jit(jax.vmap(scene.render))
+    flow_c = jax.jit(jax.vmap(scene.flow))
+    frames_l, flows_l = [], []
+    for s in range(0, n_frames, chunk):
+        t_batch = jnp.asarray(frame_ts[s:s + chunk], jnp.float32)
+        if len(t_batch) < chunk:  # pad to one compiled shape, crop on host
+            t_batch = jnp.pad(t_batch, (0, chunk - len(t_batch)))
+        m = min(chunk, n_frames - s)
+        frames_l.append(np.asarray(render_c(t_batch))[:m])
+        flows_l.append(np.asarray(flow_c(t_batch))[:m])
+    frames = np.concatenate(frames_l)
+    flows = np.concatenate(flows_l)
     events = simulate_events(frames, frame_ts, cfg, key)
-    return events, np.asarray(frames), frame_ts, np.asarray(flows)
+    return events, frames, frame_ts, flows

@@ -18,9 +18,17 @@ from .visualization_utils import (frame_stamps_to_start_end,
                                   get_frame_indices, parse_crop)
 
 
-def motion_compensate(xs, ys, ts, ps, flow, fname="/tmp/img.png", crop=None):
+def motion_compensate(xs, ys, ts, ps, flow, fname="/tmp/img.png", crop=None,
+                      forward_flow: bool = True):
     """Warp events by a dense flow field and save the resulting IWE
-    (reference draw_flow.py:15-26)."""
+    (reference draw_flow.py:15-26).
+
+    Divergence (documented): this framework's flows are TRUE forward optic
+    flow (simulator ground truth, trained EVFlowNet output), which
+    `warp_events_flow`'s reference-faithful formula only compensates when
+    negated — so the default negates. Pass ``forward_flow=False`` for the
+    reference's raw behavior (correct for backward-convention flow files).
+    """
     import matplotlib.pyplot as plt
 
     xs = np.asarray(xs, np.float32)
@@ -28,7 +36,8 @@ def motion_compensate(xs, ys, ts, ps, flow, fname="/tmp/img.png", crop=None):
     ts = np.asarray(ts, np.float32)
     ps = np.asarray(ps, np.float32)
     flow = np.asarray(flow, np.float32)
-    xw, yw = warp_events_flow(xs, ys, ts, ps, flow)
+    xw, yw = warp_events_flow(xs, ys, ts, ps,
+                              -flow if forward_flow else flow)
     img_size = [s for s in flow.shape if s != 2]
     img = np.asarray(events_to_image_torch(
         np.asarray(xw), np.asarray(yw), ps, sensor_size=tuple(img_size),

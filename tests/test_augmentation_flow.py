@@ -214,3 +214,30 @@ def test_remove_events_mask_jax_remove_all(rng):
     assert not bool(np.asarray(m).any())
     m2 = remove_events_mask_jax(jax.random.PRNGKey(1), 64, 10)
     assert int(np.asarray(m2).sum()) == 54
+
+
+def test_warp_events_flow_single_event_and_oob():
+    """Regression: single-event (1,) inputs must keep their shape (an
+    unconditional squeeze made them 0-d and crashed the default-t0 path),
+    and out-of-field events sample ZERO flow (grid_sample
+    padding_mode='zeros' parity) instead of the border pixel's flow."""
+    from event_utils_tpu.transforms.optic_flow import (warp_events_flow,
+                                                       warp_events_flow_torch)
+
+    flow = np.zeros((2, 16, 16), np.float32)
+    flow[0] = 5.0  # uniform u
+    xw, yw = warp_events_flow(np.array([3.0]), np.array([4.0]),
+                              np.array([0.5]), np.array([1.0]), flow)
+    assert np.shape(xw) == (1,) and np.shape(yw) == (1,)
+
+    # far-out-of-bounds event: zero flow -> stays put
+    xw2, _ = warp_events_flow(np.array([-10.0, 3.0]), np.array([4.0, 4.0]),
+                              np.array([0.0, 1.0]), np.array([1.0, 1.0]),
+                              flow, t0=1.0)
+    assert float(xw2[0]) == -10.0            # untouched (zero padding)
+    assert abs(float(xw2[1] - 3.0)) < 1e-5   # dt=0 at t0
+
+    # batched reference signature is explicitly unsupported
+    with pytest.raises(NotImplementedError):
+        warp_events_flow_torch(np.zeros(3), np.zeros(3), np.zeros(3),
+                               np.zeros(3), flow, batched=True)

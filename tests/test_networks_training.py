@@ -177,3 +177,44 @@ def test_flow_trainer_combined_channels_fit(rng, tmp_path):
                          ckpt_every=4)
     assert len(losses) == 4 and all(np.isfinite(losses))
     assert trainer.restore_checkpoint(ckpt) == 4
+
+
+def test_contrast_flow_loss_sign_convention():
+    """The loss must be minimized by the TRUE forward flow, not its
+    negation (pre-fix, loss(-gt) beat loss(+gt): EVFlowNet trained to emit
+    negated fields)."""
+    import jax
+    import jax.numpy as jnp
+    from event_utils_tpu.models.networks import contrast_flow_loss
+    from event_utils_tpu.simulation.esim import (SimulatorConfig,
+                                                 simulate_scene,
+                                                 smooth_texture,
+                                                 translating_scene)
+
+    key = jax.random.PRNGKey(4)
+    tex = smooth_texture(key, (48, 48), octaves=4)
+    sc = translating_scene(tex, (30.0, -20.0))
+    ev, _, _, flows = simulate_scene(sc, 0.4, 120.0,
+                                     SimulatorConfig(c_pos=0.15, c_neg=0.15))
+    n = len(ev)
+    events = np.stack([ev.xs, ev.ys, ev.ts.astype(np.float32), ev.ps],
+                      -1)[None]
+    mask = np.ones((1, n), np.float32)
+    gt = jnp.asarray(flows[0][None], jnp.float32)  # (1, 2, H, W)
+
+    def loss(f):
+        return float(contrast_flow_loss(f, jnp.asarray(events), mask,
+                                        (48, 48), smoothness_weight=0.0))
+
+    l_gt, l_zero, l_neg = loss(gt), loss(jnp.zeros_like(gt)), loss(-gt)
+    assert l_gt < l_zero < l_neg, (l_gt, l_zero, l_neg)
+
+
+def test_evflownet_rejects_indivisible_input():
+    import jax
+    import jax.numpy as jnp
+    from event_utils_tpu.errors import ConfigurationError
+    from event_utils_tpu.models.networks import EVFlowNet
+    model = EVFlowNet()
+    with pytest.raises(ConfigurationError):
+        model.init(jax.random.PRNGKey(0), jnp.zeros((1, 10, 44, 44)))
