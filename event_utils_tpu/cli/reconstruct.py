@@ -39,6 +39,10 @@ def build_parser():
     parser.add_argument("--max_frames", type=int, default=None)
     parser.add_argument("--npy", action="store_true",
                         help="also save the full stack as frames.npy")
+    parser.add_argument("--eval_gt", action="store_true",
+                        help="score reconstructions against the recording's "
+                             "frames with PSNR/SSIM (between_frames only — "
+                             "window i pairs with frame i)")
     return parser
 
 
@@ -82,12 +86,17 @@ def main(argv=None):
     else:
         print("WARNING: no --ckpt_dir; reconstructing with random weights")
 
+    if args.eval_gt and args.method != "between_frames":
+        raise SystemExit("--eval_gt needs --method between_frames (window i "
+                         "pairs with frame i)")
+
     os.makedirs(args.output_dir, exist_ok=True)
     n = len(dataset) if args.max_frames is None \
         else min(len(dataset), args.max_frames)
     state = None
     stamps = []
     frames_all = [] if args.npy else None
+    psnrs, ssims = [], []
     written = 0
     for s0 in range(0, n, args.chunk):
         idxs = range(s0, min(s0 + args.chunk, n))
@@ -103,6 +112,13 @@ def main(argv=None):
             stamps.append(float(dataset.ts(max(idx1 - 1, 0))))
             if frames_all is not None:
                 frames_all.append(img)
+            if args.eval_gt:
+                from ..utils.metrics import psnr, ssim
+                gt = np.asarray(dataset[i]["frame"], np.float32).squeeze()
+                if gt.max() > 1.0:
+                    gt = gt / 255.0
+                psnrs.append(float(psnr(img, gt)))
+                ssims.append(float(ssim(img, gt)))
             written += 1
     np.savetxt(os.path.join(args.output_dir, "timestamps.txt"),
                np.asarray(stamps))
@@ -110,6 +126,15 @@ def main(argv=None):
         np.save(os.path.join(args.output_dir, "frames.npy"),
                 np.stack(frames_all))
     print(f"wrote {written} frames to {args.output_dir}")
+    if psnrs:
+        import json
+        metrics = {"psnr_db": round(float(np.mean(psnrs)), 3),
+                   "ssim": round(float(np.mean(ssims)), 4),
+                   "num_frames": len(psnrs)}
+        with open(os.path.join(args.output_dir, "metrics.json"), "w") as f:
+            json.dump(metrics, f)
+        print(f"vs ground-truth frames: PSNR {metrics['psnr_db']} dB, "
+              f"SSIM {metrics['ssim']}")
 
 
 if __name__ == "__main__":

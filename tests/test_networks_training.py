@@ -218,3 +218,19 @@ def test_evflownet_rejects_indivisible_input():
     model = EVFlowNet()
     with pytest.raises(ConfigurationError):
         model.init(jax.random.PRNGKey(0), jnp.zeros((1, 10, 44, 44)))
+
+
+def test_psnr_ssim_properties(rng):
+    from event_utils_tpu.utils.metrics import psnr, ssim
+    img = rng.uniform(0, 1, (32, 32)).astype(np.float32)
+    assert float(psnr(img, img)) > 100.0      # identical -> huge PSNR
+    assert abs(float(ssim(img, img)) - 1.0) < 1e-5
+    noisy = np.clip(img + rng.normal(0, 0.2, img.shape), 0, 1)
+    blank = np.zeros_like(img)
+    assert float(psnr(img, noisy)) > float(psnr(img, blank))
+    assert 0.0 < float(ssim(img, noisy)) < 0.99
+    assert float(ssim(img, noisy)) > float(ssim(img, 1 - img))
+    # batched shape
+    batch = rng.uniform(0, 1, (3, 32, 32)).astype(np.float32)
+    assert np.asarray(ssim(batch, batch)).shape == (3,)
+    assert np.asarray(psnr(batch, batch)).shape == (3,)
