@@ -53,11 +53,51 @@ def build_parser():
     parser.add_argument("--format", choices=("h5", "memmap"), default=None,
                         help="Default: memmap if output_path is a directory-"
                              "style path (no .h5 suffix), else h5")
+    parser.add_argument("--num_sequences", type=int, default=1,
+                        help="Write N recordings seq_000.h5.. into "
+                             "output_path (a directory): per-sequence "
+                             "random texture and motion magnitude/direction "
+                             "drawn from the given parameters — a training-"
+                             "set factory for cli.train_*")
     return parser
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+
+    if args.frame_fps > args.fps:
+        raise ConfigurationError(
+            f"--frame_fps {args.frame_fps} exceeds the render rate "
+            f"--fps {args.fps}; frames would duplicate")
+    if args.num_sequences > 1:
+        # Training-set factory: N recordings with per-sequence random
+        # texture and motion (direction uniform, magnitude 0.5-1.5x the
+        # given parameters), written as seq_%03d.h5 under output_path.
+        import numpy as _np
+        os.makedirs(args.output_path, exist_ok=True)
+        rng = _np.random.default_rng(args.seed)
+        for i in range(args.num_sequences):
+            seq = os.path.join(args.output_path, f"seq_{i:03d}.h5")
+            if args.scene == "translate":
+                speed = float(_np.hypot(*args.velocity))
+                mag = speed * rng.uniform(0.5, 1.5)
+                ang = rng.uniform(0, 2 * _np.pi)
+                velocity = (mag * _np.cos(ang), mag * _np.sin(ang))
+                omega = args.omega
+            else:
+                velocity = tuple(args.velocity)
+                omega = float(args.omega * rng.uniform(0.5, 1.5)
+                              * rng.choice([-1.0, 1.0]))
+            _run_one(args, seed=args.seed + i, output_path=seq, fmt="h5",
+                     velocity=velocity, omega=omega)
+        return
+    fmt = args.format or ("h5" if args.output_path.endswith(".h5") else
+                          "memmap")
+    _run_one(args, seed=args.seed, output_path=args.output_path, fmt=fmt,
+             velocity=tuple(args.velocity), omega=args.omega)
+
+
+def _run_one(args, seed, output_path, fmt, velocity, omega):
     import jax
 
     from ..data_formats.event_packagers import hdf5_packager, memmap_packager
@@ -65,18 +105,14 @@ def main(argv=None):
                                    simulate_scene, smooth_texture,
                                    translating_scene)
 
-    if args.frame_fps > args.fps:
-        raise ConfigurationError(
-            f"--frame_fps {args.frame_fps} exceeds the render rate "
-            f"--fps {args.fps}; frames would duplicate")
     # Independent streams for scene texture and sensor noise.
-    tex_key, sim_key = jax.random.split(jax.random.PRNGKey(args.seed))
+    tex_key, sim_key = jax.random.split(jax.random.PRNGKey(seed))
     H, W = args.sensor
     texture = smooth_texture(tex_key, (H, W), octaves=args.octaves)
     if args.scene == "translate":
-        scene = translating_scene(texture, tuple(args.velocity))
+        scene = translating_scene(texture, velocity)
     else:
-        scene = rotating_scene(texture, args.omega)
+        scene = rotating_scene(texture, omega)
 
     cfg = SimulatorConfig(c_pos=args.c_pos, c_neg=args.c_neg,
                           sigma_c=args.sigma_c, refractory=args.refractory)
@@ -87,13 +123,11 @@ def main(argv=None):
           f"({events.stats['num_pos']} pos / {events.stats['num_neg']} neg, "
           f"{events.stats['dropped']} dropped)")
 
-    fmt = args.format or ("h5" if args.output_path.endswith(".h5") else
-                          "memmap")
     if fmt == "h5":
-        pk = hdf5_packager(args.output_path)
+        pk = hdf5_packager(output_path)
     else:
-        os.makedirs(args.output_path, exist_ok=True)
-        pk = memmap_packager(args.output_path)
+        os.makedirs(output_path, exist_ok=True)
+        pk = memmap_packager(output_path)
     pk.set_data_available(num_images=1, num_flow=1)
     pk.package_events(events.xs.astype(np.int64),
                       events.ys.astype(np.int64), events.ts, events.ps)
@@ -123,12 +157,12 @@ def main(argv=None):
 
     gt = {"scene": args.scene, "params": scene.params.tolist(),
           "sensor": [H, W], "duration": args.duration,
-          "c_pos": args.c_pos, "c_neg": args.c_neg, "seed": args.seed}
-    gt_path = (args.output_path + ".gt.json" if fmt == "h5"
-               else os.path.join(args.output_path, "gt.json"))
+          "c_pos": args.c_pos, "c_neg": args.c_neg, "seed": seed}
+    gt_path = (output_path + ".gt.json" if fmt == "h5"
+               else os.path.join(output_path, "gt.json"))
     with open(gt_path, "w") as f:
         json.dump(gt, f, indent=1)
-    print(f"wrote {fmt} dataset to {args.output_path} "
+    print(f"wrote {fmt} dataset to {output_path} "
           f"(ground truth: {gt_path})")
 
 

@@ -95,19 +95,38 @@ def main(argv=None):
     from ..data_loaders import DynamicH5Dataset, MemMapDataset
     from ..training.reconstruction import ReconstructionTrainer
 
-    cls = MemMapDataset if os.path.isdir(args.path) else DynamicH5Dataset
-    dataset = cls(args.path,
-                  voxel_method={"method": "between_frames",
+    kwargs = dict(voxel_method={"method": "between_frames",
                                 "sliding_window_w": 0},
                   num_bins=args.num_bins,
                   combined_voxel_channels=args.combined_channels,
                   return_events=False, return_frame=True,
                   return_format="numpy")
-    if len(dataset) < args.seq_len * args.batch_size:
-        raise SystemExit(f"recording has only {len(dataset)} between-frame "
-                         f"windows; reduce --seq_len/--batch_size")
+    # A directory of .h5 recordings (e.g. a cli.simulate --num_sequences
+    # sweep) trains over every file; sequences never straddle recordings
+    # (the ConvGRU state must not carry across unrelated scenes).
+    if os.path.isdir(args.path) and not os.path.exists(
+            os.path.join(args.path, "t.npy")):
+        h5s = sorted(os.path.join(args.path, f)
+                     for f in os.listdir(args.path) if f.endswith(".h5"))
+        if not h5s:
+            raise SystemExit(f"{args.path} has neither t.npy (memmap) nor "
+                             ".h5 recordings")
+        datasets = [DynamicH5Dataset(p, **kwargs) for p in h5s]
+        print(f"training over {len(datasets)} recordings")
+    elif os.path.isdir(args.path):
+        datasets = [MemMapDataset(args.path, **kwargs)]
+    else:
+        datasets = [DynamicH5Dataset(args.path, **kwargs)]
+    datasets = [d for d in datasets
+                if len(d) >= args.seq_len * args.batch_size]
+    if not datasets:
+        raise SystemExit("no recording has enough between-frame windows; "
+                         "reduce --seq_len/--batch_size")
+    sizes = {tuple(d.sensor_resolution) for d in datasets}
+    if len(sizes) > 1:
+        raise SystemExit(f"recordings disagree on sensor size: {sizes}")
 
-    probe = dataset[0]
+    probe = datasets[0][0]
     H, W = np.asarray(probe["voxel"]).shape[-2:]
     Hp, Wp = H + (-H) % 8, W + (-W) % 8
     trainer = ReconstructionTrainer(
@@ -119,17 +138,22 @@ def main(argv=None):
         print(f"resumed from step {step}")
 
     steps = 0
+    done = False
     for epoch in range(args.epochs):
-        for voxels, frames in iter_sequences(dataset, args.seq_len,
-                                             args.batch_size, args.num_bins,
-                                             args.combined_channels):
-            loss = trainer.train_sequence(voxels, frames)
-            steps += 1
-            print(f"epoch {epoch} step {trainer.step} loss {loss:.4f}",
-                  flush=True)
-            if args.max_steps and steps >= args.max_steps:
+        for dataset in datasets:
+            for voxels, frames in iter_sequences(
+                    dataset, args.seq_len, args.batch_size, args.num_bins,
+                    args.combined_channels):
+                loss = trainer.train_sequence(voxels, frames)
+                steps += 1
+                print(f"epoch {epoch} step {trainer.step} loss {loss:.4f}",
+                      flush=True)
+                if args.max_steps and steps >= args.max_steps:
+                    done = True
+                    break
+            if done:
                 break
-        if args.max_steps and steps >= args.max_steps:
+        if done:
             break
 
     if args.ckpt_dir:

@@ -209,3 +209,28 @@ def test_visualize_events_sliding_stride_default(h5_path, tmp_path):
     main([h5_path, "--output_path", out, "--plot_method", "t_seconds",
           "--w_width", "0.1", "--num_show", "100"])
     assert len(os.listdir(out)) >= 3
+
+
+def test_simulate_factory_and_multifile_training(tmp_path):
+    """cli.simulate --num_sequences writes a directory of randomized
+    ground-truth recordings, and train_reconstruction trains over the whole
+    directory (sequences never straddle recordings)."""
+    import json
+
+    from event_utils_tpu.cli.simulate import main as sim
+    from event_utils_tpu.cli.train_reconstruction import main as train
+
+    d = str(tmp_path / "factory")
+    sim([d, "--num_sequences", "2", "--sensor", "24", "24",
+         "--velocity", "25", "10", "--duration", "0.2", "--fps", "80",
+         "--frame_fps", "30", "--octaves", "3"])
+    files = sorted(os.listdir(d))
+    assert "seq_000.h5" in files and "seq_001.h5" in files
+    g0 = json.load(open(os.path.join(d, "seq_000.h5.gt.json")))
+    g1 = json.load(open(os.path.join(d, "seq_001.h5.gt.json")))
+    assert g0["params"] != g1["params"]  # per-sequence randomized motion
+
+    ckpt = str(tmp_path / "ck")
+    train([d, "--seq_len", "2", "--batch_size", "1", "--epochs", "1",
+           "--max_steps", "3", "--ckpt_dir", ckpt])
+    assert os.path.isdir(ckpt) and len(os.listdir(ckpt)) > 0
