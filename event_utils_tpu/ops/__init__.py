@@ -12,7 +12,7 @@ from .scatter import (  # noqa: F401
 from .blur import gaussian_filter, gaussian_blur_image, gaussian_kernel1d  # noqa: F401
 from .matmul_scatter import bilinear_scatter_matmul  # noqa: F401
 from .pallas_scatter import (  # noqa: F401
-    bilinear_image_matmul,
+    bilinear_matmul,
     image_matmul,
     voxel_matmul,
 )

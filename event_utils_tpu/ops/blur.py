@@ -88,6 +88,15 @@ def gaussian_filter(x: Array, sigma: float, *, truncate: float = 4.0,
     """
     if sigma is None or sigma <= 0:
         return x
+    # Integer inputs (e.g. event-count images): convolve in float and round
+    # back — casting the normalized kernel to an int dtype would truncate
+    # every tap to 0 and return all-zeros. Documented divergence: scipy
+    # truncates in the int domain after EVERY axis pass; rounding once at
+    # the end is strictly more accurate (differs by <=~2 counts).
+    int_dtype = jnp.issubdtype(x.dtype, jnp.integer)
+    orig_dtype = x.dtype
+    if int_dtype:
+        x = x.astype(jnp.float32)
     ndim = x.ndim
     if axes is None:
         axes = tuple(range(ndim))
@@ -96,6 +105,8 @@ def gaussian_filter(x: Array, sigma: float, *, truncate: float = 4.0,
         x = jnp.moveaxis(x, ax, -1)
         x = _blur_last_axis(x, sigma, truncate)
         x = jnp.moveaxis(x, -1, ax)
+    if int_dtype:
+        x = jnp.round(x).astype(orig_dtype)
     return x
 
 

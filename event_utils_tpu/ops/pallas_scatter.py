@@ -261,19 +261,30 @@ def voxel_matmul(xs, ys, ts, ps, B: int, sensor_size=(180, 240),
     dt = t1 - t0
     t_norm = (ts - t0) / jnp.where(dt == 0, 1.0, dt) * (B - 1)
 
-    # Below-window events (t_norm < 0, possible only under explicit t0
-    # overrides): their bin -1 tap must be DROPPED, but the kernel's
-    # residual trick assumes the taps partition the full polarity, so the
-    # dropped tap's mass would leak into bin blo+1. Fold the surviving
-    # bin-0 tap weight (1 + t_norm, clamped at 0) into ps and pin t_norm to
-    # 0: tap(0) is then exact and the residual is 0 — matching the exact
-    # scatter path and this kernel's own VJP (which drops ib < 0).
-    # Above-window taps land in the sliced-away padding bins; no fix needed.
+    # Out-of-window events (possible only under explicit t0/t1 overrides):
+    # their outside tap must be DROPPED, but the kernel's residual trick
+    # assumes the taps partition the full polarity, and the per-chunk
+    # blo/blast classification assumes t_norm within [0, B-1] — an event
+    # beyond either edge both leaks mass into a neighbouring real bin and
+    # can misclassify its whole chunk (reproduced: a t1 override dumped 496
+    # post-window events' full mass into bin B-1). Fold the surviving
+    # edge-bin tap weight into ps and pin t_norm to the edge: the edge tap
+    # is then exact, the residual 0, and fully-outside events carry ps=0 —
+    # matching the exact scatter path and this kernel's own VJP.
     below = t_norm < 0.0
+    above = t_norm > (B - 1.0)
     # where (not maximum/clip): lax.max's tie gradient at t_norm == 0 would
     # halve the time cotangent of events exactly at the window start
     ps = jnp.where(below, ps * jnp.maximum(0.0, 1.0 + t_norm), ps)
+    ps = jnp.where(above, ps * jnp.maximum(0.0, 1.0 - (t_norm - (B - 1.0))),
+                   ps)
+    # NB folded weights are fractional, so the kernel's single-matmul
+    # "exact mass" m_p truncates them (bf16 / int8-q1); the truncation
+    # lands in the residual bin at ~bf16 scale PER FOLDED EVENT (empirical
+    # max ~1e-4 of the grid scale — the below-window fold always had this
+    # property, and it is orders below the leak these folds prevent).
     t_norm = jnp.where(below, 0.0, t_norm)
+    t_norm = jnp.where(above, B - 1.0, t_norm)
 
     return _voxel_core(xs, ys, t_norm, ps,
                        (B, H, W, HP, WP, chunk, precision,
@@ -409,7 +420,9 @@ def image_matmul(ix, iy, w, shape: Tuple[int, int],
     if fitted is None:
         from .scatter import scatter_add_2d
         _too_big_warning("image_matmul", shape, "exact XLA scatter")
-        return scatter_add_2d(ix, iy, w, shape)
+        # impl pinned: with the global default set to 'pallas', impl=None
+        # would route straight back here (infinite mutual recursion)
+        return scatter_add_2d(ix, iy, w, shape, impl="xla")
     chunk = fitted
     n = ix.shape[0]
     if n == 0:
@@ -642,42 +655,9 @@ def _bilinear_core_bwd(cfg, res, g):
 _bilinear_core.defvjp(_bilinear_core_fwd, _bilinear_core_bwd)
 
 
-def bilinear_image_matmul(x, y, w, shape: Tuple[int, int],
-                          chunk: int = DEFAULT_CHUNK,
-                          precision: str = "hilo"):
-    """(H, W) 4-tap bilinear scatter via two one-hot matmuls.
-
-    The four taps share rows {y0, y0+1}: fold the two column taps of each
-    row into one weighted column one-hot, so only two matmuls per chunk are
-    needed. Built on :func:`image_matmul` row pairs.
-    """
-    H, W = shape
-    x = jnp.asarray(x, jnp.float32)
-    y = jnp.asarray(y, jnp.float32)
-    w = jnp.asarray(w, jnp.float32)
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    dx = x - x0
-    dy = y - y0
-    ix0 = x0.astype(jnp.int32)
-    iy0 = y0.astype(jnp.int32)
-
-    def tap(iyk, wk):
-        oky = (iyk >= 0) & (iyk < H)
-        out = jnp.zeros(shape, jnp.float32)
-        for ixk, wxk in ((ix0, wk * (1 - dx)), (ix0 + 1, wk * dx)):
-            ok = oky & (ixk >= 0) & (ixk < W)
-            out = out + image_matmul(jnp.where(ok, ixk, 0),
-                                     jnp.where(ok, iyk, 0),
-                                     jnp.where(ok, wxk, 0.0), shape,
-                                     chunk=chunk, precision=precision)
-        return out
-
-    return tap(iy0, w * (1 - dy)) + tap(iy0 + 1, w * dy)
-
-
 def scatter_add_flat_pallas(idx, w, num_buckets: int,
-                            chunk: int = DEFAULT_CHUNK):
+                            chunk: int = DEFAULT_CHUNK,
+                            precision: str = "hilo"):
     """Flat scatter via the image kernel: buckets viewed as a 2-D grid."""
     W = 128
     H = _round_up(num_buckets, W) // W
@@ -685,5 +665,6 @@ def scatter_add_flat_pallas(idx, w, num_buckets: int,
     ok = (idx >= 0) & (idx < num_buckets)
     idx = jnp.where(ok, idx, 0)
     w = jnp.where(ok, jnp.asarray(w, jnp.float32), 0.0)
-    img = image_matmul(idx % W, idx // W, w, (H, W), chunk=chunk)
+    img = image_matmul(idx % W, idx // W, w, (H, W), chunk=chunk,
+                       precision=precision)
     return img.reshape(-1)[:num_buckets]

@@ -282,8 +282,10 @@ def bilinear_scatter_derivative(x: Array, y: Array, jx: Array, jy: Array,
         # would turn the batch into a grid dim and skip the accumulator
         # zeroing.
         from .pallas_scatter import scatter_add_flat_pallas
+        prec = _matmul_precision(impl or _DEFAULT_IMPL)
         return jnp.stack([
-            scatter_add_flat_pallas(flat_idx, flat_w[d], H * W).reshape(H, W)
+            scatter_add_flat_pallas(flat_idx, flat_w[d], H * W,
+                                    precision=prec).reshape(H, W)
             for d in range(flat_w.shape[0])])
 
     def one_dim(wd):

@@ -132,11 +132,21 @@ def events_to_image(xs, ys, ps, sensor_size=(180, 240),
             # Latent reference defect repaired (image.py:24-27 counts on the
             # UNPADDED grid, so meanval+bilinear+padding crashes upstream
             # with a (H+1, W+1) vs (H, W) broadcast error): count events at
-            # their integer pixel on the image's own grid, OOB dropped.
-            fx = jnp.floor(jnp.asarray(xs, jnp.float32))
-            fy = jnp.floor(jnp.asarray(ys, jnp.float32))
-            cnt = scatter_add_2d(fx, fy, jnp.ones_like(fx), img.shape,
-                                 mask=mask, impl=impl)
+            # their integer pixel on the image's own grid, and only events
+            # the numerator's bilinear clip kept (clipx = W-1 unpadded, W
+            # padded) — otherwise border events deflate the mean at the
+            # last row/column.
+            fxs = jnp.asarray(xs, jnp.float32)
+            fys = jnp.asarray(ys, jnp.float32)
+            clipx = float(W if padding else W - 1)
+            clipy = float(H if padding else H - 1)
+            valid = ((fxs >= 0) & (fys >= 0)
+                     & (fxs < clipx) & (fys < clipy)).astype(jnp.float32)
+            if mask is not None:
+                valid = valid * jnp.asarray(mask, jnp.float32)
+            cnt = scatter_add_2d(jnp.floor(fxs), jnp.floor(fys),
+                                 jnp.ones_like(fxs), img.shape,
+                                 mask=valid, impl=impl)
     else:
         img_size = (H + 1, W + 1)
         img = scatter_add_2d(xs, ys, jnp.asarray(ps, jnp.float32), img_size,
@@ -261,6 +271,12 @@ def events_to_timestamp_image(xn, yn, ts, pn, sensor_size=(180, 240),
                               legacy_mask: bool = False,
                               impl: Optional[str] = None):
     """Average-timestamp images of positive / negative events.
+
+    NB ``interpolation`` only selects the clip bounds, never the
+    accumulation: events always splat bilinearly — exactly the reference's
+    behavior (image.py:315-346 calls ``interpolate_to_image``
+    unconditionally; its ``interpolation=None`` route likewise only widens
+    ``clipx/clipy``).
 
     Single implementation covering both reference variants
     (image.py:219-284 numpy, image.py:286-353 torch, incl.

@@ -322,3 +322,33 @@ def test_matmul_scan_formulation_parity(rng):
     got_hl = np.asarray(bilinear_scatter_matmul(x, y, w, (80, 100),
                                                 precision="hilo"))
     assert np.abs(got_hl - exact).max() / scale < 5e-4  # hilo ~1e-4
+
+
+def test_pallas_default_impl_vmem_fallback_no_recursion():
+    """With the global default impl set to 'pallas', an oversized bucket
+    grid must fall back to the exact scatter — impl=None in the fallback
+    used to re-enter the pallas route (infinite mutual recursion)."""
+    from event_utils_tpu.ops import scatter
+    prev = scatter._DEFAULT_IMPL
+    try:
+        scatter.set_default_impl("pallas")
+        idx = jnp.array([0, 5, 2_999_999], jnp.int32)
+        w = jnp.ones(3, jnp.float32)
+        out = scatter.scatter_add_flat(idx, w, 3_000_000)
+        assert float(out[0]) == 1.0 and float(out[2_999_999]) == 1.0
+    finally:
+        scatter.set_default_impl(prev)
+
+
+def test_gaussian_filter_integer_dtype_matches_scipy(rng):
+    from scipy.ndimage import gaussian_filter as sp_filter
+    from event_utils_tpu.ops.blur import gaussian_filter
+    img = rng.integers(0, 50, (24, 32)).astype(np.int32)
+    ours = np.asarray(gaussian_filter(jnp.asarray(img), 1.5))
+    ref = sp_filter(img, 1.5)
+    assert ours.dtype == np.int32
+    assert ours.sum() > 0  # the old kernel-cast bug returned all-zeros
+    # Documented divergence: scipy truncates in the int domain PER AXIS;
+    # we accumulate in float and round once (strictly better numerics),
+    # so values can differ by the per-axis truncation (~2 counts).
+    assert np.abs(ours - ref).max() <= 2

@@ -295,3 +295,47 @@ def test_image_matmul_vmem_guard(rng):
                                          impl="matmul"))
         assert any("VMEM" in str(x.message) for x in w)
     np.testing.assert_allclose(got, exact, rtol=1e-6)
+
+
+def test_voxel_matmul_t1_override_no_bin_leak(rng):
+    """Events past an explicit t1 (t_norm > B-1) must contribute NOTHING to
+    real bins: the residual trick used to dump their full mass into bin
+    B-1 (reproduced: 504 vs 8), and chunk blo/blast classification broke."""
+    from event_utils_tpu.ops.pallas_scatter import voxel_matmul
+    from event_utils_tpu.representations.voxel_grid import events_to_voxel
+
+    B, H, W = 5, 32, 48
+    n = 2048
+    xs = rng.integers(0, W, n).astype(np.float32)
+    ys = rng.integers(0, H, n).astype(np.float32)
+    ts = np.sort(rng.uniform(0.0, 1.0, n)).astype(np.float32)
+    ps = rng.choice(np.array([-1.0, 1.0], np.float32), n)
+    t1 = 0.6  # ~40% of events beyond the window
+    ours = np.asarray(voxel_matmul(xs, ys, ts, ps, B, (H, W),
+                                   t0=0.0, t1=t1, chunk=512))
+    exact = np.asarray(events_to_voxel(xs, ys, ts, ps, B, (H, W),
+                                       t0=0.0, t1=t1, impl=None))
+    np.testing.assert_allclose(ours, exact, atol=5e-3)
+    # per-bin mass agrees (the old bug concentrated in the LAST bin)
+    np.testing.assert_allclose(ours.sum((1, 2)), exact.sum((1, 2)),
+                               atol=0.1)
+
+
+def test_voxel_matmul_t0_override_fractional_fold_residual(rng):
+    """Below-window fold makes ps fractional; the quantized fold must keep
+    the kernel's residual exact (no spurious mass in bin 1)."""
+    from event_utils_tpu.ops.pallas_scatter import voxel_matmul
+    from event_utils_tpu.representations.voxel_grid import events_to_voxel
+
+    B, H, W = 5, 32, 48
+    n = 2048
+    xs = rng.integers(0, W, n).astype(np.float32)
+    ys = rng.integers(0, H, n).astype(np.float32)
+    ts = np.sort(rng.uniform(0.0, 1.0, n)).astype(np.float32)
+    ps = rng.choice(np.array([-1.0, 1.0], np.float32), n)
+    t0 = 0.35
+    ours = np.asarray(voxel_matmul(xs, ys, ts, ps, B, (H, W),
+                                   t0=t0, t1=1.0, chunk=512))
+    exact = np.asarray(events_to_voxel(xs, ys, ts, ps, B, (H, W),
+                                       t0=t0, t1=1.0, impl=None))
+    np.testing.assert_allclose(ours, exact, atol=5e-3)

@@ -289,3 +289,23 @@ def test_events_to_image_bilinear_padding_meanval(rng):
                                      meanval=True))
     assert img.shape == (24, 32)
     assert np.isfinite(img).all()
+
+
+def test_meanval_bilinear_unpadded_border_not_deflated(rng):
+    """meanval+bilinear+padding=False: the denominator must count only the
+    events the numerator's clip kept — a border event used to inflate the
+    count at the last row/column while adding no mass."""
+    from event_utils_tpu.representations.image import events_to_image
+
+    H, W = 16, 16
+    # one interior event and one clipped border event in the same column
+    xs = np.array([5.2, 15.5])
+    ys = np.array([5.2, 5.2])
+    ps = np.array([1.0, 1.0])
+    img = np.asarray(events_to_image(xs, ys, ps, sensor_size=(H, W),
+                                     interpolation="bilinear",
+                                     padding=False, meanval=True,
+                                     default=0.0))
+    # border event clipped from numerator AND denominator -> default 0
+    assert img[5, 15] == 0.0 and img[6, 15] == 0.0
+    assert img[5, 5] > 0.0
