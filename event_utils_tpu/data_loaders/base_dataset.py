@@ -140,24 +140,38 @@ class BaseVoxelDataset:
         return [[i * stride, i * stride + k] for i in range(len(self))]
 
     def compute_timeblock_indices(self):
-        """Fixed-duration windows with overlap (reference base_dataset.py:338-352)."""
+        """Fixed-duration windows with overlap (reference base_dataset.py:338-352).
+
+        Divergence (documented): the reference chains ``start_idx =
+        previous end_idx``, so with ``sliding_window_t > 0`` its "windows"
+        are disjoint ``t - sliding_window_t`` slices, never overlapping —
+        a latent defect (SURVEY.md §7.3 class). Here each window's start is
+        searched at its own start time, producing true duration-``t``
+        overlapping windows — matching the native runtime's
+        ``t_second_windows`` (evio.cpp) and the k_events table.
+        """
         indices = []
-        start_idx = 0
         t = self.voxel_method["t"]
         stride = t - self.voxel_method["sliding_window_t"]
         for i in range(len(self)):
-            end_time = stride * i + self.t0 + t
-            end_idx = self.find_ts_index(end_time)
+            start_time = stride * i + self.t0
+            start_idx = self.find_ts_index(start_time)
+            end_idx = self.find_ts_index(start_time + t)
             indices.append([start_idx, end_idx])
-            start_idx = end_idx
         return indices
 
     def compute_between_frame_indices(self):
-        """Frame-synchronized windows (reference base_dataset.py:322-336)."""
+        """Frame-synchronized windows (reference base_dataset.py:322-336).
+
+        Divergence (documented): the reference clamps the final end index
+        to ``num_events - 1``, permanently dropping the recording's last
+        event from the last window (end indices are exclusive); clamping
+        to ``num_events`` keeps it.
+        """
         indices = []
         start_idx = 0
         for ts in self.frame_ts:
-            end_idx = min(self.find_ts_index(ts), self.num_events - 1)
+            end_idx = min(self.find_ts_index(ts), self.num_events)
             indices.append([start_idx, end_idx])
             start_idx = end_idx
         return indices
@@ -314,9 +328,17 @@ class BaseVoxelDataset:
             # index-1 (clamped at the sequence start).
             prev_idx = max(index - 1, 0)
             if self.return_prev_flow:
-                item["prev_flow"] = (self.transform_flow(
-                    self.get_flow(prev_idx) * dt, seed)
-                    if self.has_flow else flow)
+                if self.has_flow:
+                    # velocity -> displacement with the PREVIOUS interval's
+                    # duration (the current dt over-/under-scales it
+                    # whenever frame spacing varies)
+                    pi0, pi1 = self.get_event_indices(prev_idx)
+                    dt_prev = (self.ts(max(int(pi1) - 1, int(pi0)))
+                               - self.ts(int(pi0))) if pi1 > pi0 else dt
+                    item["prev_flow"] = self.transform_flow(
+                        self.get_flow(prev_idx) * dt_prev, seed)
+                else:
+                    item["prev_flow"] = flow
             if self.return_frame:
                 item["frame"] = frame
                 item["frame_ts"] = self.frame_ts[index]

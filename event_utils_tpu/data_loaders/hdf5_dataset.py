@@ -72,7 +72,9 @@ class DynamicH5Dataset(BaseVoxelDataset):
             end_idx = int(attrs["event_idx"])
             if end_idx < start_idx or end_idx > self.num_events:
                 return super().compute_between_frame_indices()
-            frame_indices.append([start_idx, min(end_idx,
-                                                 self.num_events - 1)])
-            start_idx = frame_indices[-1][1]
+            # num_events allowed: end indices are exclusive (the base
+            # class's documented divergence from the reference's
+            # last-event-dropping clamp)
+            frame_indices.append([start_idx, end_idx])
+            start_idx = end_idx
         return frame_indices

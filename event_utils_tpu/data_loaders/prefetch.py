@@ -27,7 +27,9 @@ class EventDataLoader:
     @param shuffle Shuffle item order each epoch (seeded via ``rng``).
     @param collate_fn Batch assembly; defaults to the dataset's
         ``collate_padded`` when present (static shapes) else ``collate_fn``.
-    @param num_workers Background threads assembling items (0 = synchronous).
+    @param num_workers 0 = synchronous; 1 = one background producer thread;
+        >1 = producer plus a pool of that many item-fetch threads
+        (h5py/np.load release the GIL, so fetches genuinely overlap).
     @param drop_last Drop the final partial batch.
     """
 
@@ -79,24 +81,63 @@ class EventDataLoader:
         yield from self._threaded_iter()
 
     def _threaded_iter(self):
+        """Background batch assembly.
+
+        - item fetches fan out over ``num_workers`` threads (h5py/np.load
+          release the GIL on IO, so this is real parallelism);
+        - producer errors propagate to the consumer instead of silently
+          truncating the epoch;
+        - abandoning the iterator (break/exception) stops the producer via
+          a timeout-checked event rather than leaving it blocked on a full
+          queue forever.
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
         q: "queue.Queue" = queue.Queue(maxsize=self.queue_depth)
-        sentinel = object()
+        stop = threading.Event()
+        pool = (ThreadPoolExecutor(self.num_workers)
+                if self.num_workers > 1 else None)
+
+        def put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
+        def fetch(idx):
+            if pool is not None:
+                return list(pool.map(self.dataset.__getitem__, idx))
+            return [self.dataset[i] for i in idx]
 
         def producer():
             try:
                 for idx in self._batches():
-                    q.put(self.collate_fn([self.dataset[i] for i in idx]))
-            finally:
-                q.put(sentinel)
+                    if stop.is_set():
+                        return
+                    if not put(("ok", self.collate_fn(fetch(idx)))):
+                        return
+                put(("done", None))
+            except BaseException as exc:  # noqa: BLE001 - re-raised below
+                put(("err", exc))
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            batch = q.get()
-            if batch is sentinel:
-                break
-            yield batch
-        t.join()
+        try:
+            while True:
+                kind, item = q.get()
+                if kind == "err":
+                    raise item
+                if kind == "done":
+                    break
+                yield item
+        finally:
+            stop.set()  # break/close/GC: release a blocked producer
+            t.join()
+            if pool is not None:
+                pool.shutdown(wait=False)
 
 
 def _default_collate(items):

@@ -139,6 +139,7 @@ long evio_fill_padded_batches(const double* t, const int16_t* xy,
             if (s < 0) s = 0;
             if (e > num_events) e = num_events;
             long count = e - s;
+            if (count < 0) count = 0;  // inverted window: emit all-pad
             if (count > capacity) {
                 truncated.fetch_add(count - capacity,
                                     std::memory_order_relaxed);
@@ -220,6 +221,7 @@ long evio_fill_padded_batches_components(
             if (s < 0) s = 0;
             if (e > num_events) e = num_events;
             long count = e - s;
+            if (count < 0) count = 0;  // inverted window: emit all-pad
             if (count > capacity) {
                 truncated.fetch_add(count - capacity,
                                     std::memory_order_relaxed);

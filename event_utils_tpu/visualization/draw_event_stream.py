@@ -85,6 +85,13 @@ def plot_events(xs, ys, ts, ps, save_path=None, num_compress="auto",
                       NEG_COLOR_INVERT if invert else NEG_COLOR)
 
     if imgs and show_frames:
+        # ONE scatter for the whole cloud (a per-frame scatter would draw
+        # every event len(imgs) times — visibly darker points and N-fold
+        # render time; mpl's 3-D axes don't z-sort across artists anyway,
+        # so per-frame before/after splits buy no occlusion ordering)
+        if show_events and len(xs):
+            ax.scatter(xs, ts, ys, zdir="z", c=colors, s=event_size,
+                       marker=marker, linewidths=0)
         for img, t_img in zip(imgs, img_ts):
             img = np.asarray(img, float)[crop[0]:crop[1], crop[2]:crop[3]]
             if img.ndim == 2:
@@ -98,12 +105,6 @@ def plot_events(xs, ys, ts, ps, save_path=None, num_compress="auto",
                     sensor_size=img.shape[0:2]))
                 img[:, :, 1] = np.clip(img[:, :, 1] + (structure > 0), 0, 1)
             gy, gx = np.ogrid[0:img.shape[0], 0:img.shape[1]]
-            split = int(np.searchsorted(ts, t_img))
-            for sl in (slice(0, split), slice(split, len(xs))):
-                if show_events and sl.stop > sl.start:
-                    ax.scatter(xs[sl], ts[sl], ys[sl], zdir="z",
-                               c=colors[sl], s=event_size, marker=marker,
-                               linewidths=0)
             ax.plot_surface(gx, np.full_like(gx, t_img, dtype=float), gy,
                             rstride=stride, cstride=stride, facecolors=img)
     else:
@@ -281,7 +282,10 @@ def plot_between_frames(xs, ys, ts, ps, frames, frame_event_idx, args,
         s, e = int(frame_indices[0, 0]), int(frame_indices[-1, 1])
         if e <= s:
             continue
-        img_ts = [ts[int(f[1])] for f in frame_indices]
+        # the end index is EXCLUSIVE (can equal len(ts)); the frame's
+        # timestamp is the last event inside its interval
+        img_ts = [ts[min(max(int(f[1]) - 1, 0), len(ts) - 1)]
+                  for f in frame_indices]
         fname = os.path.join(args.output_path, f"events_{i:09d}.png")
         if plttype == "voxel":
             plot_voxel_grid(xs[s:e], ys[s:e], ts[s:e], ps[s:e],

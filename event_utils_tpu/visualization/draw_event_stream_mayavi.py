@@ -140,7 +140,7 @@ def plot_events(xs, ys, ts, ps, save_path=None, num_compress="auto",
     skip = max(len(xs) // max(num_show, 1), 1)
     if num_compress == "auto":
         num_compress = int(min(img_size[0] * img_size[1] * 0.5, len(xs)))
-    elif num_compress == -1:
+    elif num_compress in ("all", -1):  # matplotlib-twin parity: 'all' too
         num_compress = len(xs)
     xs, ys, ts, ps = xs[::skip], ys[::skip], ts[::skip], ps[::skip]
     if len(xs) == 0:
@@ -273,7 +273,8 @@ def plot_between_frames(xs, ys, ts, ps, frames, frame_event_idx, args,
         s, e = int(frame_indices[0, 0]), int(frame_indices[-1, 1])
         if e <= s:
             continue
-        img_ts = [ts[f_idx[1]] for f_idx in frame_indices]
+        img_ts = [ts[min(max(int(f_idx[1]) - 1, 0), len(ts) - 1)]
+                  for f_idx in frame_indices]
         fname = os.path.join(args.output_path, "events_{:09d}.png".format(i))
         if plttype == "voxel":
             plot_voxel_grid(xs[s:e], ys[s:e], ts[s:e], ps[s:e],

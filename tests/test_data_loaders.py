@@ -266,3 +266,73 @@ def test_prev_frame_and_flow_are_previous(h5_path):
         assert not np.array_equal(item["prev_frame"], item["frame"])
     np.testing.assert_array_equal(np.asarray(item["prev_frame"]).squeeze(),
                                   exp_prev.squeeze())
+
+
+def test_loader_producer_error_propagates(rng):
+    """A failing dataset item inside the background producer must raise in
+    the consumer, not silently truncate the epoch."""
+    from event_utils_tpu.data_loaders.prefetch import EventDataLoader
+
+    class Exploding:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            if i == 5:
+                raise RuntimeError("corrupt window")
+            return {"x": np.zeros(3, np.float32)}
+
+    loader = EventDataLoader(Exploding(), batch_size=2, num_workers=1)
+    with pytest.raises(RuntimeError, match="corrupt window"):
+        list(loader)
+    # abandoning mid-epoch neither hangs nor leaks a blocked producer
+    loader2 = EventDataLoader(Exploding(), batch_size=1, num_workers=2,
+                              queue_depth=1)
+    for _ in loader2:
+        break
+
+
+def test_t_seconds_windows_truly_overlap(tmp_path, rng):
+    """sliding_window_t > 0 must yield duration-t OVERLAPPING windows (the
+    reference chains start=prev end, silently making disjoint t-stride
+    slices — documented divergence; our native t_second_windows always
+    overlapped, so the two paths used to disagree)."""
+    import h5py
+    from event_utils_tpu.data_loaders.hdf5_dataset import DynamicH5Dataset
+
+    n = 5000
+    t = np.sort(rng.uniform(0.0, 1.0, n))
+    path = str(tmp_path / "ov.h5")
+    with h5py.File(path, "w") as f:
+        g = f.create_group("events")
+        g.create_dataset("xs", data=rng.integers(0, 32, n).astype(np.int16))
+        g.create_dataset("ys", data=rng.integers(0, 24, n).astype(np.int16))
+        g.create_dataset("ts", data=t)
+        g.create_dataset("ps", data=rng.integers(0, 2, n).astype(bool))
+        f.attrs["sensor_resolution"] = (24, 32)
+    ds = DynamicH5Dataset(path, num_bins=3, return_format="numpy",
+                          voxel_method={"method": "t_seconds", "t": 0.2,
+                                        "sliding_window_t": 0.1})
+    idx = np.asarray(ds.event_indices)
+    # consecutive windows overlap: window i+1 starts before window i ends
+    assert (idx[1:, 0] < idx[:-1, 1]).all(), idx[:4]
+    # each window spans ~0.2 s of events
+    for i0, i1 in idx[:-1]:
+        span = t[min(i1, n - 1)] - t[i0]
+        assert 0.15 < span <= 0.21, span
+
+
+def test_native_fill_inverted_window_is_empty(rng):
+    """An idx0 > idx1 window must produce an all-pad batch (the C++ pad
+    loop used to start at a negative offset — out-of-bounds writes)."""
+    from event_utils_tpu import native
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+    n = 100
+    t = np.sort(rng.uniform(0, 1, n))
+    xy = rng.integers(0, 32, (n, 2)).astype(np.int16)
+    p = rng.integers(0, 2, n).astype(np.uint8)
+    ev, mask, trunc = native.fill_padded_batches(
+        t, xy, p, np.array([[50, 30]], np.int64), 64)
+    assert mask.sum() == 0
+    assert np.isfinite(ev).all()
