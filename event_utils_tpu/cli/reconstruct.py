@@ -69,6 +69,10 @@ def main(argv=None):
     from ..training.reconstruction import ReconstructionTrainer
     from .train_reconstruction import _pad_to_multiple_hw
 
+    if args.eval_gt and args.method != "between_frames":
+        raise SystemExit("--eval_gt needs --method between_frames (window i "
+                         "pairs with frame i)")
+
     cls = MemMapDataset if os.path.isdir(args.path) else DynamicH5Dataset
     dataset = cls(args.path, voxel_method=_voxel_method(args),
                   num_bins=args.num_bins,
@@ -85,10 +89,6 @@ def main(argv=None):
         print(f"restored checkpoint step {step}")
     else:
         print("WARNING: no --ckpt_dir; reconstructing with random weights")
-
-    if args.eval_gt and args.method != "between_frames":
-        raise SystemExit("--eval_gt needs --method between_frames (window i "
-                         "pairs with frame i)")
 
     os.makedirs(args.output_dir, exist_ok=True)
     n = len(dataset) if args.max_frames is None \
@@ -114,9 +114,8 @@ def main(argv=None):
                 frames_all.append(img)
             if args.eval_gt:
                 from ..utils.metrics import psnr, ssim
+                # frames arrive /255-normalized from transform_frame
                 gt = np.asarray(dataset[i]["frame"], np.float32).squeeze()
-                if gt.max() > 1.0:
-                    gt = gt / 255.0
                 psnrs.append(float(psnr(img, gt)))
                 ssims.append(float(ssim(img, gt)))
             written += 1

@@ -73,16 +73,15 @@ def main(argv=None):
         # Training-set factory: N recordings with per-sequence random
         # texture and motion (direction uniform, magnitude 0.5-1.5x the
         # given parameters), written as seq_%03d.h5 under output_path.
-        import numpy as _np
         os.makedirs(args.output_path, exist_ok=True)
-        rng = _np.random.default_rng(args.seed)
+        rng = np.random.default_rng(args.seed)
         for i in range(args.num_sequences):
             seq = os.path.join(args.output_path, f"seq_{i:03d}.h5")
             if args.scene == "translate":
-                speed = float(_np.hypot(*args.velocity))
+                speed = float(np.hypot(*args.velocity))
                 mag = speed * rng.uniform(0.5, 1.5)
-                ang = rng.uniform(0, 2 * _np.pi)
-                velocity = (mag * _np.cos(ang), mag * _np.sin(ang))
+                ang = rng.uniform(0, 2 * np.pi)
+                velocity = (mag * np.cos(ang), mag * np.sin(ang))
                 omega = args.omega
             else:
                 velocity = tuple(args.velocity)

@@ -51,16 +51,12 @@ def _pad_to_multiple_hw(arr, multiple=8):
     return np.pad(arr, pad)
 
 
-def iter_sequences(dataset, seq_len, batch_size, num_bins, combined):
+def iter_sequences(dataset, seq_len, batch_size):
     """Group consecutive dataset windows into (T, B, C, H, W) voxel
-    sequences + (T, B, 1, H, W) frame targets.
-
-    Frame normalization is decided ONCE from the dataset's frame dtype
-    (integer frames divide by 255) — a per-frame max heuristic would scale
-    dark frames inconsistently within a sequence."""
+    sequences + (T, B, 1, H, W) frame targets (frames arrive already
+    float32/255-normalized from BaseVoxelDataset.transform_frame)."""
     import numpy as np
 
-    frame_scale = None
     n_seq = len(dataset) // seq_len
     per_batch = seq_len * batch_size
     for s0 in range(0, n_seq * seq_len - per_batch + 1, per_batch):
@@ -70,12 +66,7 @@ def iter_sequences(dataset, seq_len, batch_size, num_bins, combined):
             for t in range(seq_len):
                 item = dataset[s0 + b * seq_len + t]
                 vox = np.asarray(item["voxel"], np.float32)
-                raw = np.asarray(item["frame"])
-                if frame_scale is None:
-                    frame_scale = (255.0 if np.issubdtype(raw.dtype,
-                                                          np.integer)
-                                   else 1.0)
-                frame = raw.astype(np.float32) / frame_scale
+                frame = np.asarray(item["frame"], np.float32)
                 if frame.ndim == 2:
                     frame = frame[None]
                 vseq.append(_pad_to_multiple_hw(vox))
@@ -126,8 +117,7 @@ def main(argv=None):
     if len(sizes) > 1:
         raise SystemExit(f"recordings disagree on sensor size: {sizes}")
 
-    probe = datasets[0][0]
-    H, W = np.asarray(probe["voxel"]).shape[-2:]
+    H, W = datasets[0].sensor_resolution
     Hp, Wp = H + (-H) % 8, W + (-W) % 8
     trainer = ReconstructionTrainer(
         sensor_size=(Hp, Wp), num_bins=args.num_bins,
@@ -142,8 +132,7 @@ def main(argv=None):
     for epoch in range(args.epochs):
         for dataset in datasets:
             for voxels, frames in iter_sequences(
-                    dataset, args.seq_len, args.batch_size, args.num_bins,
-                    args.combined_channels):
+                    dataset, args.seq_len, args.batch_size):
                 loss = trainer.train_sequence(voxels, frames)
                 steps += 1
                 print(f"epoch {epoch} step {trainer.step} loss {loss:.4f}",

@@ -41,14 +41,25 @@ def build_parser():
     parser.add_argument("--hide_skipped", action="store_true")
     parser.add_argument("--stride", type=int, default=1)
     parser.add_argument("--num_bins", type=int, default=5)
+    parser.add_argument("--num_events", type=int, default=20000,
+                        help="events per window (k_events plot method)")
     return parser
 
 
 def load_any(path):
     import os
-    from ..data_formats import read_h5_events_dict, read_memmap_events_dict
+    from ..data_formats import (read_h5_events_dict, read_memmap_events,
+                                read_memmap_events_dict)
     if os.path.isdir(path):
-        return read_memmap_events_dict(path), {}
+        events = read_memmap_events_dict(path)
+        # frames too, so between_frames works on memmap recordings
+        raw = read_memmap_events(path)
+        frame_data = {}
+        if "images" in raw and "index" in raw:
+            frame_data = {"frames": list(np.asarray(raw["images"])),
+                          "frame_timestamps": np.asarray(raw["frame_stamps"]),
+                          "frame_event_indices": np.asarray(raw["index"])[:, 1]}
+        return events, frame_data
     data = read_h5_events_dict(path)
     return data, data
 
@@ -71,7 +82,31 @@ def main(argv=None):
                        axis=1)
         renderer.plot_between_frames(xs, ys, ts, ps, frames, fei, args,
                                      plttype="events")
+    elif args.plot_method == "k_events":
+        # Fixed-count windows (the reference's branch is a bare `pass`,
+        # visualize_events.py:92-94 — implemented here for real).
+        import os
+
+        os.makedirs(args.output_path, exist_ok=True)
+        k = max(1, args.num_events)
+        n_win = max(1, (len(xs) + k - 1) // k)
+        for i in range(n_win):
+            s, e = i * k, min((i + 1) * k, len(xs))
+            if e <= s:
+                break
+            fname = os.path.join(args.output_path, f"events_{i:09d}.png")
+            renderer.plot_events(
+                xs[s:e], ys[s:e], ts[s:e], ps[s:e], save_path=fname,
+                num_show=args.num_show, event_size=args.event_size,
+                elev=args.elev, azim=args.azim, crop=args.crop,
+                compress_front=args.compress_front, invert=args.invert,
+                num_compress=args.num_compress, show_plot=args.show_plot,
+                stride=args.stride, show_axes=args.show_axes)
+            print(f"[{i + 1}/{n_win}] -> {fname}")
     else:
+        if args.plot_method == "between_frames" and not len(frames):
+            print("NB: no frames in the recording — falling back to "
+                  "t_seconds sliding windows")
         renderer.plot_events_sliding(xs, ys, ts, ps, args,
                                      dt=args.w_width, sdt=args.sw_width,
                                      frames=frames,

@@ -195,6 +195,10 @@ class BaseVoxelDataset:
         method = voxel_method["method"]
         if method == "k_events":
             stride = voxel_method["k"] - voxel_method["sliding_window_w"]
+            if stride <= 0:
+                raise ConfigurationError(
+                    f"sliding_window_w ({voxel_method['sliding_window_w']}) "
+                    f"must be smaller than k ({voxel_method['k']})")
             self.length = max(int(self.num_events / stride), 0)
             self.event_indices = self.compute_k_indices()
             # guard: final window must not run past the stream
@@ -203,6 +207,10 @@ class BaseVoxelDataset:
             self.length = len(self.event_indices)
         elif method == "t_seconds":
             stride = voxel_method["t"] - voxel_method["sliding_window_t"]
+            if stride <= 0:
+                raise ConfigurationError(
+                    f"sliding_window_t ({voxel_method['sliding_window_t']}) "
+                    f"must be smaller than t ({voxel_method['t']})")
             self.length = max(int(self.duration / stride), 0)
             self.event_indices = self.compute_timeblock_indices()
         elif method == "fixed_frames":

@@ -30,7 +30,6 @@ from ..ops.blur import gaussian_filter
 from ..representations.image import (events_to_image_drv,
                                      events_to_timestamp_image,
                                      image_to_event_weights)
-from ..utils.event_util import events_bounds_mask
 from ..utils.event_util import cut_events_to_lifespan  # noqa: F401  (reference objectives.py:143 parity)
 from ..errors import RegistryError
 
@@ -378,7 +377,10 @@ class zhu_timestamp_objective(objective_function):
                          default_blur=2.0)
 
     def loss_fn(self, iwe):  # pragma: no cover - uses timestamp path instead
-        return -jnp.sum(iwe * iwe)
+        # base-class contract: minimized by the optimizer; + sum of squares
+        # is minimal at motion compensation (see class docstring on the
+        # reference's inverted sign)
+        return jnp.sum(iwe * iwe)
 
     def make_event_loss(self, warpfunc, img_size, blur_sigma, impl=None):
         """Jittable, differentiable zhu loss straight from events.

@@ -91,7 +91,7 @@ def format_power(size):
     power = 1e3
     n = 0
     labels = {0: "", 1: "K", 2: "M", 3: "G", 4: "T"}
-    while size > power:
+    while size > power and n < max(labels):
         size /= power
         n += 1
     return size, labels[n]
@@ -150,9 +150,13 @@ def plot_image_grid(images, grid_shape=None, lognorm=False, cmap="gray",
         grid_shape = [1, len(images)]
     rows = []
     idx = 0
+    blank = np.zeros_like(np.asarray(images[0], np.float64))
     for _ in range(grid_shape[0]):
         row = []
         for _ in range(grid_shape[1]):
+            if idx >= len(images):  # grid larger than the image list: pad
+                row.append(blank)
+                continue
             img = np.asarray(images[idx], np.float64)
             if lognorm:
                 img = np.log10(img)

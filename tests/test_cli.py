@@ -234,3 +234,14 @@ def test_simulate_factory_and_multifile_training(tmp_path):
     train([d, "--seq_len", "2", "--batch_size", "1", "--epochs", "1",
            "--max_steps", "3", "--ckpt_dir", ckpt])
     assert os.path.isdir(ckpt) and len(os.listdir(ckpt)) > 0
+
+
+def test_visualize_events_k_events_windows(h5_path, tmp_path):
+    """--plot_method k_events renders fixed-count windows (the reference's
+    branch is a bare `pass`; ours previously silently fell back to
+    t_seconds)."""
+    from event_utils_tpu.cli.visualize_events import main
+    out = str(tmp_path / "kev")
+    main([h5_path, "--output_path", out, "--plot_method", "k_events",
+          "--num_events", "2000", "--num_show", "500"])
+    assert len(os.listdir(out)) >= 2
