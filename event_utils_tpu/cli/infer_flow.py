@@ -36,6 +36,10 @@ def build_parser():
     parser.add_argument("--max_frames", type=int, default=None)
     parser.add_argument("--render", action="store_true",
                         help="also write flow_NNNN.png HSV renderings")
+    parser.add_argument("--eval_gt", action="store_true",
+                        help="score predictions against the recording's "
+                             "ground-truth flow with AEE (between_frames "
+                             "only; e.g. a cli.simulate recording)")
     return parser
 
 
@@ -50,6 +54,10 @@ def main(argv=None):
     from ..training.loop import FlowTrainer
     from .reconstruct import _voxel_method
     from .train_reconstruction import _pad_to_multiple_hw
+
+    if args.eval_gt and args.method != "between_frames":
+        raise SystemExit("--eval_gt needs --method between_frames (window i "
+                         "pairs with flow field i)")
 
     cls = MemMapDataset if os.path.isdir(args.path) else DynamicH5Dataset
     dataset = cls(args.path, voxel_method=_voxel_method(args),
@@ -71,10 +79,14 @@ def main(argv=None):
     else:
         print("WARNING: no --ckpt_dir; predicting with random weights")
 
+    if args.eval_gt and not dataset.has_flow:
+        raise SystemExit("--eval_gt: recording has no ground-truth flow")
+
     os.makedirs(args.output_dir, exist_ok=True)
     n = len(dataset) if args.max_frames is None \
         else min(len(dataset), args.max_frames)
     stamps = []
+    aees = []
     written = 0
     for s0 in range(0, n, args.batch_size):
         idxs = range(s0, min(s0 + args.batch_size, n))
@@ -94,10 +106,26 @@ def main(argv=None):
                 rgb = flow2bgr_np(flow[0], flow[1])[..., ::-1]  # BGR -> RGB
                 plt.imsave(os.path.join(args.output_dir,
                                         f"flow_{written:04d}.png"), rgb)
+            if args.eval_gt:
+                from ..utils.metrics import average_endpoint_error
+
+                # get_flow(i) is the raw VELOCITY field (px/s) — the item
+                # dict's 'flow' is already converted to displacement
+                gt = np.asarray(dataset.get_flow(i), np.float32)
+                aees.append(float(average_endpoint_error(flow, gt)))
             written += 1
     np.savetxt(os.path.join(args.output_dir, "timestamps.txt"),
                np.asarray(stamps))
     print(f"wrote {written} flow fields to {args.output_dir}")
+    if aees:
+        import json
+
+        metrics = {"aee_px_s": round(float(np.mean(aees)), 3),
+                   "num_fields": len(aees)}
+        with open(os.path.join(args.output_dir, "metrics.json"), "w") as f:
+            json.dump(metrics, f)
+        print(f"vs ground-truth flow: AEE {metrics['aee_px_s']} px/s "
+              f"over {len(aees)} fields")
 
 
 if __name__ == "__main__":

@@ -6,6 +6,7 @@ from .sharding import (  # noqa: F401
     shard_events,
     make_sharded_cmax_train_step,
     sharded_cmax_train_step,
+    sharded_events_to_timestamp_image,
     sharded_events_to_voxel,
     sharded_grid_cmax,
     sharded_iwe,

@@ -173,6 +173,64 @@ def sharded_iwe(mesh: Mesh, params, xs, ys, ts, ps, warpfunc, img_size,
 _sharded_iwe_cache: dict = {}
 
 
+def sharded_events_to_timestamp_image(mesh: Mesh, xs, ys, ts, ps,
+                                      sensor_size=(180, 240), mask=None,
+                                      padding: bool = True,
+                                      timestamp_reverse: bool = False,
+                                      axis_name: str = "events",
+                                      impl: Optional[str] = None):
+    """Average-timestamp images (Zhu CVPR'19) over a mesh-sharded stream.
+
+    The image is a per-pixel RATIO of global sums, so each shard
+    accumulates the four raw channels (ts*pos, pos, ts*neg, neg — the
+    `representations.image._timestamp_weight_sums` core), one ``psum``
+    reduces the stack over ICI, and the count division happens globally.
+    Timestamp normalization uses the global (pmin/pmax) window so shards
+    agree. Completes the `parallel` accumulation set (voxel / IWE /
+    timestamp image).
+    """
+    from ..representations.image import _timestamp_weight_sums
+    from jax import shard_map
+
+    H, W = sensor_size
+    xs, ys, ts, ps, mask = shard_events(mesh, xs, ys, ts, ps, mask, axis_name)
+    key = (_mesh_key(mesh), tuple(sensor_size), axis_name, padding,
+           timestamp_reverse, impl)
+    fn = _sharded_tsimg_cache.get(key)
+    if fn is None:
+        big = jnp.float32(3.4e38)
+        img_size = (H + 1, W + 1) if padding else (H, W)
+        clipx, clipy = img_size[1] - 1, img_size[0] - 1
+
+        def local(xs, ys, ts, ps, mask):
+            t_first = jax.lax.pmin(jnp.min(jnp.where(mask != 0, ts, big)),
+                                   axis_name)
+            t_last = jax.lax.pmax(jnp.max(jnp.where(mask != 0, ts, -big)),
+                                  axis_name)
+            eps = 1e-6
+            if timestamp_reverse:
+                tn = (-ts + t_last) / (t_last - t_first + eps)
+            else:
+                tn = (ts - t_first) / (t_last - t_first + eps)
+            stack = _timestamp_weight_sums(
+                jnp.asarray(xs, jnp.float32), jnp.asarray(ys, jnp.float32),
+                tn, jnp.asarray(ps, jnp.float32), mask, img_size,
+                clipx, clipy, True, False, impl)
+            stack = jax.lax.psum(stack, axis_name)
+            img_pos = stack[0] / jnp.maximum(1.0 + stack[1], 1.0)
+            img_neg = stack[2] / jnp.maximum(1.0 + stack[3], 1.0)
+            return img_pos, img_neg
+
+        fn = jax.jit(shard_map(local, mesh=mesh,
+                               in_specs=(P(axis_name),) * 5,
+                               out_specs=(P(), P())))
+        _sharded_tsimg_cache[key] = fn
+    return fn(xs, ys, ts, ps, mask)
+
+
+_sharded_tsimg_cache: dict = {}
+
+
 def make_sharded_cmax_train_step(mesh: Mesh, objective, warpfunc, img_size,
                                  blur_sigma: float = 1.0, lr: float = 0.5,
                                  momentum: float = 0.9, normalize_grad=True,

@@ -261,6 +261,52 @@ def image_to_event_weights(xs, ys, img, mask: Optional[Array] = None) -> Array:
 # Average-timestamp images (Zhu, CVPR'19)
 # ---------------------------------------------------------------------------
 
+def _timestamp_weight_sums(xs, ys, normalized_ts, ps, mask, img_size,
+                           clipx, clipy, clip_out_of_range, legacy_mask,
+                           impl):
+    """The four raw accumulations behind the timestamp image:
+    ``(ts*pos, pos, ts*neg, neg)`` as a (4, H', W') stack, BEFORE the
+    count division — the shardable core (`parallel.sharding` psums these
+    across an event-sharded mesh, then divides globally)."""
+    pos_mask = jnp.where(ps > 0, 1.0, 0.0)
+    neg_mask = jnp.where(ps <= 0, 1.0, 0.0)
+    if mask is not None:
+        pos_mask = pos_mask * mask
+        neg_mask = neg_mask * mask
+
+    if legacy_mask and clip_out_of_range:
+        m = _legacy_clip_mask(xs, ys, clipx, clipy)
+        if mask is not None:
+            m = m * mask
+        # Reference zeroes coords but NOT the count/ts weights
+        # (image.py:267-277): clipped events pile up at pixel (0, 0).
+        px = jnp.floor(xs) * m
+        py = jnp.floor(ys) * m
+        dx = xs - jnp.floor(xs)
+        dy = ys - jnp.floor(ys)
+        gx, gy, gm = px + dx, py + dy, None
+    else:
+        valid = (xs < clipx) & (ys < clipy) & (xs >= 0) & (ys >= 0) if clip_out_of_range else None
+        gx, gy, gm = xs, ys, valid
+
+    weights = jnp.stack([normalized_ts * pos_mask, pos_mask,
+                         normalized_ts * neg_mask, neg_mask])
+    if gm is not None:
+        weights = weights * gm.astype(weights.dtype)[None, :]
+
+    if impl in ("matmul", "matmul_hilo", "matmul_bf16"):
+        # MXU path: all 4 accumulations (ts*pos, pos, ts*neg, neg) share the
+        # same coordinates, so ONE multi-channel Pallas kernel builds the
+        # one-hot factors once and emits a (4, H, W) stack from VMEM.
+        from ..ops.pallas_scatter import bilinear_matmul
+        return bilinear_matmul(
+            gx, gy, weights, img_size,
+            precision="bf16" if impl == "matmul_bf16" else "hilo")
+    return jnp.stack([bilinear_scatter(gx, gy, w, img_size, impl=impl)
+                      for w in weights])
+
+
+
 def events_to_timestamp_image(xn, yn, ts, pn, sensor_size=(180, 240),
                               clip_out_of_range: bool = True,
                               interpolation: str = "bilinear",
@@ -308,43 +354,9 @@ def events_to_timestamp_image(xn, yn, ts, pn, sensor_size=(180, 240),
     else:
         normalized_ts = ts
 
-    pos_mask = jnp.where(ps > 0, 1.0, 0.0)
-    neg_mask = jnp.where(ps <= 0, 1.0, 0.0)
-    if mask is not None:
-        pos_mask = pos_mask * mask
-        neg_mask = neg_mask * mask
-
-    if legacy_mask and clip_out_of_range:
-        m = _legacy_clip_mask(xs, ys, clipx, clipy)
-        if mask is not None:
-            m = m * mask
-        # Reference zeroes coords but NOT the count/ts weights
-        # (image.py:267-277): clipped events pile up at pixel (0, 0).
-        px = jnp.floor(xs) * m
-        py = jnp.floor(ys) * m
-        dx = xs - jnp.floor(xs)
-        dy = ys - jnp.floor(ys)
-        gx, gy, gm = px + dx, py + dy, None
-    else:
-        valid = (xs < clipx) & (ys < clipy) & (xs >= 0) & (ys >= 0) if clip_out_of_range else None
-        gx, gy, gm = xs, ys, valid
-
-    weights = jnp.stack([normalized_ts * pos_mask, pos_mask,
-                         normalized_ts * neg_mask, neg_mask])
-    if gm is not None:
-        weights = weights * gm.astype(weights.dtype)[None, :]
-
-    if impl in ("matmul", "matmul_hilo", "matmul_bf16"):
-        # MXU path: all 4 accumulations (ts*pos, pos, ts*neg, neg) share the
-        # same coordinates, so ONE multi-channel Pallas kernel builds the
-        # one-hot factors once and emits a (4, H, W) stack from VMEM.
-        from ..ops.pallas_scatter import bilinear_matmul
-        stack = bilinear_matmul(
-            gx, gy, weights, img_size,
-            precision="bf16" if impl == "matmul_bf16" else "hilo")
-    else:
-        stack = jnp.stack([bilinear_scatter(gx, gy, w, img_size, impl=impl)
-                           for w in weights])
+    stack = _timestamp_weight_sums(xs, ys, normalized_ts, ps, mask,
+                                   img_size, clipx, clipy,
+                                   clip_out_of_range, legacy_mask, impl)
     img_pos, img_neg = stack[0], stack[2]
     img_pos_cnt = 1.0 + stack[1]
     img_neg_cnt = 1.0 + stack[3]

@@ -59,3 +59,13 @@ def ssim(pred, target, max_val: float = 1.0, window: int = 11,
          / ((mu_p2 + mu_t2 + c1) * (var_p + var_t + c2)))
     out = s.mean(axis=(-3, -2, -1)).reshape(lead)
     return out[0] if squeeze else out
+
+
+def average_endpoint_error(pred_flow, gt_flow) -> Array:
+    """AEE: mean L2 distance between flow vectors, the standard optic-flow
+    accuracy metric. Inputs ``(..., 2, H, W)``; mean over pixels (and any
+    leading axes)."""
+    pred_flow = jnp.asarray(pred_flow, jnp.float32)
+    gt_flow = jnp.asarray(gt_flow, jnp.float32)
+    d = pred_flow - gt_flow
+    return jnp.mean(jnp.sqrt(d[..., 0, :, :] ** 2 + d[..., 1, :, :] ** 2))

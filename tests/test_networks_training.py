@@ -234,3 +234,12 @@ def test_psnr_ssim_properties(rng):
     batch = rng.uniform(0, 1, (3, 32, 32)).astype(np.float32)
     assert np.asarray(ssim(batch, batch)).shape == (3,)
     assert np.asarray(psnr(batch, batch)).shape == (3,)
+
+
+def test_average_endpoint_error(rng):
+    from event_utils_tpu.utils.metrics import average_endpoint_error
+    gt = np.zeros((2, 8, 8), np.float32)
+    gt[0] = 3.0
+    gt[1] = 4.0
+    assert abs(float(average_endpoint_error(np.zeros_like(gt), gt)) - 5.0) < 1e-6
+    assert float(average_endpoint_error(gt, gt)) == 0.0

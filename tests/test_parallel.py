@@ -73,3 +73,28 @@ def test_sharded_grid_cmax(rng, mesh):
     p = np.asarray(params)[np.asarray(valid)]
     med = np.median(p, axis=0)
     np.testing.assert_allclose(med, [12.0, 6.0], atol=5.0)
+
+
+def test_sharded_timestamp_image_matches_single_device(rng, mesh):
+    """Zhu timestamp images over the sharded stream equal the single-device
+    function (ratio-of-global-sums: psum the four raw channels, divide
+    once)."""
+    from event_utils_tpu.parallel import sharded_events_to_timestamp_image
+    from event_utils_tpu.representations.image import (
+        events_to_timestamp_image)
+
+    n = 4000
+    xs = rng.uniform(0, SENSOR[1] - 1, n).astype(np.float32)
+    ys = rng.uniform(0, SENSOR[0] - 1, n).astype(np.float32)
+    ts = np.sort(rng.uniform(0, 0.4, n)).astype(np.float32)
+    ps = rng.choice(np.array([-1.0, 1.0], np.float32), n)
+
+    for reverse in (False, True):
+        sp, sn = sharded_events_to_timestamp_image(
+            mesh, xs, ys, ts, ps, sensor_size=SENSOR,
+            timestamp_reverse=reverse)
+        rp, rn = events_to_timestamp_image(xs, ys, ts, ps,
+                                           sensor_size=SENSOR,
+                                           timestamp_reverse=reverse)
+        np.testing.assert_allclose(np.asarray(sp), np.asarray(rp), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(sn), np.asarray(rn), atol=2e-5)
