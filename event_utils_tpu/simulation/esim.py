@@ -396,6 +396,73 @@ def simulate_events(frames, frame_ts, cfg: Optional[SimulatorConfig] = None,
     return SimulatedEvents(xs[order], ys[order], ts[order], ps[order], stats)
 
 
+def simulate_events_device(frames, frame_ts, capacity: int,
+                           cfg: Optional[SimulatorConfig] = None,
+                           key: Optional[Array] = None):
+    """Fully on-device simulation into ONE capacity-padded event batch.
+
+    Same sensor model as :func:`simulate_events`, but the compaction stays
+    on device: the scan's padded (F-1, H, W, K) blocks are flattened and
+    sorted by (validity, time), and the first ``capacity`` slots come back
+    as ``(events (capacity, 4), mask (capacity,))`` — exactly the padded
+    contract every masked kernel and trainer here consumes. Jittable end
+    to end, so training loops can generate fresh supervised data *inside*
+    the step with zero host round-trips (events beyond ``capacity`` are
+    uniformly dropped by the sort's stability over time order).
+
+    Device memory scales with ``(F-1)*H*W*K`` — size the frame window
+    accordingly (a 32-frame 64x64 window at K=4 is ~0.5M slots).
+    """
+    cfg = cfg or SimulatorConfig()
+    frames = jnp.asarray(frames, jnp.float32)
+    frame_ts = jnp.asarray(frame_ts, jnp.float32)
+    if frames.ndim != 3 or frames.shape[0] != frame_ts.shape[0]:
+        raise ConfigurationError(
+            f"frames {frames.shape} / frame_ts {frame_ts.shape} mismatch")
+    if frames.shape[0] < 2:
+        raise ConfigurationError("need at least two frames to simulate")
+    F, H, W = frames.shape
+
+    thresh_key = None
+    if key is not None:
+        thresh_key, _ = jax.random.split(jnp.asarray(key))
+    cp, cn = _threshold_maps(thresh_key, (H, W), cfg)
+    run_chunk = _compiled_scan(int(cfg.max_events_per_pixel),
+                               float(cfg.refractory))
+    logI = jnp.log(frames + cfg.log_eps)
+    L_ref = logI[0]
+    t_last = jnp.full((H, W), -jnp.inf, jnp.float32)
+    _, _, (t_ev, kept, sign, _) = run_chunk(L_ref, t_last, logI, frame_ts,
+                                            cp, cn)
+    # flatten (F-1, H, W, K) -> event slots; invalid slots sort to the tail
+    steps = F - 1
+    K = int(cfg.max_events_per_pixel)
+    xx = jnp.broadcast_to(
+        jnp.arange(W, dtype=jnp.float32)[None, None, :, None],
+        (steps, H, W, K)).reshape(-1)
+    yy = jnp.broadcast_to(
+        jnp.arange(H, dtype=jnp.float32)[None, :, None, None],
+        (steps, H, W, K)).reshape(-1)
+    pp = jnp.broadcast_to(sign[..., None].astype(jnp.float32),
+                          (steps, H, W, K)).reshape(-1)
+    tt = t_ev.reshape(-1)
+    valid = kept.reshape(-1)
+    order = jnp.argsort(jnp.where(valid, tt, jnp.inf),
+                        stable=True)[:capacity]
+    mask = valid[order].astype(jnp.float32)
+    # pad slots: zero coords/polarity but REPEAT the last valid timestamp,
+    # keeping the batch time-sorted end to end (the voxel_matmul kernel
+    # requires sorted stamps pads included — same contract as the native
+    # loaders' padded batches)
+    t_sel = tt[order]
+    t_pad = jnp.max(jnp.where(mask != 0, t_sel, -jnp.inf))
+    t_pad = jnp.where(jnp.isfinite(t_pad), t_pad, 0.0)
+    t_col = jnp.where(mask != 0, t_sel, t_pad)
+    ev = jnp.stack([xx[order] * mask, yy[order] * mask, t_col,
+                    pp[order] * mask], axis=-1)
+    return ev, mask
+
+
 def simulate_scene(scene: Scene, duration: float, fps: float,
                    cfg: Optional[SimulatorConfig] = None,
                    key: Optional[Array] = None):

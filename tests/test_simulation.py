@@ -363,3 +363,38 @@ def test_xyztheta_warp_ground_truth_on_simulated():
     # w*dt = 0.36 rad.
     assert abs(p[2] - gt[2]) < 0.1, (p, gt)    # divergence rate
     assert abs(p[3] - gt[3]) < 0.25, (p, gt)   # angular velocity
+
+
+def test_simulate_events_device_matches_host_compaction():
+    """The jittable device path (scan -> device sort -> capacity-padded
+    batch) must agree with the host compaction, pads time-sorted."""
+    import jax.numpy as jnp
+    from event_utils_tpu.simulation.esim import simulate_events_device
+
+    key = jax.random.PRNGKey(8)
+    tex = smooth_texture(key, (24, 24), octaves=3)
+    sc = translating_scene(tex, (30.0, 12.0))
+    fts = np.linspace(0.0, 0.1, 13)
+    frames = np.stack([np.asarray(sc.render(t)) for t in fts])
+    cfg = SimulatorConfig(c_pos=0.2, c_neg=0.2)
+
+    host = simulate_events(frames, fts, cfg)
+    cap = len(host) + 32
+    ev, mask = jax.jit(
+        lambda f, t: simulate_events_device(f, t, cap, cfg))(frames, fts)
+    ev, mask = np.asarray(ev), np.asarray(mask)
+    n = int(mask.sum())
+    assert n == len(host)
+    # same multiset of events, both time-sorted
+    np.testing.assert_allclose(ev[:n, 2], host.ts, atol=1e-5)
+    got = sorted(map(tuple, ev[:n, :2].astype(int)))
+    want = sorted(zip(host.xs.astype(int), host.ys.astype(int)))
+    assert got == want
+    # pads: mask 0, time holds the last valid stamp (sortedness contract)
+    assert (mask[n:] == 0).all()
+    np.testing.assert_allclose(ev[n:, 2], ev[n - 1, 2], atol=1e-6)
+    # truncation path: capacity below the event count keeps the earliest
+    ev2, m2 = simulate_events_device(frames, fts, 16, cfg)
+    assert int(np.asarray(m2).sum()) == 16
+    np.testing.assert_allclose(np.asarray(ev2)[:, 2], host.ts[:16],
+                               atol=1e-5)
