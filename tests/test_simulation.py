@@ -398,3 +398,31 @@ def test_simulate_events_device_matches_host_compaction():
     assert int(np.asarray(m2).sum()) == 16
     np.testing.assert_allclose(np.asarray(ev2)[:, 2], host.ts[:16],
                                atol=1e-5)
+
+
+def test_device_simulated_batch_feeds_flow_trainer():
+    """simulate_events_device output plugs straight into FlowTrainer (the
+    training-in-the-loop contract: (B, capacity, 4) + mask, pads
+    time-sorted)."""
+    import jax.numpy as jnp
+    from event_utils_tpu.simulation.esim import simulate_events_device
+    from event_utils_tpu.training import FlowTrainer
+
+    key = jax.random.PRNGKey(3)
+    tex = smooth_texture(key, (24, 32), octaves=3)
+    sc = translating_scene(tex, (25.0, 10.0))
+    fts = np.linspace(0.0, 0.1, 9)
+    frames = np.stack([np.asarray(sc.render(t)) for t in fts])
+    ev, mask = simulate_events_device(frames, fts, 1024,
+                                      SimulatorConfig(c_pos=0.2, c_neg=0.2))
+    assert float(jnp.sum(mask)) > 50
+
+    from event_utils_tpu.representations.voxel_grid import (
+        events_to_neg_pos_voxel)
+    vp, vn = events_to_neg_pos_voxel(ev[:, 0], ev[:, 1], ev[:, 2], ev[:, 3],
+                                     3, sensor_size=(24, 32), mask=mask)
+    voxel = jnp.concatenate([vp, vn], 0)[None]
+    trainer = FlowTrainer(sensor_size=(24, 32), num_bins=3,
+                          learning_rate=1e-3)
+    loss = trainer.train_batch(voxel, ev[None], mask[None])
+    assert np.isfinite(loss)
