@@ -24,6 +24,7 @@ TPU-first additions:
 from __future__ import annotations
 
 import random
+import threading
 from typing import Dict, Optional
 
 import numpy as np
@@ -226,7 +227,7 @@ class BaseVoxelDataset:
                 f"Invalid voxel method {voxel_method}")
         if self.has_frames:
             self.frame_indices = self.compute_per_frame_indices()
-        if self.length == 0:
+        if self.length <= 0:
             raise ConfigurationError(
                 "Voxel generation parameters give a zero-length sequence")
 
@@ -269,11 +270,19 @@ class BaseVoxelDataset:
             voxel = jnp.concatenate([vp, vn], 0)
         return voxel
 
+    # Class-level lock: seeded-transform application draws from the shared
+    # module-level `random`, and multi-worker loaders (EventDataLoader
+    # num_workers > 1) call __getitem__ from several threads — without the
+    # lock, interleaved seed()/draw() desynchronizes an item's paired
+    # voxel/frame/flow crops.
+    _transform_lock = threading.Lock()
+
     def _apply(self, transform, x, seed, is_flow=False):
         if transform is None or x is None:
             return x
-        random.seed(seed)
-        return transform(x, is_flow)
+        with BaseVoxelDataset._transform_lock:
+            random.seed(seed)
+            return transform(x, is_flow)
 
     def transform_frame(self, frame, seed):
         if frame is None:

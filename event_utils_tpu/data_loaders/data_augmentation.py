@@ -11,7 +11,7 @@ import numbers
 from typing import Optional, Sequence
 
 import numpy as np
-from ..errors import RegistryError
+from ..errors import ConfigurationError, RegistryError
 
 
 class Compose:
@@ -79,6 +79,9 @@ class RandomCrop:
 
         h, w = x.shape[1], x.shape[2]
         th, tw = self.size
+        if th > h or tw > w:
+            raise ConfigurationError(
+                f"RandomCrop size {self.size} exceeds input {(h, w)}")
         if self.rng is not None:
             i = int(self.rng.integers(0, h - th + 1))
             j = int(self.rng.integers(0, w - tw + 1))

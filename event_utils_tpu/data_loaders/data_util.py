@@ -55,15 +55,10 @@ def _paths_from_file_or_dir(data_file):
 def concatenate_subfolders(data_file, dataset, dataset_kwargs=None,
                            path_key: str = "data_path"):
     """Aggregate every dataset root under a folder (or csv list) into one
-    ConcatDataset (reference data_util.py:11-26)."""
-    dataset_kwargs = dict(dataset_kwargs or {})
-    subfolders = _paths_from_file_or_dir(data_file)
-    datasets = []
-    for sub in subfolders:
-        kw = dict(dataset_kwargs)
-        kw[path_key] = sub
-        datasets.append(dataset(**kw))
-    return ConcatDataset(datasets)
+    ConcatDataset (reference data_util.py:11-26). Identical semantics to
+    :func:`concatenate_datasets` (the reference keeps both names)."""
+    return concatenate_datasets(data_file, dataset, dataset_kwargs,
+                                path_key=path_key)
 
 
 def concatenate_datasets(data_file, dataset_type, dataset_kwargs=None,

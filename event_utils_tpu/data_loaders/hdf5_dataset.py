@@ -63,6 +63,10 @@ class DynamicH5Dataset(BaseVoxelDataset):
         attrs were never used. Wired in here, with a fallback to the base
         binary-search path for files without (or with inconsistent) attrs.
         """
+        if "images" not in self.h5_file:
+            # events-only file (load_data supports it): the base table over
+            # the empty frame_ts is correct and never touches the file
+            return super().compute_between_frame_indices()
         frame_indices = []
         start_idx = 0
         for name in sorted(self.h5_file["images"]):

@@ -13,7 +13,7 @@ import os
 import numpy as np
 
 from .base_dataset import BaseVoxelDataset
-from ..errors import DataNotFoundError
+from ..errors import DataFormatError, DataNotFoundError
 
 
 class MemMapDataset(BaseVoxelDataset):
@@ -31,8 +31,9 @@ class MemMapDataset(BaseVoxelDataset):
         xy = self.filehandle["xy"][idx0:idx1]
         xs = xy[:, 0].astype(np.float32)
         ys = xy[:, 1].astype(np.float32)
-        ts = np.asarray(self.filehandle["t"][idx0:idx1]).squeeze()
-        ps = np.asarray(self.filehandle["p"][idx0:idx1]).squeeze() * 2.0 - 1.0
+        # reshape(-1), not squeeze(): a 1-event window must stay 1-D
+        ts = np.asarray(self.filehandle["t"][idx0:idx1]).reshape(-1)
+        ps = np.asarray(self.filehandle["p"][idx0:idx1]).reshape(-1) * 2.0 - 1.0
         return xs, ys, ts, ps
 
     def load_data(self, data_path, timestamp_fname="timestamps.npy",
@@ -55,23 +56,32 @@ class MemMapDataset(BaseVoxelDataset):
                     data["optic_flow_stamps"] = np.load(path)
                 elif fname == timestamp_fname:
                     data["frame_stamps"] = np.load(path)
-                elif fname.endswith(image_fname):
+                elif fname == image_fname:
                     data["images"] = np.load(path, mmap_mode="r")
-                elif fname.endswith(optic_flow_fname):
+                elif fname == optic_flow_fname:
                     data["optic_flow"] = np.load(path, mmap_mode="r")
                     self.has_flow = True
-                if fname.endswith(t_fname):
+                # exact matches throughout: 'warp.npy' endswith 'p.npy' and
+                # 'weight.npy' endswith 't.npy' — suffix tests silently load
+                # unrelated arrays as event components
+                if fname == t_fname:
                     data["t"] = np.load(path, mmap_mode="r").squeeze()
-                elif fname.endswith(xy_fname):
+                elif fname == xy_fname:
                     data["xy"] = np.load(path, mmap_mode="r").squeeze()
-                elif fname.endswith(p_fname):
+                elif fname == p_fname:
                     data["p"] = np.load(path, mmap_mode="r").squeeze()
             if "t" in data:
                 data["path"] = subroot
                 break
-        if "t" not in data:
-            raise DataNotFoundError(f"No events under {data_path}")
-        assert len(data["p"]) == len(data["xy"]) == len(data["t"])
+        missing = [n for n, k in ((t_fname, "t"), (xy_fname, "xy"),
+                                  (p_fname, "p")) if k not in data]
+        if missing:
+            raise DataNotFoundError(
+                f"No complete event data under {data_path} "
+                f"(missing {', '.join(missing)})")
+        if not (len(data["p"]) == len(data["xy"]) == len(data["t"])):
+            raise DataFormatError(
+                f"Inconsistent event component lengths under {data_path}")
 
         self.t0 = float(data["t"][0])
         self.tk = float(data["t"][-1])
@@ -108,6 +118,10 @@ class MemMapDataset(BaseVoxelDataset):
                 with open(config) as f:
                     self.config = json.load(f)
                 self.data_source = self.config.get("data_source", "unknown")
+                from .data_util import data_sources
+                if self.data_source in data_sources:
+                    self.data_source_idx = data_sources.index(
+                        self.data_source)
                 self.sensor_resolution = self.config["sensor_resolution"]
             elif os.path.exists(meta):
                 with open(meta) as f:

@@ -336,3 +336,59 @@ def test_native_fill_inverted_window_is_empty(rng):
         t, xy, p, np.array([[50, 30]], np.int64), 64)
     assert mask.sum() == 0
     assert np.isfinite(ev).all()
+
+
+def test_memmap_single_event_window(tmp_path, rng):
+    """A 1-event window must keep 1-D shapes (double-squeeze made ts/ps
+    0-d and crashed item assembly)."""
+    from event_utils_tpu.data_formats import memmap_packager
+    from event_utils_tpu.data_loaders.memmap_dataset import MemMapDataset
+
+    d = str(tmp_path / "mm1")
+    mp = memmap_packager(d)
+    n = 50
+    mp.package_events(rng.integers(0, 16, n), rng.integers(0, 16, n),
+                      np.sort(rng.uniform(0, 1, n)),
+                      rng.choice([-1.0, 1.0], n))
+    mp.add_metadata(n, 0, 0, 1.0, 0.0, 1.0, 0, 0, sensor_size=(16, 16))
+    ds = MemMapDataset(d, num_bins=2, return_events=True,
+                       return_format="numpy",
+                       voxel_method={"method": "k_events", "k": 1,
+                                     "sliding_window_w": 0})
+    item = ds[3]
+    assert item["events"].shape == (1, 4)
+
+
+def test_frameless_between_frames_raises_cleanly(tmp_path, rng):
+    """Frameless datasets under the default between_frames method must
+    raise the zero-length ConfigurationError, not construct with len()=-1
+    (NpyDataset) or KeyError on the missing images group (H5)."""
+    import h5py
+    from event_utils_tpu.data_loaders.hdf5_dataset import DynamicH5Dataset
+    from event_utils_tpu.data_loaders.npy_dataset import NpyDataset
+    from event_utils_tpu.errors import ConfigurationError
+
+    n = 200
+    arr = np.stack([rng.integers(0, 16, n), rng.integers(0, 16, n),
+                    rng.integers(0, 2, n),
+                    np.sort(rng.uniform(0, 1e6, n))], axis=1)
+    npy = str(tmp_path / "ev.npy")
+    np.save(npy, arr)
+    with pytest.raises(ConfigurationError):
+        NpyDataset(npy, num_bins=2)
+
+    h5p = str(tmp_path / "noimg.h5")
+    with h5py.File(h5p, "w") as f:
+        g = f.create_group("events")
+        g.create_dataset("xs", data=arr[:, 0].astype(np.int16))
+        g.create_dataset("ys", data=arr[:, 1].astype(np.int16))
+        g.create_dataset("ts", data=np.sort(rng.uniform(0, 1, n)))
+        g.create_dataset("ps", data=arr[:, 2].astype(bool))
+        f.attrs["sensor_resolution"] = (16, 16)
+    with pytest.raises(ConfigurationError):
+        DynamicH5Dataset(h5p, num_bins=2)
+    # ...but an explicit event-count method works fine without frames
+    ds = DynamicH5Dataset(h5p, num_bins=2, return_format="numpy",
+                          voxel_method={"method": "k_events", "k": 50,
+                                        "sliding_window_w": 0})
+    assert len(ds) == 4
