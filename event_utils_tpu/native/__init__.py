@@ -198,7 +198,10 @@ def fill_padded_batches(t, xy, p, windows: np.ndarray, capacity: int,
     if lib is None:
         truncated = 0
         for w, (s, e) in enumerate(windows):
-            cnt = min(e - s, capacity)
+            # same clamps as evio.cpp: degenerate/inverted windows -> all-pad
+            s = max(int(s), 0)
+            e = min(int(e), len(t))
+            cnt = max(min(e - s, capacity), 0)
             truncated += max(e - s - capacity, 0)
             tb = t[s] if (relative_time and cnt) else 0.0
             events[w, :cnt, 0] = xy[s:s + cnt, 0]
@@ -255,7 +258,10 @@ def fill_padded_batches_components(t, xs, ys, p, windows: np.ndarray,
     if lib is None:
         truncated = 0
         for w, (s, e) in enumerate(windows):
-            cnt = min(e - s, capacity)
+            # same clamps as evio.cpp: degenerate/inverted windows -> all-pad
+            s = max(int(s), 0)
+            e = min(int(e), len(t))
+            cnt = max(min(e - s, capacity), 0)
             truncated += max(e - s - capacity, 0)
             tb = t[s] if (relative_time and cnt) else 0.0
             events[w, :cnt, 0] = xs[s:s + cnt]
@@ -292,18 +298,22 @@ class RotatingPool:
     must copy (jnp device transfers already do)."""
 
     def __init__(self, depth: int = 4):
+        import threading
+
         self.depth = depth
         self._pools: dict = {}
         self._idx: dict = {}
+        self._lock = threading.Lock()
 
     def get(self, key, make):
-        pool = self._pools.setdefault(key, [])
-        if len(pool) < self.depth:
-            pool.append(make())
-            self._idx[key] = len(pool) - 1
-            return pool[-1]
-        self._idx[key] = (self._idx[key] + 1) % self.depth
-        return pool[self._idx[key]]
+        with self._lock:
+            pool = self._pools.setdefault(key, [])
+            if len(pool) < self.depth:
+                pool.append(make())
+                self._idx[key] = len(pool) - 1
+                return pool[-1]
+            self._idx[key] = (self._idx[key] + 1) % self.depth
+            return pool[self._idx[key]]
 
 
 _bucket_pool = RotatingPool(depth=2)

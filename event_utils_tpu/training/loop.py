@@ -115,30 +115,14 @@ class FlowTrainer:
     # ------------------------------------------------------------------
 
     def save_checkpoint(self, ckpt_dir: str):
-        """Save params/opt_state/step with orbax (atomic, resumable).
-        Saving the same step twice is a no-op (orbax raises
-        StepAlreadyExistsError otherwise — e.g. fit()'s final save landing
-        on a step the in-loop cadence already wrote)."""
-        import orbax.checkpoint as ocp
-        ckpt_dir = os.path.abspath(ckpt_dir)
-        with ocp.CheckpointManager(ckpt_dir) as mngr:
-            if self.step in mngr.all_steps():
-                return
-            mngr.save(self.step, args=ocp.args.StandardSave(
-                {"params": self.params, "opt_state": self.opt_state}))
-            mngr.wait_until_finished()
+        """Save params/opt_state/step with orbax (atomic, resumable;
+        same-step re-save is a no-op)."""
+        from .checkpointing import save_trainer_checkpoint
+        save_trainer_checkpoint(self, ckpt_dir)
 
     def restore_checkpoint(self, ckpt_dir: str, step: Optional[int] = None):
-        import orbax.checkpoint as ocp
-        ckpt_dir = os.path.abspath(ckpt_dir)
-        with ocp.CheckpointManager(ckpt_dir) as mngr:
-            step = mngr.latest_step() if step is None else step
-            restored = mngr.restore(step, args=ocp.args.StandardRestore(
-                {"params": self.params, "opt_state": self.opt_state}))
-        self.params = restored["params"]
-        self.opt_state = restored["opt_state"]
-        self.step = step
-        return step
+        from .checkpointing import restore_trainer_checkpoint
+        return restore_trainer_checkpoint(self, ckpt_dir, step)
 
     # ------------------------------------------------------------------
     def fit(self, loader, epochs: int = 1,

@@ -103,27 +103,11 @@ class ReconstructionTrainer:
         state, preds = jax.lax.scan(scan_fn, state, voxels)
         return preds, state
 
-    # checkpointing mirrors FlowTrainer
+    # checkpointing mirrors FlowTrainer (shared plumbing)
     def save_checkpoint(self, ckpt_dir: str):
-        import os
-
-        import orbax.checkpoint as ocp
-        with ocp.CheckpointManager(os.path.abspath(ckpt_dir)) as mngr:
-            if self.step in mngr.all_steps():  # re-save of same step: no-op
-                return
-            mngr.save(self.step, args=ocp.args.StandardSave(
-                {"params": self.params, "opt_state": self.opt_state}))
-            mngr.wait_until_finished()
+        from .checkpointing import save_trainer_checkpoint
+        save_trainer_checkpoint(self, ckpt_dir)
 
     def restore_checkpoint(self, ckpt_dir: str, step: Optional[int] = None):
-        import os
-
-        import orbax.checkpoint as ocp
-        with ocp.CheckpointManager(os.path.abspath(ckpt_dir)) as mngr:
-            step = mngr.latest_step() if step is None else step
-            restored = mngr.restore(step, args=ocp.args.StandardRestore(
-                {"params": self.params, "opt_state": self.opt_state}))
-        self.params = restored["params"]
-        self.opt_state = restored["opt_state"]
-        self.step = step
-        return step
+        from .checkpointing import restore_trainer_checkpoint
+        return restore_trainer_checkpoint(self, ckpt_dir, step)

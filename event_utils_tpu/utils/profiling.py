@@ -20,11 +20,24 @@ if not logger.handlers:
         "%(asctime)s %(name)s %(levelname)s %(message)s"))
     logger.addHandler(_h)
     logger.setLevel(logging.INFO)
+    # our handler owns the output: without this, an app that configures
+    # root logging would see every line twice (module handler + root)
+    logger.propagate = False
+
+
+def _json_default(obj):
+    """Best-effort serializer: metrics logging must never crash the loop."""
+    if hasattr(obj, "tolist"):
+        return obj.tolist()
+    try:
+        return float(obj)
+    except (TypeError, ValueError):
+        return str(obj)
 
 
 def log_metrics(**metrics):
     """Emit one structured (JSON) metrics line."""
-    logger.info("metrics %s", json.dumps(metrics, default=float))
+    logger.info("metrics %s", json.dumps(metrics, default=_json_default))
 
 
 class ThroughputMeter:

@@ -36,9 +36,11 @@ def motion_compensate(xs, ys, ts, ps, flow, fname="/tmp/img.png", crop=None,
     ts = np.asarray(ts, np.float32)
     ps = np.asarray(ps, np.float32)
     flow = np.asarray(flow, np.float32)
+    while flow.ndim > 3:  # batched model output: squeeze leading dims
+        flow = flow.squeeze(0)
     xw, yw = warp_events_flow(xs, ys, ts, ps,
                               -flow if forward_flow else flow)
-    img_size = [s for s in flow.shape if s != 2]
+    img_size = list(flow.shape[-2:])  # (2, H, W) after the squeeze
     img = np.asarray(events_to_image_torch(
         np.asarray(xw), np.asarray(yw), ps, sensor_size=tuple(img_size),
         interpolation="bilinear"))
@@ -127,8 +129,15 @@ def plot_between_frames(xs, ys, ts, ps, flows, flow_imgs, flow_ts, args,
                         plttype: str = "events"):
     """Flow-synchronized sequence rendering (reference draw_flow.py:100-156):
     for each flow frame, render the enclosed events over the flow plane and
-    save the motion-compensated / uncompensated IWE pair."""
-    args.crop = None if args.crop is None else parse_crop(args.crop)
+    save the motion-compensated / uncompensated IWE pair.
+
+    ``flow_imgs`` and ``plttype`` are accepted for reference-signature
+    parity but unused: the flow ground plane is colored from ``flows``
+    directly, and only the events rendering exists (the reference's voxel
+    variant lives in `draw_event_stream.plot_between_frames`)."""
+    crop = None if args.crop is None else (
+        args.crop if isinstance(args.crop, (list, tuple))
+        else parse_crop(args.crop))
     xs, ys, ts, ps = map(np.asarray, (xs, ys, ts, ps))
     flow_ts = np.asarray(flow_ts)
     if flow_ts.ndim == 1:
@@ -143,18 +152,21 @@ def plot_between_frames(xs, ys, ts, ps, flows, flow_imgs, flow_ts, args,
         if e <= s:
             continue
         base = os.path.join(args.output_path, f"flow_{i:09d}")
+        # plain forward flow: motion_compensate's default negates into the
+        # warp's backward convention (the old -flip(flip(...)) calibration
+        # double-negated after that default landed)
         motion_compensate(xs[s:e], ys[s:e], ts[s:e], ps[s:e],
-                          -np.flip(np.flip(np.asarray(flow), axis=1), axis=2),
-                          fname=base + "_compensated.png", crop=args.crop)
+                          np.asarray(flow),
+                          fname=base + "_compensated.png", crop=crop)
         motion_compensate(xs[s:e], ys[s:e], ts[s:e], ps[s:e],
                           np.zeros_like(np.asarray(flow)),
-                          fname=base + "_raw.png", crop=args.crop)
+                          fname=base + "_raw.png", crop=crop)
         plot_flow_and_events(xs[s:e], ys[s:e], ts[s:e], ps[s:e], flow,
                              save_path=base + "_3d.png",
                              num_show=args.num_show,
                              event_size=args.event_size, elev=args.elev,
                              azim=args.azim,
                              show_events=not args.hide_events,
-                             show_plot=args.show_plot, crop=args.crop,
+                             show_plot=args.show_plot, crop=crop,
                              stride=args.stride, show_axes=args.show_axes,
                              invert=args.invert)
