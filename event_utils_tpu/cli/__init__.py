@@ -11,6 +11,7 @@
 - ``python -m event_utils_tpu.cli.infer_flow``       EV-FlowNet inference
 - ``python -m event_utils_tpu.cli.reconstruct``      E2VID inference
 - ``python -m event_utils_tpu.cli.simulate``         ESIM ground-truth data
+- ``python -m event_utils_tpu.cli.eval_cmax``        cmax flow accuracy vs GT
 - ``python -m event_utils_tpu.data_formats.rosbag_to_h5``       bag -> H5
 - ``python -m event_utils_tpu.data_formats.h5_to_memmap``       H5 -> memmap
 - ``python -m event_utils_tpu.data_formats.add_hdf5_attribute`` attr editor

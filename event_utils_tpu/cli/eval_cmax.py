@@ -1,0 +1,116 @@
+"""Contrast-maximisation flow accuracy against ground truth.
+
+Companion of ``infer_flow --eval_gt`` for the *model-free* flow path: per
+between-frames window, solve ROI-tiled contrast maximisation
+(`grid_cmax_batched`) and score the recovered per-ROI velocities against
+the recording's ground-truth flow (e.g. a `cli.simulate` recording or any
+dataset with dense flow), reporting the median/mean AEE. New capability —
+the reference has no quantitative evaluation of its own headline algorithm.
+
+Example:
+    python -m event_utils_tpu.cli.simulate scene.h5 --velocity 30 -20
+    python -m event_utils_tpu.cli.eval_cmax scene.h5 --roi_size 16 16
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(
+        description="Evaluate grid_cmax flow against ground-truth flow")
+    parser.add_argument("path", help="H5 file or memmap dir WITH flow")
+    parser.add_argument("--method", default="k_events",
+                        choices=["k_events", "between_frames"],
+                        help="k_events (default): longer windows with real "
+                             "displacement; between_frames windows can be "
+                             "too short for any contrast signal")
+    parser.add_argument("--k", type=int, default=20000,
+                        help="events per window (k_events)")
+    parser.add_argument("--roi_size", type=int, nargs=2, default=(20, 20))
+    parser.add_argument("--min_events", type=int, default=10)
+    parser.add_argument("--maxiter", type=int, default=50)
+    parser.add_argument("--capacity", type=int, default=None)
+    parser.add_argument("--max_windows", type=int, default=None)
+    parser.add_argument("--output", default=None,
+                        help="Optional metrics.json path")
+    return parser
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    import os
+
+    import numpy as np
+
+    from ..contrast_max.events_cmax import grid_cmax_batched
+    from ..data_loaders import DynamicH5Dataset, MemMapDataset
+
+    vm = ({"method": "k_events", "k": args.k, "sliding_window_w": 0}
+          if args.method == "k_events"
+          else {"method": "between_frames", "sliding_window_w": 0})
+    cls = MemMapDataset if os.path.isdir(args.path) else DynamicH5Dataset
+    dataset = cls(args.path, voxel_method=vm,
+                  return_events=True, return_voxelgrid=False,
+                  return_format="numpy")
+    if not dataset.has_flow:
+        raise SystemExit(f"{args.path} carries no ground-truth flow")
+
+    H, W = dataset.sensor_resolution
+    rh, rw = args.roi_size
+    n = len(dataset) if args.max_windows is None \
+        else min(len(dataset), args.max_windows)
+    errs = []
+    for i in range(n):
+        item = dataset[i]
+        ev = np.asarray(item["events"])
+        if len(ev) < args.min_events:
+            continue
+        xs, ys, ts, ps = (ev[:, 0].astype(np.float32),
+                          ev[:, 1].astype(np.float32),
+                          ev[:, 2].astype(np.float32),
+                          ev[:, 3].astype(np.float32))
+        params, rois, f_evals, valid = grid_cmax_batched(
+            xs, ys, ts, ps, roi_size=(rh, rw), img_size=(H, W),
+            min_events=args.min_events, maxiter=args.maxiter,
+            capacity=args.capacity)
+        params = np.asarray(params)
+        rois = np.asarray(rois)
+        valid = np.asarray(valid)
+        # GT velocity field nearest the window's mid-time (between_frames
+        # pairs window i with flow i; k_events windows search the stamps)
+        if args.method == "between_frames":
+            gt_idx = i
+        else:
+            t_mid = 0.5 * (float(ts[0]) + float(ts[-1]))
+            stamps = np.asarray(dataset.frame_ts)
+            gt_idx = int(np.clip(np.searchsorted(stamps, t_mid),
+                                 0, len(stamps) - 1))
+        gt = np.asarray(dataset.get_flow(gt_idx), np.float32)  # (2, H, W)
+        for p, r, v in zip(params, rois, valid):
+            if not v:
+                continue
+            yc = int(min(r[0] + rh // 2, H - 1))
+            xc = int(min(r[1] + rw // 2, W - 1))
+            errs.append(float(np.hypot(p[0] - gt[0, yc, xc],
+                                       p[1] - gt[1, yc, xc])))
+        print(f"window {i + 1}/{n}: {int(valid.sum())} ROIs, "
+              f"running median AEE {np.median(errs):.2f} px/s", flush=True)
+
+    if not errs:
+        raise SystemExit("no window had enough events to evaluate")
+    metrics = {"median_aee_px_s": round(float(np.median(errs)), 3),
+               "mean_aee_px_s": round(float(np.mean(errs)), 3),
+               "num_rois": len(errs), "roi_size": [rh, rw]}
+    print(f"grid_cmax vs GT flow: median AEE {metrics['median_aee_px_s']} "
+          f"px/s over {len(errs)} ROIs")
+    if args.output:
+        import json
+        with open(args.output, "w") as f:
+            json.dump(metrics, f)
+
+
+if __name__ == "__main__":
+    main()

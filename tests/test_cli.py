@@ -245,3 +245,21 @@ def test_visualize_events_k_events_windows(h5_path, tmp_path):
     main([h5_path, "--output_path", out, "--plot_method", "k_events",
           "--num_events", "2000", "--num_show", "500"])
     assert len(os.listdir(out)) >= 2
+
+
+def test_eval_cmax_cli(tmp_path, capsys):
+    """simulate -> eval_cmax: model-free flow accuracy report end-to-end."""
+    import json
+
+    from event_utils_tpu.cli.eval_cmax import main as ev
+    from event_utils_tpu.cli.simulate import main as sim
+
+    path = str(tmp_path / "gt.h5")
+    sim([path, "--sensor", "32", "32", "--velocity", "25", "12",
+         "--duration", "0.4", "--fps", "120", "--frame_fps", "20",
+         "--c_pos", "0.12", "--c_neg", "0.12", "--octaves", "3"])
+    out = str(tmp_path / "m.json")
+    ev([path, "--roi_size", "16", "16", "--k", "3000", "--maxiter", "10",
+        "--output", out])
+    m = json.load(open(out))
+    assert m["num_rois"] > 0 and np.isfinite(m["median_aee_px_s"])
