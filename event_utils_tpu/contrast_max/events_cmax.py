@@ -33,6 +33,7 @@ from ..models.objectives import (get_iwe, objective_function,
                                  variance_objective)
 from ..models.warps import linvel_warp, warp_function
 from ..ops.blur import gaussian_filter
+from ..errors import ConfigurationError
 from ..utils.event_util import infer_resolution, lifespan_mask
 
 Array = jax.Array
@@ -773,7 +774,8 @@ def grid_cmax_batched(xs, ys, ts, ps, roi_size=(20, 20), warp=None,
                       obj=None, min_events: int = 10, img_size=None,
                       blur_sigma: float = 1.0, maxiter: int = 50,
                       capacity: Optional[int] = None,
-                      solver: str = "gd", gd_lr: float = 4.0):
+                      solver: str = "gd", gd_lr: float = 4.0,
+                      smooth: Optional[str] = None):
     """All-ROIs-at-once contrast maximisation: one vmapped, jitted solve.
 
     TPU-first replacement for the reference's Python ROI loop
@@ -811,11 +813,44 @@ def grid_cmax_batched(xs, ys, ts, ps, roi_size=(20, 20), warp=None,
     params, f_evals = solve(bx, by, bt, bp, bmask,
                             jnp.asarray(origins, jnp.float32))
     valid = jnp.sum(bmask, axis=1) > min_events
+
+    if smooth is not None:
+        if smooth != "median":
+            raise ConfigurationError(f"unknown smooth mode {smooth!r}")
+        # Post-process (beyond the reference): 3x3 neighbor-median flow
+        # smoothing. Per-ROI contrast optima are broad when an ROI sees a
+        # partial feature, but true flow fields are locally smooth.
+        # MEASURED (simulated GT): on a drifting-texture scene the median
+        # field cuts mean AEE 14.9 -> 11.0 px/s (median 12.1 -> 10.7); on
+        # the sparse-point rotating bench scene results are mixed (median
+        # error improves, border-ROI means can worsen) — hence opt-in.
+        # Loss-gated acceptance and descend-from-median re-solves were
+        # both measured NOT to help: the per-ROI loss genuinely prefers
+        # its broad-optimum answer, so only the pure median field wins.
+        ny = (resolution[0] + rh - 1) // rh
+        nx = (resolution[1] + rw - 1) // rw
+        params = _neighbor_median(jnp.asarray(params), valid, ny, nx)
+
     rois = jnp.concatenate(
         [origins, jnp.tile(jnp.asarray([[rh, rw]]), (origins.shape[0], 1))],
         axis=-1)
     del overflow
     return params, rois, f_evals, valid
+
+
+def _neighbor_median(params, valid, ny, nx):
+    """Per-ROI 3x3 neighbor median of valid params over the (ny, nx) ROI
+    grid (row-major), nan-ignoring; ROIs with no valid neighbors keep
+    their own params."""
+    d = params.shape[-1]
+    grid = jnp.where(valid[:, None], params,
+                     jnp.nan).reshape(ny, nx, d)
+    padded = jnp.pad(grid, ((1, 1), (1, 1), (0, 0)),
+                     constant_values=jnp.nan)
+    stack = jnp.stack([padded[1 + dy:1 + dy + ny, 1 + dx:1 + dx + nx]
+                       for dy in (-1, 0, 1) for dx in (-1, 0, 1)])
+    med = jnp.nanmedian(stack, axis=0).reshape(ny * nx, d)
+    return jnp.where(jnp.isnan(med), params, med)
 
 
 _roi_solver_cache: dict = {}
@@ -832,12 +867,16 @@ def _build_roi_solver(warp, obj, resolution, roi_size, blur_sigma, maxiter,
 
 
 def make_roi_solve_one(warp, obj, resolution, roi_size, blur_sigma, maxiter,
-                       solver="gd", gd_lr=4.0):
+                       solver="gd", gd_lr=4.0, with_x0: bool = False):
     """Single-ROI solve ``(ex, ey, et, ep, emask, origin) -> (params,
     f_eval)``: patch-matmul loss (every objective), velocity-capped grid
     search, adaptive-lifespan mask, fixed-step refine. vmap it for batched
     solves (grid_cmax_batched) or shard-vmap it across a mesh
-    (parallel.sharded_grid_cmax)."""
+    (parallel.sharded_grid_cmax).
+
+    ``with_x0=True`` returns a *refine* variant ``(ex, ey, et, ep, emask,
+    origin, x0) -> (params, f_eval)`` that skips the grid search and
+    descends from the given start (the neighbor-consensus second stage)."""
     use_patch = obj.name in ("variance", "sos", "rms", "soe", "sosa",
                              "isoa", "moa", "r1", "zhu")
     # The patch window must enclose the ROI with warp margin, whatever the
@@ -868,27 +907,7 @@ def make_roi_solve_one(warp, obj, resolution, roi_size, blur_sigma, maxiter,
     velocity_cap = (use_patch and isinstance(warp, linvel_warp)
                     and margin > 2.0)
 
-    def solve_one(ex, ey, et, ep, emask, origin):
-        def f_masked(p, m):
-            if use_patch:
-                return patch_loss(p, ex, ey, et, ep, m, origin)
-            return full_loss(p, ex, ey, et, ep, m)
-
-        def f(p):
-            return f_masked(p, emask)
-
-        init_range = 150.0
-        if velocity_cap:
-            any_valid = jnp.any(emask != 0)
-            t_last = jnp.max(jnp.where(emask != 0, et, -jnp.inf))
-            t_first = jnp.min(jnp.where(emask != 0, et, jnp.inf))
-            dt_roi = jnp.where(any_valid, t_last - t_first, 0.0)
-            init_range = jnp.minimum(
-                150.0, margin / jnp.maximum(dt_roi, 1e-3))
-
-        x0, _ = grid_search_refine(f, warp.dims, init_range=init_range,
-                                   num_samples_per_param=5, iters=6)
-
+    def _finish(ex, ey, et, ep, emask, origin, x0, f_masked, f):
         # Adaptive lifespan (reference events_cmax.py:29: grid_cmax uses
         # variance_objective(adaptive_lifespan=True)): after grid init, trim
         # the event window to pixel_crossings/|v| seconds as a mask update
@@ -938,7 +957,42 @@ def make_roi_solve_one(warp, obj, resolution, roi_size, blur_sigma, maxiter,
         # convention: f_eval over all events, events_cmax.py:68-74)
         return best_p, f(best_p)
 
-    return solve_one
+
+    def solve_one(ex, ey, et, ep, emask, origin):
+        def f_masked(p, m):
+            if use_patch:
+                return patch_loss(p, ex, ey, et, ep, m, origin)
+            return full_loss(p, ex, ey, et, ep, m)
+
+        def f(p):
+            return f_masked(p, emask)
+
+        init_range = 150.0
+        if velocity_cap:
+            any_valid = jnp.any(emask != 0)
+            t_last = jnp.max(jnp.where(emask != 0, et, -jnp.inf))
+            t_first = jnp.min(jnp.where(emask != 0, et, jnp.inf))
+            dt_roi = jnp.where(any_valid, t_last - t_first, 0.0)
+            init_range = jnp.minimum(
+                150.0, margin / jnp.maximum(dt_roi, 1e-3))
+
+        x0, _ = grid_search_refine(f, warp.dims, init_range=init_range,
+                                   num_samples_per_param=5, iters=6)
+        return _finish(ex, ey, et, ep, emask, origin, x0, f_masked, f)
+
+    def refine_one(ex, ey, et, ep, emask, origin, x0):
+        def f_masked(p, m):
+            if use_patch:
+                return patch_loss(p, ex, ey, et, ep, m, origin)
+            return full_loss(p, ex, ey, et, ep, m)
+
+        def f(p):
+            return f_masked(p, emask)
+
+        return _finish(ex, ey, et, ep, emask, origin,
+                       jnp.asarray(x0, jnp.float32), f_masked, f)
+
+    return refine_one if with_x0 else solve_one
 
 
 # ---------------------------------------------------------------------------
