@@ -33,6 +33,10 @@ def build_parser():
     parser.add_argument("--maxiter", type=int, default=50)
     parser.add_argument("--capacity", type=int, default=None)
     parser.add_argument("--max_windows", type=int, default=None)
+    parser.add_argument("--smooth", default=None,
+                        choices=["median"],
+                        help="Neighbor-median flow smoothing (helps "
+                             "textured scenes; see grid_cmax_batched)")
     parser.add_argument("--output", default=None,
                         help="Optional metrics.json path")
     return parser
@@ -75,7 +79,7 @@ def main(argv=None):
         params, rois, f_evals, valid = grid_cmax_batched(
             xs, ys, ts, ps, roi_size=(rh, rw), img_size=(H, W),
             min_events=args.min_events, maxiter=args.maxiter,
-            capacity=args.capacity)
+            capacity=args.capacity, smooth=args.smooth)
         params = np.asarray(params)
         rois = np.asarray(rois)
         valid = np.asarray(valid)
