@@ -775,7 +775,7 @@ def grid_cmax_batched(xs, ys, ts, ps, roi_size=(20, 20), warp=None,
                       blur_sigma: float = 1.0, maxiter: int = 50,
                       capacity: Optional[int] = None,
                       solver: str = "gd", gd_lr: float = 4.0,
-                      smooth: Optional[str] = None):
+                      smooth: Optional[str] = None, x0=None):
     """All-ROIs-at-once contrast maximisation: one vmapped, jitted solve.
 
     TPU-first replacement for the reference's Python ROI loop
@@ -805,13 +805,28 @@ def grid_cmax_batched(xs, ys, ts, ps, roi_size=(20, 20), warp=None,
                   getattr(obj, "minimum_events", 105),
                   tuple(resolution), tuple(roi_size), float(blur_sigma),
                   int(maxiter), solver, float(gd_lr))
-    solve = _roi_solver_cache.get(solver_key)
-    if solve is None:
-        solve = _build_roi_solver(warp, obj, tuple(resolution), roi_size,
-                                  blur_sigma, maxiter, solver, gd_lr)
-        _roi_solver_cache[solver_key] = solve
-    params, f_evals = solve(bx, by, bt, bp, bmask,
-                            jnp.asarray(origins, jnp.float32))
+    if x0 is not None:
+        # Warm start (e.g. the previous video window's params): skip the
+        # grid search and descend from x0 per ROI — ~2x less work per
+        # window and temporally coherent fields.
+        warm_key = solver_key + ("warm",)
+        solve = _roi_solver_cache.get(warm_key)
+        if solve is None:
+            solve = jax.jit(jax.vmap(make_roi_solve_one(
+                warp, obj, tuple(resolution), roi_size, blur_sigma,
+                maxiter, solver, gd_lr, with_x0=True)))
+            _roi_solver_cache[warm_key] = solve
+        params, f_evals = solve(bx, by, bt, bp, bmask,
+                                jnp.asarray(origins, jnp.float32),
+                                jnp.asarray(x0, jnp.float32))
+    else:
+        solve = _roi_solver_cache.get(solver_key)
+        if solve is None:
+            solve = _build_roi_solver(warp, obj, tuple(resolution), roi_size,
+                                      blur_sigma, maxiter, solver, gd_lr)
+            _roi_solver_cache[solver_key] = solve
+        params, f_evals = solve(bx, by, bt, bp, bmask,
+                                jnp.asarray(origins, jnp.float32))
     valid = jnp.sum(bmask, axis=1) > min_events
 
     if smooth is not None:
