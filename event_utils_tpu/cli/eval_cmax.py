@@ -64,6 +64,9 @@ def main(argv=None):
                   return_format="numpy")
     if not dataset.has_flow:
         raise SystemExit(f"{args.path} carries no ground-truth flow")
+    if len(np.asarray(dataset.frame_ts)) == 0:
+        raise SystemExit(f"{args.path} has flow but no frame timestamps to "
+                         "pair windows with")
 
     H, W = dataset.sensor_resolution
     rh, rw = args.roi_size
@@ -95,10 +98,14 @@ def main(argv=None):
         if args.method == "between_frames":
             gt_idx = i
         else:
+            # truly NEAREST stamp, not first-at-or-after
             t_mid = 0.5 * (float(ts[0]) + float(ts[-1]))
             stamps = np.asarray(dataset.frame_ts)
-            gt_idx = int(np.clip(np.searchsorted(stamps, t_mid),
-                                 0, len(stamps) - 1))
+            hi = int(np.clip(np.searchsorted(stamps, t_mid), 1,
+                             len(stamps) - 1))
+            lo = hi - 1
+            gt_idx = lo if (t_mid - stamps[lo]) <= (stamps[hi] - t_mid) \
+                else hi
         gt = np.asarray(dataset.get_flow(gt_idx), np.float32)  # (2, H, W)
         for p, r, v in zip(params, rois, valid):
             if not v:
@@ -107,8 +114,9 @@ def main(argv=None):
             xc = int(min(r[1] + rw // 2, W - 1))
             errs.append(float(np.hypot(p[0] - gt[0, yc, xc],
                                        p[1] - gt[1, yc, xc])))
+        running = (f"{np.median(errs):.2f}" if errs else "n/a")
         print(f"window {i + 1}/{n}: {int(valid.sum())} ROIs, "
-              f"running median AEE {np.median(errs):.2f} px/s", flush=True)
+              f"running median AEE {running} px/s", flush=True)
 
     if not errs:
         raise SystemExit("no window had enough events to evaluate")

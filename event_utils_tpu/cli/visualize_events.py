@@ -46,16 +46,18 @@ def build_parser():
     return parser
 
 
-def load_any(path):
+def load_any(path, need_frames: bool = True):
     import os
-    from ..data_formats import (read_h5_events_dict, read_memmap_events,
-                                read_memmap_events_dict)
+    from ..data_formats import read_h5_events_dict, read_memmap_events
     if os.path.isdir(path):
-        events = read_memmap_events_dict(path)
-        # frames too, so between_frames works on memmap recordings
-        raw = read_memmap_events(path)
+        raw = read_memmap_events(path, return_events=True)
+        xy = np.asarray(raw["xy"])
+        events = {"xs": xy[:, 0].squeeze(), "ys": xy[:, 1].squeeze(),
+                  "ts": np.asarray(raw["t"]).squeeze(),
+                  "ps": np.asarray(raw["p"]).squeeze()}
         frame_data = {}
-        if "images" in raw and "index" in raw:
+        if (need_frames and "images" in raw and "index" in raw
+                and "frame_stamps" in raw):
             frame_data = {"frames": list(np.asarray(raw["images"])),
                           "frame_timestamps": np.asarray(raw["frame_stamps"]),
                           "frame_event_indices": np.asarray(raw["index"])[:, 1]}
@@ -71,7 +73,8 @@ def main(argv=None):
     else:
         from ..visualization import draw_event_stream as renderer
 
-    data, frame_data = load_any(args.path)
+    data, frame_data = load_any(
+        args.path, need_frames=args.plot_method == "between_frames")
     xs, ys, ts, ps = data["xs"], data["ys"], data["ts"], data["ps"]
     frames = frame_data.get("frames", [])
     frame_ts = np.asarray(frame_data.get("frame_timestamps", []))
@@ -95,10 +98,12 @@ def main(argv=None):
             if e <= s:
                 break
             fname = os.path.join(args.output_path, f"events_{i:09d}.png")
+            from ..visualization.visualization_utils import parse_crop
+            crop = None if args.crop is None else parse_crop(args.crop)
             renderer.plot_events(
                 xs[s:e], ys[s:e], ts[s:e], ps[s:e], save_path=fname,
                 num_show=args.num_show, event_size=args.event_size,
-                elev=args.elev, azim=args.azim, crop=args.crop,
+                elev=args.elev, azim=args.azim, crop=crop,
                 compress_front=args.compress_front, invert=args.invert,
                 num_compress=args.num_compress, show_plot=args.show_plot,
                 stride=args.stride, show_axes=args.show_axes)

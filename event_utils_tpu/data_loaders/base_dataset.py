@@ -305,7 +305,13 @@ class BaseVoxelDataset:
         timestamps and index bookkeeping."""
         if index < 0 or index >= len(self):
             raise IndexError
-        seed = random.randint(0, 2 ** 32) if seed is None else seed
+        if seed is None:
+            # os.urandom, NOT the module-level random: the seeded-transform
+            # lock in _apply only guards transform draws, and an unlocked
+            # module-random draw here could interleave with another
+            # worker's locked seed/draw sequence and desync paired crops
+            import os as _os
+            seed = int.from_bytes(_os.urandom(4), "little")
 
         idx0, idx1 = self.get_event_indices(index)
         xs, ys, ts, ps = self.get_events(idx0, idx1)

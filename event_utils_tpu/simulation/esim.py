@@ -423,13 +423,21 @@ def simulate_events_device(frames, frame_ts, capacity: int,
         raise ConfigurationError("need at least two frames to simulate")
     F, H, W = frames.shape
 
-    thresh_key = None
+    thresh_key = noise_key = None
     if key is not None:
-        thresh_key, _ = jax.random.split(jnp.asarray(key))
+        thresh_key, noise_key = jax.random.split(jnp.asarray(key))
+    if cfg.noise_std > 0.0 and noise_key is None:
+        raise ConfigurationError("noise_std > 0 requires an explicit PRNG key")
     cp, cn = _threshold_maps(thresh_key, (H, W), cfg)
     run_chunk = _compiled_scan(int(cfg.max_events_per_pixel),
                                float(cfg.refractory))
     logI = jnp.log(frames + cfg.log_eps)
+    if cfg.noise_std > 0.0:
+        # per-frame-index noise, same scheme as simulate_events
+        keys = jax.vmap(lambda i: jax.random.fold_in(noise_key, i))(
+            jnp.arange(F))
+        noise = jax.vmap(lambda k: jax.random.normal(k, (H, W)))(keys)
+        logI = logI + cfg.noise_std * noise
     L_ref = logI[0]
     t_last = jnp.full((H, W), -jnp.inf, jnp.float32)
     _, _, (t_ev, kept, sign, _) = run_chunk(L_ref, t_last, logI, frame_ts,
@@ -449,6 +457,7 @@ def simulate_events_device(frames, frame_ts, capacity: int,
     valid = kept.reshape(-1)
     order = jnp.argsort(jnp.where(valid, tt, jnp.inf),
                         stable=True)[:capacity]
+    pad_out = capacity - order.shape[0]  # static: slot count < capacity
     mask = valid[order].astype(jnp.float32)
     # pad slots: zero coords/polarity but REPEAT the last valid timestamp,
     # keeping the batch time-sorted end to end (the voxel_matmul kernel
@@ -460,6 +469,13 @@ def simulate_events_device(frames, frame_ts, capacity: int,
     t_col = jnp.where(mask != 0, t_sel, t_pad)
     ev = jnp.stack([xx[order] * mask, yy[order] * mask, t_col,
                     pp[order] * mask], axis=-1)
+    if pad_out > 0:
+        # fewer total slots than capacity: honour the fixed-shape contract
+        pad_row = jnp.stack([jnp.float32(0.0), jnp.float32(0.0),
+                             t_pad, jnp.float32(0.0)])
+        ev = jnp.concatenate(
+            [ev, jnp.broadcast_to(pad_row, (pad_out, 4))])
+        mask = jnp.concatenate([mask, jnp.zeros((pad_out,), jnp.float32)])
     return ev, mask
 
 
