@@ -14,5 +14,6 @@
 - ``python -m event_utils_tpu.cli.eval_cmax``        cmax flow accuracy vs GT
 - ``python -m event_utils_tpu.data_formats.rosbag_to_h5``       bag -> H5
 - ``python -m event_utils_tpu.data_formats.h5_to_memmap``       H5 -> memmap
+- ``python -m event_utils_tpu.data_formats.memmap_to_h5``       memmap -> H5
 - ``python -m event_utils_tpu.data_formats.add_hdf5_attribute`` attr editor
 """

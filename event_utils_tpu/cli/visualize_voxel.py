@@ -12,7 +12,8 @@ def main(argv=None):
     args = parser.parse_args(argv)
     from ..visualization import draw_event_stream as renderer
 
-    data, frame_data = load_any(args.path)
+    data, frame_data = load_any(
+        args.path, need_frames=args.plot_method == "between_frames")
     xs, ys, ts, ps = data["xs"], data["ys"], data["ts"], data["ps"]
     frames = frame_data.get("frames", [])
     frame_idx = np.asarray(frame_data.get("frame_event_indices", []))
@@ -25,14 +26,29 @@ def main(argv=None):
     else:
         import os
         from ..visualization import plot_voxel_grid, parse_crop
-        args.crop = parse_crop(args.crop)
-        dt = args.w_width
-        sdt = args.sw_width or dt
-        for i, t0 in enumerate(np.arange(ts[0], ts[-1] - dt, sdt)):
-            e0, e1 = np.searchsorted(ts, (t0, t0 + dt))
+        if args.plot_method == "between_frames":
+            print("NB: no frames in the recording — falling back to "
+                  "sliding windows")
+        crop = parse_crop(args.crop)
+
+        def windows():
+            if args.plot_method == "k_events":  # real fixed-count windows
+                k = max(1, args.num_events)
+                for i in range(max(1, (len(xs) + k - 1) // k)):
+                    yield i, i * k, min((i + 1) * k, len(xs))
+            else:
+                dt = args.w_width
+                sdt = args.sw_width or dt
+                for i, t0 in enumerate(np.arange(ts[0], ts[-1] - dt, sdt)):
+                    e0, e1 = np.searchsorted(ts, (t0, t0 + dt))
+                    yield i, e0, e1
+
+        for i, e0, e1 in windows():
+            if e1 <= e0:
+                continue
             out = os.path.join(args.output_path, f"voxel_{i:09d}.png")
             plot_voxel_grid(xs[e0:e1], ys[e0:e1], ts[e0:e1], ps[e0:e1],
-                            bins=args.num_bins, crop=args.crop,
+                            bins=args.num_bins, crop=crop,
                             elev=args.elev, azim=args.azim,
                             show_axes=args.show_axes, save_path=out,
                             show_plot=args.show_plot)

@@ -17,6 +17,7 @@ from .txt_events import (  # noqa: F401
 )
 from .event_packagers import hdf5_packager, memmap_packager, packager  # noqa: F401
 from .h5_to_memmap import find_safe_alternative, h5_to_memmap  # noqa: F401
+from .memmap_to_h5 import memmap_to_h5  # noqa: F401
 from .rosbag_to_h5 import BagExtractor, extract_rosbag, extract_rosbags  # noqa: F401
 from .add_hdf5_attribute import (  # noqa: F401
     add_attribute,

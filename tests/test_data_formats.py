@@ -364,3 +364,41 @@ def test_memmap_packager_streams_chunked(rng, tmp_path):
     np.testing.assert_allclose(np.asarray(d2["t"]).squeeze(),
                                np.concatenate(all_ts))
     assert not [f for f in os.listdir(d) if f.startswith(".")]  # no spills
+
+
+def test_memmap_to_h5_roundtrip(rng, tmp_path):
+    """memmap -> H5 (new converter, reverse of h5_to_memmap): events,
+    frames, flow and metadata survive the full round trip."""
+    from event_utils_tpu.data_formats import (memmap_packager, memmap_to_h5,
+                                              read_h5_events_dict)
+
+    d = str(tmp_path / "src")
+    mp = memmap_packager(d)
+    n = 1200
+    xs = rng.integers(0, 32, n)
+    ys = rng.integers(0, 24, n)
+    ts = np.sort(rng.uniform(0, 1, n))
+    ps = rng.choice([-1.0, 1.0], n)
+    mp.package_events(xs, ys, ts, ps)
+    for k, ft in enumerate((0.25, 0.5, 0.75)):
+        mp.package_image(rng.integers(0, 255, (24, 32), np.uint8), ft, k)
+        mp.package_flow(rng.normal(size=(2, 24, 32)).astype(np.float32),
+                        ft, k)
+    mp.add_metadata(n, int((ps > 0).sum()), int((ps < 0).sum()),
+                    ts[-1] - ts[0], ts[0], ts[-1], 3, 3,
+                    sensor_size=(24, 32))
+
+    h5p = str(tmp_path / "out.h5")
+    memmap_to_h5(d, h5p, chunk_size=500)  # forces multi-chunk streaming
+    got = read_h5_events_dict(h5p)
+    np.testing.assert_array_equal(got["xs"], xs)
+    np.testing.assert_array_equal(got["ys"], ys)
+    np.testing.assert_allclose(got["ts"], ts)
+    np.testing.assert_array_equal(got["ps"], ps)
+    assert len(got["frames"]) == 3
+
+    import h5py
+    with h5py.File(h5p) as f:
+        assert f.attrs["num_events"] == n
+        assert list(f.attrs["sensor_resolution"]) == [24, 32]
+        assert len(f["flow"]) == 3
