@@ -90,13 +90,12 @@ def main(argv=None):
         # visualize_events.py:92-94 — implemented here for real).
         import os
 
+        from ..visualization.visualization_utils import k_event_windows
+
         os.makedirs(args.output_path, exist_ok=True)
-        k = max(1, args.num_events)
-        n_win = max(1, (len(xs) + k - 1) // k)
-        for i in range(n_win):
-            s, e = i * k, min((i + 1) * k, len(xs))
-            if e <= s:
-                break
+        wins = list(k_event_windows(len(xs), args.num_events))
+        n_win = len(wins)
+        for i, s, e in wins:
             fname = os.path.join(args.output_path, f"events_{i:09d}.png")
             from ..visualization.visualization_utils import parse_crop
             crop = None if args.crop is None else parse_crop(args.crop)

@@ -26,16 +26,16 @@ def main(argv=None):
     else:
         import os
         from ..visualization import plot_voxel_grid, parse_crop
+        from ..visualization.visualization_utils import k_event_windows
         if args.plot_method == "between_frames":
             print("NB: no frames in the recording — falling back to "
                   "sliding windows")
         crop = parse_crop(args.crop)
+        os.makedirs(args.output_path, exist_ok=True)
 
         def windows():
             if args.plot_method == "k_events":  # real fixed-count windows
-                k = max(1, args.num_events)
-                for i in range(max(1, (len(xs) + k - 1) // k)):
-                    yield i, i * k, min((i + 1) * k, len(xs))
+                yield from k_event_windows(len(xs), args.num_events)
             else:
                 dt = args.w_width
                 sdt = args.sw_width or dt

@@ -41,6 +41,10 @@ def memmap_to_h5(memmap_dir, output_path, chunk_size: int = 5_000_000) -> str:
                                           data["frame_stamps"])):
             img = np.asarray(img)
             if img.dtype != np.uint8:
+                # float frames normalized to [0, 1] scale up; anything
+                # already in [0, 255] just clips
+                if np.issubdtype(img.dtype, np.floating) and img.max() <= 1.0:
+                    img = img * 255.0
                 img = np.clip(img, 0, 255).astype(np.uint8)
             pk.package_image(img, float(np.asarray(ft).squeeze()), img_idx=k)
             num_imgs += 1
@@ -54,23 +58,27 @@ def memmap_to_h5(memmap_dir, output_path, chunk_size: int = 5_000_000) -> str:
 
     t0 = float(np.asarray(t[0]).squeeze()) if n else 0.0
     tk = float(np.asarray(t[n - 1]).squeeze()) if n else 0.0
-    xy_arr = np.asarray(xy[:1])  # sensor size from metadata if possible
     sensor = None
-    meta_path = os.path.join(data["path"], "metadata.json")
-    cfg_path = os.path.join(data["path"], "dataset_config.json")
-    for mp in (cfg_path, meta_path):
-        if os.path.exists(mp):
-            import json
-            with open(mp) as f:
-                meta = json.load(f)
-            if "sensor_resolution" in meta:
-                sensor = tuple(int(v) for v in meta["sensor_resolution"][:2])
-                break
+    # sidecars live NEXT TO the component files (read_memmap_events may
+    # resolve them in a nested subdir of the user-supplied root), then
+    # next to the root; frames carry the exact shape; event maxima are
+    # the last resort (they underestimate when border pixels never fire)
+    for base in (data["path"], memmap_dir):
+        for name in ("dataset_config.json", "metadata.json"):
+            mp = os.path.join(base, name)
+            if sensor is None and os.path.exists(mp):
+                import json
+                with open(mp) as f:
+                    meta = json.load(f)
+                if "sensor_resolution" in meta:
+                    sensor = tuple(int(v)
+                                   for v in meta["sensor_resolution"][:2])
+    if sensor is None and num_imgs:
+        sensor = tuple(np.asarray(data["images"][0]).shape[:2])
     if sensor is None and n:
         xs_max = int(np.asarray(xy[:, 0]).max())
         ys_max = int(np.asarray(xy[:, 1]).max())
         sensor = (ys_max + 1, xs_max + 1)
-    del xy_arr
     pk.add_metadata(num_events=n, num_pos=num_pos, num_neg=n - num_pos,
                     duration=tk - t0, t0=t0, tk=tk, num_imgs=num_imgs,
                     num_flow=num_flow, sensor_size=sensor)

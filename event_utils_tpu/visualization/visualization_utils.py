@@ -48,3 +48,14 @@ def get_frame_indices(ts, frame_stamps):
     starts = np.searchsorted(ts, pairs[:, 0])
     ends = np.searchsorted(ts, pairs[:, 1])
     return np.stack([starts, ends], axis=1)
+
+
+def k_event_windows(n: int, k: int):
+    """Fixed-count window index pairs over an n-event stream (the k_events
+    CLI windowing, shared by visualize_events/visualize_voxel)."""
+    k = max(1, int(k))
+    for i in range(max(1, (n + k - 1) // k)):
+        s, e = i * k, min((i + 1) * k, n)
+        if e <= s:
+            return
+        yield i, s, e

@@ -181,6 +181,15 @@ def test_property_simulator_randomized_configs(rng):
                               max_events_per_pixel=int(rng.integers(2, 8)),
                               chunk=int(rng.integers(2, 32)))
         ev, frames, fts, _ = simulate_scene(sc, 0.15, 80.0, cfg)
+        # mass bounds: a capacity-limited run never emits MORE than the
+        # unbounded-K ground truth, and every truly lost crossing shows up
+        # in 'dropped' (which counts ATTEMPTS — overflowed crossings leave
+        # L_ref behind and can re-fire in later intervals, so dropped can
+        # exceed the true loss but never undercount it)
+        full = simulate_events(frames, fts, SimulatorConfig(
+            c_pos=cfg.c_pos, c_neg=cfg.c_neg, max_events_per_pixel=64))
+        assert len(ev) <= len(full)
+        assert len(full) - len(ev) <= ev.stats["dropped"]
         assert np.all(np.diff(ev.ts) >= 0)
         if len(ev):
             assert 0 <= ev.xs.min() and ev.xs.max() < W
