@@ -1,0 +1,156 @@
+"""Large-sensor voxel throughput: the multi-tile MXU kernel across sensor
+sizes (VERDICT r2 #1).
+
+The one-hot matmul's cost is ~``6*HP*WP`` FLOPs/event, so the per-TILE
+kernel (``voxel_matmul_tiles``, one Pallas launch, 2-D grid) keeps the MXU
+rate independent of sensor size — and with tiles smaller than the DAVIS240
+frame it spends FEWER FLOPs/event than the monolithic kernel. This bench
+certifies rates at DAVIS240 / DAVIS346 / VGA / 720p with device-generated
+pre-bucketed tiles (the host bucketing is a memcpy-speed counting sort —
+``native.evio_bucket_fill`` — that this 1-vCPU box cannot time fairly; see
+NOTES_NEXT.md r2), and sweeps tile/chunk to pick per-sensor defaults.
+
+Usage: python benchmarks/bench_tiled.py [--quick]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def make_tiled_batch(key, T, cap, tile, t_max: float = 0.1):
+    """Balanced random pre-bucketed tiles, generated on device: per-tile
+    sorted timestamps over a SHARED window, tile-local coordinates."""
+    th, tw = tile
+    kx, ky, kt, kp = jax.random.split(key, 4)
+    bx = jax.random.randint(kx, (T, cap), 0, tw, dtype=jnp.int32)
+    by = jax.random.randint(ky, (T, cap), 0, th, dtype=jnp.int32)
+    steps = jax.random.uniform(kt, (T, cap), minval=0.01, maxval=1.0)
+    cs = jnp.cumsum(steps, axis=1)
+    bt = cs / cs[:, -1:] * t_max
+    bp = jax.random.rademacher(kp, (T, cap), dtype=jnp.int32).astype(
+        jnp.float32)
+    return bx, by, bt, bp
+
+
+def time_tiled_loop(fn, T, cap, tile, iters=8, seed=0):
+    """Harness-style on-device loop: per-iter device-generated inputs, one
+    checksum transfer, base (generation) loop subtracted."""
+
+    def build(loop_body):
+        @jax.jit
+        def loop(seed_scalar):
+            key0 = jax.random.PRNGKey(seed_scalar)
+
+            def body(c, i):
+                batch = make_tiled_batch(jax.random.fold_in(key0, i), T, cap,
+                                         tile)
+                return c + loop_body(batch), None
+
+            c, _ = jax.lax.scan(body, 0.0, jnp.arange(iters))
+            return c
+
+        return loop
+
+    full = build(lambda b: jnp.sum(jnp.square(fn(*b))))
+    base = build(lambda b: jnp.sum(b[2]) + jnp.sum(b[3] * b[0] * b[1]))
+
+    def run(loop, s):
+        float(loop(jnp.int32(s)))  # warmup + compile; flush via transfer
+        t0 = time.perf_counter()
+        float(loop(jnp.int32(s + 1)))
+        return (time.perf_counter() - t0) / iters
+
+    t_full = run(full, seed)
+    t_base = run(base, seed + 100)
+    return max(t_full - t_base, 1e-9)
+
+
+def grid_for(sensor, tile):
+    H, W = sensor
+    th, tw = tile
+    return ((H + th - 1) // th) * ((W + tw - 1) // tw)
+
+
+def main():
+    from event_utils_tpu.ops.pallas_scatter import (voxel_matmul,
+                                                    voxel_matmul_tiles,
+                                                    voxel_matmul_max_chunk)
+
+    quick = "--quick" in sys.argv
+    B = 5
+    N_TARGET = 1 << 21
+    print(f"device: {jax.devices()[0]}", file=sys.stderr)
+
+    SENSORS = {
+        "davis240": (180, 240),
+        "davis346": (260, 346),
+        "vga": (480, 640),
+        "720p": (720, 1280),
+    }
+    TILES = [(128, 128), (96, 128), (64, 128), (128, 256), (256, 256)]
+    seed_base = int(time.time() * 1000) % (1 << 20)
+
+    results = {}
+    for sname, sensor in SENSORS.items():
+        # monolithic kernel where the formulation fits
+        chunk = voxel_matmul_max_chunk(B, sensor)
+        if chunk is not None:
+            sec = _mono_rate(voxel_matmul, B, sensor, N_TARGET, seed_base)
+            print(f"{sname} {sensor}: monolithic (chunk {chunk}) "
+                  f"{N_TARGET / sec / 1e6:.0f} Mev/s")
+            results[(sname, "mono")] = N_TARGET / sec / 1e6
+        else:
+            print(f"{sname} {sensor}: monolithic does not fit VMEM")
+
+        tiles = TILES[:2] if quick else TILES
+        for tile in tiles:
+            for chunk in ((4096,) if quick else (2048, 4096, 8192)):
+                if voxel_matmul_max_chunk(B, tile, chunk) != chunk:
+                    continue
+                T = grid_for(sensor, tile)
+                cap = max(1, N_TARGET // T)
+                n_eff = T * cap
+
+                def fn(bx, by, bt, bp, tile=tile, chunk=chunk):
+                    return voxel_matmul_tiles(
+                        bx, by, bt, bp, B, tile, jnp.float32(0.0),
+                        jnp.float32(0.1), chunk=chunk)
+
+                sec = time_tiled_loop(fn, T, cap, tile, seed=seed_base)
+                mevs = n_eff / sec / 1e6
+                print(f"{sname} {sensor}: tiled {tile} chunk {chunk} "
+                      f"(T={T}, cap={cap}) {mevs:.0f} Mev/s")
+                results[(sname, tile, chunk)] = mevs
+        sys.stdout.flush()
+
+    best = {}
+    for (key_sensor, *cfg), v in results.items():
+        if v > best.get(key_sensor, (0, None))[0]:
+            best[key_sensor] = (v, cfg)
+    print("\nbest per sensor:")
+    for sname, (v, cfg) in best.items():
+        print(f"  {sname}: {v:.0f} Mev/s  {cfg}")
+
+
+def _mono_rate(voxel_matmul, B, sensor, n, seed_base):
+    sys.path.insert(0, "benchmarks")
+    from harness import time_device_loop
+
+    return time_device_loop(
+        lambda x, y, t, p: voxel_matmul(x, y, t, p, B, sensor), n, sensor,
+        iters=8, seed=seed_base + 7)
+
+
+if __name__ == "__main__":
+    import os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    main()

@@ -93,19 +93,17 @@ def main(argv=None):
         params = np.asarray(params)
         rois = np.asarray(rois)
         valid = np.asarray(valid)
-        # GT velocity field nearest the window's mid-time (between_frames
-        # pairs window i with flow i; k_events windows search the stamps)
-        if args.method == "between_frames":
-            gt_idx = i
-        else:
-            # truly NEAREST stamp, not first-at-or-after
-            t_mid = 0.5 * (float(ts[0]) + float(ts[-1]))
-            stamps = np.asarray(dataset.frame_ts)
-            hi = int(np.clip(np.searchsorted(stamps, t_mid), 1,
-                             len(stamps) - 1))
-            lo = hi - 1
-            gt_idx = lo if (t_mid - stamps[lo]) <= (stamps[hi] - t_mid) \
-                else hi
+        # GT velocity field nearest the window's MID-time for both methods
+        # (pairing between_frames window i with the flow AT frame i scores
+        # against the end of the interval — a half-interval bias under
+        # time-varying flow, and inconsistent with the k_events pairing)
+        t_mid = 0.5 * (float(ts[0]) + float(ts[-1]))
+        stamps = np.asarray(dataset.frame_ts)
+        hi = int(np.clip(np.searchsorted(stamps, t_mid), 1,
+                         len(stamps) - 1))
+        lo = hi - 1
+        gt_idx = lo if (t_mid - stamps[lo]) <= (stamps[hi] - t_mid) \
+            else hi
         gt = np.asarray(dataset.get_flow(gt_idx), np.float32)  # (2, H, W)
         for p, r, v in zip(params, rois, valid):
             if not v:

@@ -123,36 +123,37 @@ def _run_one(args, seed, output_path, fmt, velocity, omega):
           f"{events.stats['dropped']} dropped)")
 
     if fmt == "h5":
+        parent = os.path.dirname(os.path.abspath(output_path))
+        os.makedirs(parent, exist_ok=True)
         pk = hdf5_packager(output_path)
     else:
         os.makedirs(output_path, exist_ok=True)
         pk = memmap_packager(output_path)
-    pk.set_data_available(num_images=1, num_flow=1)
-    pk.package_events(events.xs.astype(np.int64),
-                      events.ys.astype(np.int64), events.ts, events.ps)
+    with pk:  # error paths close handles / sweep spill files
+        pk.set_data_available(num_images=1, num_flow=1)
+        pk.package_events(events.xs.astype(np.int64),
+                          events.ys.astype(np.int64), events.ts, events.ps)
 
-    # Write frames/flow at the (coarser) output rate, picking the truly
-    # nearest rendered sample for each requested stamp.
-    n_out = max(2, int(round(args.duration * args.frame_fps)) + 1)
-    out_ts = np.linspace(0.0, args.duration, n_out)
-    hi = np.searchsorted(frame_ts, out_ts).clip(1, len(frame_ts) - 1)
-    lo = hi - 1
-    idx = np.where(out_ts - frame_ts[lo] <= frame_ts[hi] - out_ts, lo, hi)
-    for k, i in enumerate(idx):
-        frame8 = np.clip(frames[i] * 255.0, 0, 255).astype(np.uint8)
-        pk.package_image(frame8, float(frame_ts[i]), img_idx=k)
-        pk.package_flow(flows[i].astype(np.float32), float(frame_ts[i]),
-                        flow_idx=k)
+        # Write frames/flow at the (coarser) output rate, picking the truly
+        # nearest rendered sample for each requested stamp.
+        n_out = max(2, int(round(args.duration * args.frame_fps)) + 1)
+        out_ts = np.linspace(0.0, args.duration, n_out)
+        hi = np.searchsorted(frame_ts, out_ts).clip(1, len(frame_ts) - 1)
+        lo = hi - 1
+        idx = np.where(out_ts - frame_ts[lo] <= frame_ts[hi] - out_ts, lo, hi)
+        for k, i in enumerate(idx):
+            frame8 = np.clip(frames[i] * 255.0, 0, 255).astype(np.uint8)
+            pk.package_image(frame8, float(frame_ts[i]), img_idx=k)
+            pk.package_flow(flows[i].astype(np.float32), float(frame_ts[i]),
+                            flow_idx=k)
 
-    n = len(events)
-    t0 = float(events.ts[0]) if n else 0.0
-    tk = float(events.ts[-1]) if n else 0.0
-    pk.add_metadata(num_events=n, num_pos=events.stats["num_pos"],
-                    num_neg=events.stats["num_neg"], duration=tk - t0,
-                    t0=t0, tk=tk, num_imgs=len(idx), num_flow=len(idx),
-                    sensor_size=(H, W))
-    if hasattr(pk, "close"):
-        pk.close()
+        n = len(events)
+        t0 = float(events.ts[0]) if n else 0.0
+        tk = float(events.ts[-1]) if n else 0.0
+        pk.add_metadata(num_events=n, num_pos=events.stats["num_pos"],
+                        num_neg=events.stats["num_neg"], duration=tk - t0,
+                        t0=t0, tk=tk, num_imgs=len(idx), num_flow=len(idx),
+                        sensor_size=(H, W))
 
     gt = {"scene": args.scene, "params": scene.params.tolist(),
           "sensor": [H, W], "duration": args.duration,

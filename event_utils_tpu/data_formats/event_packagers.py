@@ -50,6 +50,17 @@ class packager(ABC):
     def set_data_available(self, num_images, num_flow):
         ...
 
+    def close(self):
+        """Release file handles; safe to call more than once. Subclasses
+        with on-disk state override this."""
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        self.close()
+        return False
+
 
 class hdf5_packager(packager):
     """Stream events into a Monash-layout HDF5 file
@@ -151,7 +162,8 @@ class hdf5_packager(packager):
             self.file.require_group("flow")
 
     def close(self):
-        self.file.close()
+        if self.file:  # h5py truthiness: False once closed
+            self.file.close()
 
 
 class memmap_packager(packager):
@@ -197,6 +209,18 @@ class memmap_packager(packager):
 
     def set_data_available(self, num_images, num_flow):
         pass
+
+    def close(self):
+        """Close spill handles and sweep leftover partial ``.{t,xy,p}.bin``
+        files (abandoned stream / error path). A no-op after
+        ``add_metadata`` finalized — the real ``.npy`` outputs are kept."""
+        for name, _, _ in self._SPILLS:
+            fh = self._spill.get(name)
+            if fh is not None and not fh.closed:
+                fh.close()
+            spill_path = os.path.join(self.output_path, f".{name}.bin")
+            if os.path.exists(spill_path):
+                os.remove(spill_path)
 
     def _finalize_events(self):
         """Spill files -> proper .npy memmaps, chunked (O(chunk) RAM)."""
@@ -244,7 +268,12 @@ class memmap_packager(packager):
         meta = {"num_events": int(num_events), "num_pos": int(num_pos),
                 "num_neg": int(num_neg), "duration": float(duration),
                 "t0": float(t0), "tk": float(tk), "num_imgs": int(num_imgs),
-                "num_flow": int(num_flow)}
+                "num_flow": int(num_flow),
+                # layout marker: index.npy row i is the canonical
+                # (start, end) range of events UP TO frame i — lets readers
+                # skip the ambiguous-layout heuristic (see
+                # read_events._normalize_frame_index)
+                "index_layout": "start_end_v1"}
         if sensor_size is not None:
             meta["sensor_resolution"] = list(int(s) for s in sensor_size)
         with open(os.path.join(out, "metadata.json"), "w") as f:

@@ -97,7 +97,11 @@ def h5_to_memmap(h5_path, output_dir, overwrite: bool = False,
 def write_metadata(h5_file, output_dir, num_events, num_imgs, num_flow):
     """metadata.json sidecar (reference h5_to_memmap.py:63-71)."""
     meta = {"num_events": int(num_events), "num_imgs": int(num_imgs),
-            "num_flow": int(num_flow)}
+            "num_flow": int(num_flow),
+            # canonical index.npy layout marker (row i = (start, end) of
+            # events up to frame i); readers use it to skip the ambiguous
+            # layout heuristic in read_events._normalize_frame_index
+            "index_layout": "start_end_v1"}
     for key in ("num_pos", "num_neg", "duration", "t0", "tk",
                 "sensor_resolution"):
         if key in h5_file.attrs:

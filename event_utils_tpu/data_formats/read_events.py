@@ -57,14 +57,26 @@ def frame_event_indices(event_stamps, frame_stamps):
     return np.stack([starts, ends], axis=-1).astype(np.int64)
 
 
-def _normalize_frame_index(raw, num_events, num_frames=None):
+def _normalize_frame_index(raw, num_events, num_frames=None, layout=None):
     """Best-effort normalisation of an ``index.npy`` into the canonical
     ``(F, 2) (start, end)`` "events up to frame i" layout: handles this
     framework's canonical tables, reference ``compute_indices`` output
     (``(F-1, 2)`` reversed-column rows covering ``[frame_i, frame_{i+1})``
     — realigned AND re-rowed, not just swapped), and reference
-    ``h5_to_memmap`` attr dumps (``(F, 1)``/``(F,)`` end indices)."""
+    ``h5_to_memmap`` attr dumps (``(F, 1)``/``(F,)`` end indices).
+
+    ``layout='start_end_v1'`` (the ``index_layout`` marker this framework's
+    writers put in ``metadata.json``) asserts the canonical layout and skips
+    the heuristics. Without the marker the heuristic CANNOT distinguish a
+    canonical table from any other all-``start<=end`` convention (e.g. rows
+    meaning "events AFTER frame i"); directories written by pre-marker
+    builds with a foreign convention must be re-converted."""
     raw = np.asarray(raw).astype(np.int64)
+    if layout == "start_end_v1":
+        if raw.ndim == 2 and raw.shape[1] == 2:
+            return raw
+        raise DataFormatError(
+            f"index.npy marked start_end_v1 but has shape {raw.shape}")
     if raw.ndim == 1 or (raw.ndim == 2 and raw.shape[1] == 1):
         ends = raw.reshape(-1)
         starts = np.concatenate([[0], ends[:-1]])
@@ -209,8 +221,17 @@ def read_memmap_events(memmap_path, skip_frames: int = 1,
         num_frames = (len(np.load(os.path.join(root, images_ts_file)))
                       if os.path.exists(os.path.join(root, images_ts_file))
                       else None)
+        layout = None
+        meta_path = os.path.join(root, "metadata.json")
+        if os.path.exists(meta_path):
+            import json
+            try:
+                with open(meta_path) as mf:
+                    layout = json.load(mf).get("index_layout")
+            except (OSError, ValueError):
+                layout = None
         idx = _normalize_frame_index(data["index_raw"], data["num_events"],
-                                     num_frames=num_frames)
+                                     num_frames=num_frames, layout=layout)
         if skip_frames > 1 and idx.ndim == 2 and idx.shape[1] == 2:
             # Frames were strided; merge the skipped windows so row j still
             # ends at retained frame j and starts at the previous retained

@@ -53,11 +53,26 @@ def _resolve_interpret(interpret):
     return jax.default_backend() == "cpu"
 
 
-# Scoped VMEM budget for kernel working sets. The hardware limit is 16 MB
-# but Mosaic's own scratch and double-buffering allocations come on top of
-# the model's — 8 MB is the empirically safe planning budget (a 12 MB plan
-# still produced compile-time OOM at 480x640).
-_VMEM_BUDGET = 8 * 1024 * 1024
+@functools.lru_cache(maxsize=1)
+def _vmem_budget() -> int:
+    """Planning budget for kernel working sets, resolved per device at
+    runtime. The per-core VMEM of every shipping TPU generation through v5
+    is 16 MB (v6e doubles it), but Mosaic's own scratch and double-buffering
+    allocations come on top of the model's — planning to HALF the physical
+    size is the empirically safe ratio (a 12 MB plan on a 16 MB part still
+    produced compile-time OOM at 480x640). Override with
+    ``EVENT_UTILS_TPU_VMEM_BUDGET_MB`` when a toolchain/part disagrees."""
+    import os
+
+    env = os.environ.get("EVENT_UTILS_TPU_VMEM_BUDGET_MB")
+    if env:
+        return int(float(env) * 1024 * 1024)
+    try:
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:  # backend not initialized / no devices
+        kind = ""
+    physical = 32 if ("v6" in kind or "trillium" in kind) else 16
+    return physical * 1024 * 1024 // 2
 
 
 def _fit_chunk(requested: int, out_bytes: int, per_event_bytes: float,
@@ -68,7 +83,7 @@ def _fit_chunk(requested: int, out_bytes: int, per_event_bytes: float,
     ``per_event_bytes``: bytes of chunk-proportional VMEM (one-hot factor
     matrices + temporaries) per event of chunk.
     """
-    budget = _VMEM_BUDGET - out_bytes
+    budget = _vmem_budget() - out_bytes
     if budget <= 0:
         return None
     minimum = min(minimum, requested)  # honour explicitly small chunks
@@ -96,8 +111,17 @@ def _too_big_warning(kernel: str, shape, fallback: str):
 # ---------------------------------------------------------------------------
 
 def _voxel_kernel(scalars_ref, x_ref, y_ref, t_ref, p_ref, out_ref,
-                  *, B, H, W, HP, WP, precision):
-    i = pl.program_id(0)
+                  *, B, H, W, HP, WP, precision, nch=None):
+    # nch=None: 1-D grid over chunks (monolithic sensor). nch=int: 2-D grid
+    # (tile, chunk) — program_id(0) is the sensor tile, whose accumulator
+    # block out_ref re-initializes at that tile's first chunk; the scalar
+    # table is indexed by the flattened chunk id.
+    if nch is None:
+        i = pl.program_id(0)
+        srow = i
+    else:
+        i = pl.program_id(1)
+        srow = pl.program_id(0) * nch + i
 
     @pl.when(i == 0)
     def _():
@@ -115,9 +139,9 @@ def _voxel_kernel(scalars_ref, x_ref, y_ref, t_ref, p_ref, out_ref,
     row_hit = row_iota == y[None, :]                # (HP, C) one-hot rows
     Bx = (col_iota == x[:, None]).astype(oh_dtype)  # (C, WP)
 
-    blo = scalars_ref[i, 0]
-    crosses = scalars_ref[i, 1]
-    span2 = scalars_ref[i, 2]
+    blo = scalars_ref[srow, 0]
+    crosses = scalars_ref[srow, 1]
+    span2 = scalars_ref[srow, 2]
 
     def tap_weight(b):
         """Temporal-bilinear tap weight for (possibly dynamic) bin b."""
@@ -187,7 +211,7 @@ def _voxel_kernel(scalars_ref, x_ref, y_ref, t_ref, p_ref, out_ref,
     # walk every covered bin with an explicit weighted matmul.
     @pl.when(span2 == 1)
     def _():
-        blast = scalars_ref[i, 3]
+        blast = scalars_ref[srow, 3]
 
         def body(b, _):
             accum(b, weighted(tap_weight(b)))
@@ -333,6 +357,108 @@ def _voxel_core(xs, ys, t_norm, ps, cfg):
         interpret=interpret,
     )(scalars, xs, ys, t_norm, ps)
     return out.reshape(B + 2, HP, W)[:B, :H]
+
+
+@functools.partial(jax.jit, static_argnames=("B", "tile", "chunk",
+                                             "precision", "interpret"))
+def voxel_matmul_tiles(bx, by, bt, bp, B: int, tile, t0, t1, mask=None,
+                       chunk: int = DEFAULT_CHUNK, precision: str = "hilo",
+                       interpret: Optional[bool] = None):
+    """Per-tile voxel grids for pre-bucketed events, ONE kernel launch.
+
+    Inputs are ``(T, cap)`` arrays of tile-LOCAL coordinates with a shared
+    global time window ``[t0, t1]`` (each tile's stream must be time-sorted;
+    bucketing a sorted stream preserves this). Returns ``(T, B, th, tw)``
+    float32 — the caller stitches tiles into the sensor frame.
+
+    This is the large-sensor voxel engine: the one-hot formulation's cost
+    per event is ~``6*HP*WP`` FLOPs, so running it per tile keeps the MXU
+    rate independent of total sensor size. The 2-D Pallas grid
+    ``(tile, chunk)`` keeps ONE launch for the whole sensor: each tile's
+    ``(B+2)*HP x W`` accumulator block stays in VMEM across that tile's
+    chunk sweep and is flushed once. Forward-only (no custom VJP) — this is
+    an ingest-path builder; use ``voxel_matmul`` in loss paths.
+    """
+    th, tw = tile
+    HP = _round_up(th, 8)
+    WP = _round_up(tw, 128)
+    chunk = voxel_matmul_max_chunk(B, tile, chunk)
+    if chunk is None:
+        from ..errors import SensorLimitError
+        raise SensorLimitError(
+            f"voxel_matmul_tiles: tile {tile} x {B} bins exceeds the VMEM "
+            "working-set budget; use a smaller tile")
+    bx = jnp.asarray(bx).astype(jnp.int32)
+    by = jnp.asarray(by).astype(jnp.int32)
+    bt = jnp.asarray(bt, jnp.float32)
+    bp = jnp.asarray(bp, jnp.float32)
+    T, cap = bx.shape
+    if cap == 0 or T == 0:
+        return jnp.zeros((T, B, th, tw), jnp.float32)
+
+    in_tile = (bx >= 0) & (bx < tw) & (by >= 0) & (by < th)
+    bp = jnp.where(in_tile, bp, 0.0)
+    if mask is not None:
+        bp = bp * jnp.asarray(mask, jnp.float32)
+    bx = jnp.clip(bx, 0, tw - 1)
+    by = jnp.clip(by, 0, th - 1)
+
+    dt = t1 - t0
+    t_norm = (bt - t0) / jnp.where(dt == 0, 1.0, dt) * (B - 1)
+    # same edge-fold as voxel_matmul: out-of-window events pin to the edge
+    # bin with their surviving tap weight folded into bp
+    below = t_norm < 0.0
+    above = t_norm > (B - 1.0)
+    bp = jnp.where(below, bp * jnp.maximum(0.0, 1.0 + t_norm), bp)
+    bp = jnp.where(above,
+                   bp * jnp.maximum(0.0, 1.0 - (t_norm - (B - 1.0))), bp)
+    t_norm = jnp.where(below, 0.0, t_norm)
+    t_norm = jnp.where(above, B - 1.0, t_norm)
+    # dead slots (mask 0 / out-of-tile) must not distort the per-chunk bin
+    # classification: give them the pad sentinel
+    t_norm = jnp.where(bp == 0.0, -100.0, t_norm)
+
+    pad = (-cap) % chunk
+    if pad:
+        bx = jnp.pad(bx, ((0, 0), (0, pad)))
+        by = jnp.pad(by, ((0, 0), (0, pad)))
+        t_norm = jnp.pad(t_norm, ((0, 0), (0, pad)), constant_values=-100.0)
+        bp = jnp.pad(bp, ((0, 0), (0, pad)))
+    capp = cap + pad
+    nch = capp // chunk
+    t2 = t_norm.reshape(T * nch, chunk)
+
+    # per-chunk base bin; all-pad chunks (t_last sentinel) classify as
+    # blo=0/no-cross and contribute nothing (every bp is 0)
+    live = t2 > -50.0
+    t_first = jnp.min(jnp.where(live, t2, 1e30), axis=1)
+    blo = jnp.clip(jnp.floor(jnp.where(t_first > 1e29, 0.0, t_first))
+                   .astype(jnp.int32), 0, B - 1)
+    t_last = jnp.max(jnp.where(live, t2, -100.0), axis=1)
+    blast = jnp.clip(jnp.floor(t_last).astype(jnp.int32), 0, B - 1)
+    blast = jnp.maximum(blast, blo)
+    crosses = (blast == blo + 1).astype(jnp.int32)
+    span2 = (blast > blo + 1).astype(jnp.int32)
+    scalars = jnp.stack([blo, crosses, span2, blast], axis=1)
+
+    kernel = functools.partial(_voxel_kernel, B=B, H=th, W=tw, HP=HP, WP=WP,
+                               precision=precision, nch=nch)
+    flat = lambda a: a.reshape(T * capp)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T, nch),
+        in_specs=[pl.BlockSpec((chunk,),
+                               lambda tt, i, blo: (tt * nch + i,))] * 4,
+        out_specs=pl.BlockSpec(((B + 2) * HP, tw),
+                               lambda tt, i, blo: (tt, 0)),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T * (B + 2) * HP, tw), jnp.float32),
+        interpret=_resolve_interpret(interpret),
+    )(scalars, flat(bx), flat(by), flat(t_norm), flat(bp))
+    return out.reshape(T, B + 2, HP, tw)[:, :B, :th, :]
 
 
 def _voxel_core_fwd(xs, ys, t_norm, ps, cfg):

@@ -83,7 +83,7 @@ def events_to_voxel(xs, ys, ts, ps, B: int, sensor_size=(180, 240),
         concrete = not any(isinstance(a, jax.core.Tracer)
                            for a in (xs, ys, ts, ps))
         if (concrete and mask is None and t0 is None and t1 is None
-                and voxel_matmul_max_chunk(B, (256, 256)) is not None):
+                and voxel_matmul_max_chunk(B, (128, 128)) is not None):
             return events_to_voxel_tiled(xs, ys, ts, ps, B, sensor_size)
         import warnings
         warnings.warn(
@@ -180,22 +180,30 @@ def events_to_voxel(xs, ys, ts, ps, B: int, sensor_size=(180, 240),
 
 
 def events_to_voxel_tiled(xs, ys, ts, ps, B: int, sensor_size,
-                          tile=(256, 256), impl: str = "matmul",
+                          tile=(128, 128), impl: str = "matmul",
                           capacity=None):
-    """Voxel grid for LARGE sensors via spatial tiling.
+    """Voxel grid for ANY sensor size via spatial tiling — the fast ingest
+    path.
 
-    The one-hot-matmul kernel's cost grows with pixel count, so beyond
-    ~DAVIS346 it loses to the exact scatter (see ``voxel_matmul_max_chunk``).
-    This builder restores MXU rates for any sensor size: events are bucketed
-    by sensor tile on the host (one counting-sort pass, preserving time
-    order within each tile), the Pallas kernel runs per tile with
-    tile-local coordinates, and the tiles are stitched back.
+    The one-hot-matmul kernel's cost is ~``6*HP*WP`` FLOPs/event, so
+    running it per TILE both (a) restores MXU rates beyond the monolithic
+    kernel's VMEM limit (~DAVIS346) and (b) beats the monolithic kernel
+    outright on small sensors (fewer FLOPs/event — measured 3-4x at
+    DAVIS240/346, r3). Events are bucketed by sensor tile on the host (one
+    counting-sort pass — ``native.evio_bucket_fill`` at memcpy speed —
+    preserving time order within each tile), then ONE Pallas launch
+    (``voxel_matmul_tiles``, 2-D grid over (tile, chunk)) accumulates every
+    tile and the result is stitched.
 
-    Host bucketing breaks jit-ability — this is an ingest-path builder (like
-    the loaders), not a loss-path one. Returns ``(B, H, W)``.
+    On-device bucketing was measured and rejected (r3): ``argsort`` by tile
+    id costs 84 ms for 2M events on a v5e (25 Mev/s — the TPU sort, not the
+    kernel, would dominate), and a cumsum-rank + unique-scatter formulation
+    did not finish compiling in 7 min. Host bucketing breaks jit-ability —
+    this is an ingest-path builder (like the loaders), not a loss-path one
+    (no VJP). Returns ``(B, H, W)``.
     """
     from ..contrast_max.events_cmax import bucket_events_by_roi
-    from ..ops.pallas_scatter import voxel_matmul_max_chunk
+    from ..ops.pallas_scatter import voxel_matmul_max_chunk, voxel_matmul_tiles
 
     H, W = sensor_size
     th, tw = tile
@@ -220,18 +228,16 @@ def events_to_voxel_tiled(xs, ys, ts, ps, B: int, sensor_size,
             f"events_to_voxel_tiled: capacity={capacity} drops {overflow} "
             "events in the densest tile; pass capacity=None (auto) or a "
             "larger value")
-    ox = jnp.asarray(origins[:, 1], jnp.float32)
-    oy = jnp.asarray(origins[:, 0], jnp.float32)
+    ox = jnp.asarray(origins[:, 1:2], jnp.int32)   # (T, 1) broadcast
+    oy = jnp.asarray(origins[:, 0:1], jnp.int32)
 
-    # Python loop over tiles (the tile count is small): the Pallas kernel's
-    # accumulator initialization is gated on program_id(0), so vmapping it
-    # (which prepends a grid dimension) must be avoided.
-    tiles = [events_to_voxel(bx[i] - ox[i], by[i] - oy[i], bt[i], bp[i], B,
-                             sensor_size=tile, mask=bmask[i],
-                             t0=jnp.float32(t0), t1=jnp.float32(t1),
-                             impl=impl)
-             for i in range(bx.shape[0])]
-    tiles = jnp.stack(tiles)
+    precision = {"matmul": "hilo", "matmul_hilo": "hilo",
+                 "matmul_bf16": "bf16", "matmul_int8": "int8"}.get(impl,
+                                                                   "hilo")
+    tiles = voxel_matmul_tiles(
+        jnp.asarray(bx, jnp.int32) - ox, jnp.asarray(by, jnp.int32) - oy,
+        bt, bp, B, tile, jnp.float32(t0), jnp.float32(t1), mask=bmask,
+        precision=precision)
     # stitch (ny*nx, B, th, tw) -> (B, ny*th, nx*tw) -> crop to (B, H, W)
     grid = tiles.reshape(ny, nx, B, th, tw).transpose(2, 0, 3, 1, 4)
     return grid.reshape(B, ny * th, nx * tw)[:, :H, :W]

@@ -407,8 +407,14 @@ def simulate_events_device(frames, frame_ts, capacity: int,
     as ``(events (capacity, 4), mask (capacity,))`` — exactly the padded
     contract every masked kernel and trainer here consumes. Jittable end
     to end, so training loops can generate fresh supervised data *inside*
-    the step with zero host round-trips (events beyond ``capacity`` are
-    uniformly dropped by the sort's stability over time order).
+    the step with zero host round-trips.
+
+    Overflow semantics: when more than ``capacity`` events fire, the sort
+    by (validity, time) keeps the EARLIEST ``capacity`` events — a temporal
+    tail cut, NOT a uniform subsample. Size ``capacity`` above the expected
+    event count (check ``mask.sum()`` against it) if a biased tail matters
+    for your workload; measured cmax accuracy is flat under uniform
+    subsampling but a missing tail shortens the effective window.
 
     Device memory scales with ``(F-1)*H*W*K`` — size the frame window
     accordingly (a 32-frame 64x64 window at K=4 is ~0.5M slots).
