@@ -93,23 +93,33 @@ def main():
         "vga": (480, 640),
         "720p": (720, 1280),
     }
-    TILES = [(128, 128), (96, 128), (64, 128), (128, 256), (256, 256)]
-    seed_base = int(time.time() * 1000) % (1 << 20)
+    TILES = [(128, 128), (96, 128), (64, 128)]
+    RUNS = 1 if quick else 3
+
+    def robust(runs):
+        """Median, plus best capped at 2x median (tunnel-outlier guard)."""
+        med = float(np.median(runs))
+        plausible = [r for r in runs if r <= 2.0 * med]
+        return med, (max(plausible) if plausible else med)
 
     results = {}
     for sname, sensor in SENSORS.items():
         # monolithic kernel where the formulation fits
         chunk = voxel_matmul_max_chunk(B, sensor)
         if chunk is not None:
-            sec = _mono_rate(voxel_matmul, B, sensor, N_TARGET, seed_base)
+            runs = [N_TARGET / _mono_rate(voxel_matmul, B, sensor, N_TARGET,
+                                          int(time.time() * 1000) % (1 << 20)
+                                          + 31 * r) / 1e6
+                    for r in range(RUNS)]
+            med, best_r = robust(runs)
             print(f"{sname} {sensor}: monolithic (chunk {chunk}) "
-                  f"{N_TARGET / sec / 1e6:.0f} Mev/s")
-            results[(sname, "mono")] = N_TARGET / sec / 1e6
+                  f"median {med:.0f} / best {best_r:.0f} Mev/s "
+                  f"(runs {[round(r) for r in runs]})")
+            results[(sname, "mono")] = med
         else:
             print(f"{sname} {sensor}: monolithic does not fit VMEM")
 
-        tiles = TILES[:2] if quick else TILES
-        for tile in tiles:
+        for tile in TILES[:2] if quick else TILES:
             for chunk in ((4096,) if quick else (2048, 4096, 8192)):
                 if voxel_matmul_max_chunk(B, tile, chunk) != chunk:
                     continue
@@ -122,18 +132,22 @@ def main():
                         bx, by, bt, bp, B, tile, jnp.float32(0.0),
                         jnp.float32(0.1), chunk=chunk)
 
-                sec = time_tiled_loop(fn, T, cap, tile, seed=seed_base)
-                mevs = n_eff / sec / 1e6
+                runs = [n_eff / time_tiled_loop(
+                    fn, T, cap, tile,
+                    seed=int(time.time() * 1000) % (1 << 20) + 31 * r) / 1e6
+                    for r in range(RUNS)]
+                med, best_r = robust(runs)
                 print(f"{sname} {sensor}: tiled {tile} chunk {chunk} "
-                      f"(T={T}, cap={cap}) {mevs:.0f} Mev/s")
-                results[(sname, tile, chunk)] = mevs
+                      f"(T={T}, cap={cap}) median {med:.0f} / best "
+                      f"{best_r:.0f} Mev/s (runs {[round(r) for r in runs]})")
+                results[(sname, tile, chunk)] = med
         sys.stdout.flush()
 
     best = {}
     for (key_sensor, *cfg), v in results.items():
         if v > best.get(key_sensor, (0, None))[0]:
             best[key_sensor] = (v, cfg)
-    print("\nbest per sensor:")
+    print("\nbest per sensor (by median):")
     for sname, (v, cfg) in best.items():
         print(f"  {sname}: {v:.0f} Mev/s  {cfg}")
 

@@ -40,6 +40,10 @@ def build_parser():
                         choices=["median"],
                         help="Neighbor-median flow smoothing (helps "
                              "textured scenes; see grid_cmax_batched)")
+    parser.add_argument("--pyramid", type=int, default=1,
+                        help="Coarse-to-fine pyramid levels: level k solves "
+                             "at roi_size*2^k and seeds the finer level's "
+                             "warm-started refine (textured scenes)")
     parser.add_argument("--output", default=None,
                         help="Optional metrics.json path")
     return parser
@@ -87,7 +91,8 @@ def main(argv=None):
             xs, ys, ts, ps, roi_size=(rh, rw), img_size=(H, W),
             min_events=args.min_events, maxiter=args.maxiter,
             capacity=args.capacity, smooth=args.smooth,
-            x0=prev_params if args.warm_start else None)
+            x0=prev_params if args.warm_start else None,
+            pyramid=args.pyramid)
         if args.warm_start:
             prev_params = np.asarray(params)
         params = np.asarray(params)

@@ -37,7 +37,25 @@ def main(argv=None):
     from ..data_loaders import NativeWindowedLoader
     from ..training import FlowTrainer
 
-    if os.path.isdir(args.path):
+    if os.path.isdir(args.path) and not os.path.exists(
+            os.path.join(args.path, "t.npy")):
+        # A directory of .h5 recordings (cli.simulate --num_sequences
+        # factory): chain one slab loader per file with a shared capacity
+        # so jitted consumers see one batch shape.
+        from ..data_loaders import ChainLoader, H5WindowedLoader
+        h5s = sorted(os.path.join(args.path, f)
+                     for f in os.listdir(args.path) if f.endswith(".h5"))
+        if not h5s:
+            raise SystemExit(f"{args.path} has neither t.npy (memmap) nor "
+                             ".h5 recordings")
+        cap = 1 << max(int(np.ceil(np.log2(max(args.k, 1)))), 0)
+        loader = ChainLoader([
+            H5WindowedLoader(p, method="k_events", k=args.k,
+                             batch_size=args.batch_size, capacity=cap,
+                             drop_last=args.data_parallel) for p in h5s])
+        print(f"training over {len(h5s)} recordings "
+              f"({len(loader)} batches/epoch)")
+    elif os.path.isdir(args.path):
         # data-parallel sharding needs every batch full
         loader = NativeWindowedLoader(args.path, method="k_events", k=args.k,
                                       batch_size=args.batch_size,
@@ -54,8 +72,8 @@ def main(argv=None):
 
     if len(loader) == 0:
         raise SystemExit(
-            "No full batches: reduce --batch_size or --k (the recording has "
-            f"{len(loader.windows)} windows of {args.k} events)")
+            "No full batches: reduce --batch_size or --k "
+            f"(windows of {args.k} events)")
 
     mesh = None
     if args.data_parallel:

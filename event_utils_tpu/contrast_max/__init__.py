@@ -32,9 +32,11 @@ from .events_cmax import (  # noqa: F401
     bucket_events_by_roi,
     draw_objective_function,
     find_new_range,
+    fit_global_motion,
     get_hsv_shifted,
     grid_cmax,
     grid_cmax_batched,
+    xyztheta_velocity_at,
     grid_search_initial,
     grid_search_optimisation,
     grid_search_refine,

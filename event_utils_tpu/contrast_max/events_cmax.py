@@ -31,7 +31,7 @@ from jax.scipy.optimize import minimize as jax_minimize
 
 from ..models.objectives import (get_iwe, objective_function,
                                  variance_objective)
-from ..models.warps import linvel_warp, warp_function
+from ..models.warps import linvel_warp, warp_function, xyztheta_warp
 from ..ops.blur import gaussian_filter
 from ..errors import ConfigurationError
 from ..utils.event_util import infer_resolution, lifespan_mask
@@ -770,18 +770,112 @@ def bucket_events_by_roi(xs, ys, ts, ps, resolution, roi_size,
             jnp.asarray(roi_origins), overflow)
 
 
+_global_motion_cache: dict = {}
+
+
+def fit_global_motion(xs, ys, ts, ps, img_size, obj=None,
+                      blur_sigma: float = 1.0, maxiter: int = 80,
+                      gd_lr: float = 4.0, mask=None):
+    """Full-frame 4-DoF global motion fit: contrast maximisation under the
+    ``xyztheta`` similarity field ``v(x, y) = (vx + s*x - w*y,
+    vy + s*y + w*x)`` (translation + divergence + rotation).
+
+    Two stages, one compiled program: a 2-D grid search over pure
+    translation (s = w = 0), then normalized-gradient descent over all four
+    dims in a SCALED space where one unit of s/w moves a point half a
+    sensor diagonal away by ~1 px/s — so a single px/s learning rate serves
+    every dim. Returns ``(params (4,), loss)``.
+
+    This is the pyramid's base estimator (``grid_cmax_batched(pyramid>1)``)
+    and a capability the reference only gestures at (its ``xyztheta_warp``
+    is an unimplemented stub, reference warps.py:63-72).
+    """
+    obj = variance_objective() if obj is None else obj
+    resolution = tuple(int(v) for v in img_size)
+    key = (obj.name, _objective_kwargs(obj), resolution, float(blur_sigma),
+           int(maxiter), float(gd_lr))
+    solve = _global_motion_cache.get(key)
+    if solve is None:
+        warp = xyztheta_warp()
+        loss = make_objective_loss(obj, warp, resolution, blur_sigma)
+        r0 = 0.5 * float(np.hypot(*resolution))
+        scale = jnp.asarray([1.0, 1.0, 1.0 / r0, 1.0 / r0], jnp.float32)
+
+        def _solve(exs, eys, ets, eps, emask):
+            def f_q(q):
+                return loss(q * scale, exs, eys, ets, eps, emask)
+
+            def f_trans(v2):
+                return f_q(jnp.concatenate([v2, jnp.zeros(2)]))
+
+            q0_t, _ = grid_search_refine(f_trans, 2, init_range=150.0,
+                                         num_samples_per_param=5, iters=6)
+            q0 = jnp.concatenate([q0_t, jnp.zeros(2)])
+            vg = jax.value_and_grad(f_q)
+
+            def step(i, state):
+                q, m, best_q, best_v = state
+                v, g = vg(q)
+                better = v < best_v
+                best_q = jnp.where(better, q, best_q)
+                best_v = jnp.where(better, v, best_v)
+                g = g / (jnp.linalg.norm(g) + 1e-12)
+                m = 0.8 * m + g
+                lr = gd_lr * 0.5 * (1 + jnp.cos(jnp.pi * i / maxiter))
+                return q - lr * m, m, best_q, best_v
+
+            init = (q0, jnp.zeros_like(q0), q0, f_q(q0))
+            q, _, best_q, best_v = jax.lax.fori_loop(0, maxiter, step, init)
+            v_final = f_q(q)
+            final_better = v_final < best_v
+            best_q = jnp.where(final_better, q, best_q)
+            best_v = jnp.where(final_better, v_final, best_v)
+            return best_q * scale, best_v
+
+        solve = jax.jit(_solve)
+        _global_motion_cache[key] = solve
+
+    exs = jnp.asarray(xs, jnp.float32)
+    eys = jnp.asarray(ys, jnp.float32)
+    ets = jnp.asarray(ts, jnp.float32)
+    eps = jnp.asarray(ps, jnp.float32)
+    emask = (jnp.ones_like(eps) if mask is None
+             else jnp.asarray(mask, jnp.float32))
+    return solve(exs, eys, ets, eps, emask)
+
+
+def xyztheta_velocity_at(params, x, y):
+    """The velocity field induced by ``xyztheta`` params at points (x, y):
+    ``(vx + s*x - w*y, vy + s*y + w*x)`` — e.g. to seed per-ROI linvel
+    solves from a global fit."""
+    vx, vy, s, w = (float(params[0]), float(params[1]), float(params[2]),
+                    float(params[3]))
+    x = np.asarray(x, np.float32)
+    y = np.asarray(y, np.float32)
+    return np.stack([vx + s * x - w * y, vy + s * y + w * x], axis=-1)
+
+
 def grid_cmax_batched(xs, ys, ts, ps, roi_size=(20, 20), warp=None,
                       obj=None, min_events: int = 10, img_size=None,
                       blur_sigma: float = 1.0, maxiter: int = 50,
                       capacity: Optional[int] = None,
                       solver: str = "gd", gd_lr: float = 4.0,
-                      smooth: Optional[str] = None, x0=None):
+                      smooth: Optional[str] = None, x0=None,
+                      pyramid: int = 1, trust_radius: Optional[float] = None):
     """All-ROIs-at-once contrast maximisation: one vmapped, jitted solve.
 
     TPU-first replacement for the reference's Python ROI loop
     (events_cmax.py:53-67): events are bucketed by ROI into fixed-capacity
     batches (subsampled above the capacity cap); a coarse-to-fine grid
     search plus a refine stage runs for *every* ROI in parallel.
+
+    ``pyramid > 1`` runs a spatial coarse-to-fine cascade (linvel warps
+    only): level k solves at ``roi_size * 2^k`` — bigger ROIs see more
+    structure, so their contrast optimum is better determined on dense
+    texture — and each finer level warm-start-refines from its parent ROI's
+    (median-smoothed) params instead of its own grid search. Cost is ~0.5x
+    extra per level (refines skip the grid search); accuracy on textured
+    scenes improves markedly (see cli.eval_cmax --pyramid).
 
     @param solver ``'gd'`` (default): fixed-``maxiter`` normalized-gradient
         descent with momentum — every ROI takes exactly the same compiled
@@ -795,6 +889,70 @@ def grid_cmax_batched(xs, ys, ts, ps, roi_size=(20, 20), warp=None,
     resolution = infer_resolution(xs, ys) if img_size is None else img_size
     rh, rw = roi_size
 
+    trust_vec = None  # per-ROI L-inf trust radii for the warm refine
+    if pyramid > 1 and x0 is None and isinstance(warp, linvel_warp):
+        # Coarse level: solve at 2x the ROI size (recursively for deeper
+        # pyramids; the base of the recursion seeds from a full-frame 4-DoF
+        # global-motion fit), median-smooth, and hand each fine ROI its
+        # parent's params as a warm start (the with_x0 refine path below).
+        coarse_kw = {}
+        if pyramid == 2:
+            # Recursion base: fit translation+divergence+rotation over the
+            # WHOLE frame (every event versus one sparse ROI's worth), then
+            # seed each coarse ROI with the induced velocity at its center.
+            # Trust = floor + the field's own variation across a coarse ROI
+            # half-diagonal (affine field: exact, location-independent).
+            g_params, _gl = fit_global_motion(
+                xs, ys, ts, ps, resolution, obj=obj,
+                blur_sigma=blur_sigma)
+            g_params = np.asarray(g_params)
+            nyc2 = (resolution[0] + 2 * rh - 1) // (2 * rh)
+            nxc2 = (resolution[1] + 2 * rw - 1) // (2 * rw)
+            oy2, ox2 = np.divmod(np.arange(nyc2 * nxc2), nxc2)
+            cy2 = oy2 * 2 * rh + rh
+            cx2 = ox2 * 2 * rw + rw
+            coarse_kw["x0"] = jnp.asarray(
+                xyztheta_velocity_at(g_params, cx2, cy2), jnp.float32)
+            half_diag = float(np.hypot(rh, rw))
+            coarse_kw["trust_radius"] = 3.0 + half_diag * float(
+                np.hypot(g_params[2], g_params[3]))
+        c_params, _cr, _cf, _cv = grid_cmax_batched(
+            xs, ys, ts, ps, roi_size=(rh * 2, rw * 2), warp=warp, obj=obj,
+            min_events=min_events, img_size=tuple(resolution),
+            blur_sigma=blur_sigma, maxiter=maxiter, capacity=capacity,
+            solver=solver, gd_lr=gd_lr, smooth="median",
+            pyramid=pyramid - 1, **coarse_kw)
+        ny = (resolution[0] + rh - 1) // rh
+        nx = (resolution[1] + rw - 1) // rw
+        nyc = (resolution[0] + 2 * rh - 1) // (2 * rh)
+        nxc = (resolution[1] + 2 * rw - 1) // (2 * rw)
+        iy, ix = np.divmod(np.arange(ny * nx), nx)
+        parent = (np.minimum(iy // 2, nyc - 1) * nxc
+                  + np.minimum(ix // 2, nxc - 1))
+        c_params = np.asarray(c_params)
+        x0 = jnp.asarray(c_params[parent])
+        if trust_radius is None:
+            # ADAPTIVE trust: keep the fine refine near the better-informed
+            # coarse seed (unconstrained descent walks into sparse-ROI noise
+            # minima — measured), but widen the ball where the coarse field
+            # itself varies (rotation/divergence), since there the true fine
+            # flow legitimately deviates from the parent. Radius = floor +
+            # the 3x3 coarse-neighborhood spread (max component range).
+            # geometry: the 3x3 coarse spread covers +-1 coarse ROI = +-4
+            # fine half-steps of true field variation, while a fine ROI
+            # sits at most 1 fine half-step from its parent's center ->
+            # needed radius ~ spread/4 (+ a floor for coarse-field noise)
+            cgrid = c_params.reshape(nyc, nxc, -1)
+            pad = np.pad(cgrid, ((1, 1), (1, 1), (0, 0)), mode="edge")
+            neigh = np.stack([pad[1 + dy:1 + dy + nyc, 1 + dx:1 + dx + nxc]
+                              for dy in (-1, 0, 1) for dx in (-1, 0, 1)])
+            spread = (neigh.max(axis=0) - neigh.min(axis=0)).max(axis=-1)
+            trust_c = 3.0 + 0.25 * spread.reshape(-1)
+            trust_vec = jnp.asarray(trust_c[parent], jnp.float32)
+        else:
+            trust_vec = jnp.full((ny * nx,), float(trust_radius),
+                                 jnp.float32)
+
     bx, by, bt, bp, bmask, origins, overflow = bucket_events_by_roi(
         xs, ys, ts, ps, resolution, roi_size, capacity)
 
@@ -806,19 +964,27 @@ def grid_cmax_batched(xs, ys, ts, ps, roi_size=(20, 20), warp=None,
                   tuple(resolution), tuple(roi_size), float(blur_sigma),
                   int(maxiter), solver, float(gd_lr))
     if x0 is not None:
-        # Warm start (e.g. the previous video window's params): skip the
-        # grid search and descend from x0 per ROI — ~2x less work per
-        # window and temporally coherent fields.
-        warm_key = solver_key + ("warm",)
+        # Warm start (previous video window's params, or the pyramid's
+        # coarse level): skip the grid search and descend from x0 per ROI —
+        # ~2x less work per window and temporally coherent fields. The
+        # solver takes a traced per-ROI trust radius (inf = unconstrained,
+        # the plain temporal-warm-start default), so one executable serves
+        # every trust configuration.
+        if trust_vec is None:
+            trust_vec = jnp.full((origins.shape[0],),
+                                 jnp.inf if trust_radius is None
+                                 else float(trust_radius), jnp.float32)
+        warm_key = solver_key + ("warm-traced",)
         solve = _roi_solver_cache.get(warm_key)
         if solve is None:
             solve = jax.jit(jax.vmap(make_roi_solve_one(
                 warp, obj, tuple(resolution), roi_size, blur_sigma,
-                maxiter, solver, gd_lr, with_x0=True)))
+                maxiter, solver, gd_lr, with_x0=True,
+                trust_radius="traced")))
             _roi_solver_cache[warm_key] = solve
         params, f_evals = solve(bx, by, bt, bp, bmask,
                                 jnp.asarray(origins, jnp.float32),
-                                jnp.asarray(x0, jnp.float32))
+                                jnp.asarray(x0, jnp.float32), trust_vec)
     else:
         solve = _roi_solver_cache.get(solver_key)
         if solve is None:
@@ -882,7 +1048,8 @@ def _build_roi_solver(warp, obj, resolution, roi_size, blur_sigma, maxiter,
 
 
 def make_roi_solve_one(warp, obj, resolution, roi_size, blur_sigma, maxiter,
-                       solver="gd", gd_lr=4.0, with_x0: bool = False):
+                       solver="gd", gd_lr=4.0, with_x0: bool = False,
+                       trust_radius=None):
     """Single-ROI solve ``(ex, ey, et, ep, emask, origin) -> (params,
     f_eval)``: patch-matmul loss (every objective), velocity-capped grid
     search, adaptive-lifespan mask, fixed-step refine. vmap it for batched
@@ -891,7 +1058,15 @@ def make_roi_solve_one(warp, obj, resolution, roi_size, blur_sigma, maxiter,
 
     ``with_x0=True`` returns a *refine* variant ``(ex, ey, et, ep, emask,
     origin, x0) -> (params, f_eval)`` that skips the grid search and
-    descends from the given start (the neighbor-consensus second stage)."""
+    descends from the given start (the neighbor-consensus second stage).
+    ``trust_radius`` (refine variant, 'gd' solver): clamp the iterate to an
+    L-inf ball of that radius around ``x0`` — a seed from a better-informed
+    source (coarser pyramid level / previous window) must not be abandoned
+    for a sparse ROI's own noise minimum, which the unconstrained descent
+    otherwise reaches (measured: normalized-gradient steps can travel
+    ~maxiter*gd_lr/2 px/s from the seed). Pass the string ``'traced'`` for
+    a per-ROI radius: the returned function takes one extra trailing
+    argument ``trust`` (scalar per ROI; vmap it alongside ``x0``)."""
     use_patch = obj.name in ("variance", "sos", "rms", "soe", "sosa",
                              "isoa", "moa", "r1", "zhu")
     # The patch window must enclose the ROI with warp margin, whatever the
@@ -922,7 +1097,7 @@ def make_roi_solve_one(warp, obj, resolution, roi_size, blur_sigma, maxiter,
     velocity_cap = (use_patch and isinstance(warp, linvel_warp)
                     and margin > 2.0)
 
-    def _finish(ex, ey, et, ep, emask, origin, x0, f_masked, f):
+    def _finish(ex, ey, et, ep, emask, origin, x0, f_masked, f, trust=None):
         # Adaptive lifespan (reference events_cmax.py:29: grid_cmax uses
         # variance_objective(adaptive_lifespan=True)): after grid init, trim
         # the event window to pixel_crossings/|v| seconds as a mask update
@@ -959,7 +1134,10 @@ def make_roi_solve_one(warp, obj, resolution, roi_size, blur_sigma, maxiter,
             g = g / (jnp.linalg.norm(g) + 1e-12)
             m = 0.8 * m + g
             lr = gd_lr * 0.5 * (1 + jnp.cos(jnp.pi * i / maxiter))
-            return p - lr * m, m, best_p, best_v
+            p = p - lr * m
+            if trust is not None:
+                p = x0 + jnp.clip(p - x0, -trust, trust)
+            return p, m, best_p, best_v
 
         init = (x0, jnp.zeros_like(x0), x0,
                 f_masked(x0, refine_mask))
@@ -1005,9 +1183,26 @@ def make_roi_solve_one(warp, obj, resolution, roi_size, blur_sigma, maxiter,
             return f_masked(p, emask)
 
         return _finish(ex, ey, et, ep, emask, origin,
-                       jnp.asarray(x0, jnp.float32), f_masked, f)
+                       jnp.asarray(x0, jnp.float32), f_masked, f,
+                       trust=None if trust_radius in (None, "traced")
+                       else trust_radius)
 
-    return refine_one if with_x0 else solve_one
+    def refine_one_trust(ex, ey, et, ep, emask, origin, x0, trust):
+        def f_masked(p, m):
+            if use_patch:
+                return patch_loss(p, ex, ey, et, ep, m, origin)
+            return full_loss(p, ex, ey, et, ep, m)
+
+        def f(p):
+            return f_masked(p, emask)
+
+        return _finish(ex, ey, et, ep, emask, origin,
+                       jnp.asarray(x0, jnp.float32), f_masked, f,
+                       trust=trust)
+
+    if with_x0:
+        return refine_one_trust if trust_radius == "traced" else refine_one
+    return solve_one
 
 
 # ---------------------------------------------------------------------------

@@ -21,4 +21,5 @@ from .hdf5_dataset import DynamicH5Dataset  # noqa: F401
 from .memmap_dataset import MemMapDataset  # noqa: F401
 from .npy_dataset import NpyDataset  # noqa: F401
 from .prefetch import EventDataLoader, device_prefetch  # noqa: F401
-from .native_loader import H5WindowedLoader, NativeWindowedLoader  # noqa: F401
+from .native_loader import (ChainLoader, H5WindowedLoader,  # noqa: F401
+                            NativeWindowedLoader)

@@ -316,3 +316,34 @@ class H5WindowedLoader:
         finally:
             if self.prefetch:
                 stop.set()  # abandoned iteration: halt the reader thread
+
+
+class ChainLoader:
+    """Concatenate several windowed loaders into one epoch stream.
+
+    The multi-recording case (e.g. a ``cli.simulate --num_sequences``
+    factory): every member loader's batches are yielded in turn, so windows
+    never straddle recordings. Members should share ``capacity`` (pass one
+    explicitly) so downstream jitted consumers see one batch shape.
+    """
+
+    def __init__(self, loaders):
+        self.loaders = list(loaders)
+        if not self.loaders:
+            raise ConfigurationError("ChainLoader needs at least one loader")
+
+    def __len__(self):
+        return sum(len(ld) for ld in self.loaders)
+
+    def __iter__(self):
+        for ld in self.loaders:
+            yield from ld
+
+    def close(self):
+        for ld in self.loaders:
+            if hasattr(ld, "close"):
+                ld.close()
+
+    @property
+    def truncated_events(self):
+        return sum(getattr(ld, "truncated_events", 0) for ld in self.loaders)
