@@ -808,6 +808,19 @@ def fit_global_motion(xs, ys, ts, ps, img_size, obj=None,
             def f_trans(v2):
                 return f_q(jnp.concatenate([v2, jnp.zeros(2)]))
 
+            # Physical bounds on divergence/rotation per window: variance-
+            # style objectives carry a CONCENTRATION bias (a strong spurious
+            # contraction keeps all mass in frame and wins on small scenes —
+            # the degeneracy pinned in r2's simulator study), so cap the
+            # scale change at |s|*dt <= 0.4 and the rotation at
+            # |w|*dt <= 1.0 rad over the window.
+            any_valid = jnp.any(emask != 0)
+            t_hi = jnp.max(jnp.where(emask != 0, ets, -jnp.inf))
+            t_lo = jnp.min(jnp.where(emask != 0, ets, jnp.inf))
+            dt_w = jnp.where(any_valid, jnp.maximum(t_hi - t_lo, 1e-3), 1.0)
+            qmax = jnp.asarray([jnp.inf, jnp.inf, 0.0, 0.0]).at[2].set(
+                0.4 / dt_w * r0).at[3].set(1.0 / dt_w * r0)
+
             q0_t, _ = grid_search_refine(f_trans, 2, init_range=150.0,
                                          num_samples_per_param=5, iters=6)
             q0 = jnp.concatenate([q0_t, jnp.zeros(2)])
@@ -822,7 +835,7 @@ def fit_global_motion(xs, ys, ts, ps, img_size, obj=None,
                 g = g / (jnp.linalg.norm(g) + 1e-12)
                 m = 0.8 * m + g
                 lr = gd_lr * 0.5 * (1 + jnp.cos(jnp.pi * i / maxiter))
-                return q - lr * m, m, best_q, best_v
+                return jnp.clip(q - lr * m, -qmax, qmax), m, best_q, best_v
 
             init = (q0, jnp.zeros_like(q0), q0, f_q(q0))
             q, _, best_q, best_v = jax.lax.fori_loop(0, maxiter, step, init)

@@ -180,7 +180,7 @@ def events_to_voxel(xs, ys, ts, ps, B: int, sensor_size=(180, 240),
 
 
 def events_to_voxel_tiled(xs, ys, ts, ps, B: int, sensor_size,
-                          tile=(128, 128), impl: str = "matmul",
+                          tile=(96, 128), impl: str = "matmul",
                           capacity=None):
     """Voxel grid for ANY sensor size via spatial tiling — the fast ingest
     path.

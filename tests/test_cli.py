@@ -263,3 +263,31 @@ def test_eval_cmax_cli(tmp_path, capsys):
         "--output", out])
     m = json.load(open(out))
     assert m["num_rois"] > 0 and np.isfinite(m["median_aee_px_s"])
+
+
+def test_stream_flow_cli(tmp_path):
+    """simulate -> stream_flow: streaming ingest + warm-started grid_cmax
+    -> dense flow fields in the visualize_flow layout, with sustained-
+    throughput metrics."""
+    import json
+
+    from event_utils_tpu.cli.simulate import main as sim
+    from event_utils_tpu.cli.stream_flow import main as stream
+
+    path = str(tmp_path / "s.h5")
+    sim([path, "--sensor", "32", "32", "--velocity", "25", "12",
+         "--duration", "0.8", "--fps", "120", "--frame_fps", "20",
+         "--c_pos", "0.12", "--c_neg", "0.12", "--octaves", "3"])
+    out = str(tmp_path / "flow")
+    stream([path, "--output_dir", out, "--k", "6000", "--maxiter", "20",
+            "--roi_size", "16", "16", "--max_windows", "2",
+            "--pyramid_first"])
+    files = sorted(os.listdir(out))
+    assert "flow_0000.npy" in files and "timestamps.txt" in files
+    flow = np.load(os.path.join(out, "flow_0000.npy"))
+    assert flow.shape == (2, 32, 32)
+    m = json.load(open(os.path.join(out, "metrics.json")))
+    assert m["num_windows"] == 2 and m["mevs_sustained"] > 0
+    # uniform-velocity scene: the dense field's median must be near GT
+    med = np.median(flow.reshape(2, -1), axis=1)
+    assert np.hypot(med[0] - 25, med[1] - 12) < 10.0, med
