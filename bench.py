@@ -1,14 +1,19 @@
-"""Headline benchmark: both BASELINE.json north stars, one JSON line.
+"""Headline benchmark: all five BASELINE.json configs, one JSON line.
 
 1. **Voxel-grid construction** (config 1): 5-bin temporally-bilinear voxel
    grid on a 180x240 sensor — the Pallas MXU one-hot-matmul kernel
    (``voxel_matmul``, hi/lo precision, ~1e-5 relative parity) vs the ACTUAL
    reference implementation (``/root/reference/lib`` ``events_to_voxel_torch``,
    per-bin ``index_put_(accumulate=True)``, voxel_grid.py:114-153) on CPU.
+   Large-sensor rows (DAVIS346 / VGA / 720p) certify the multi-tile kernel
+   (``voxel_matmul_tiles``) on device-generated pre-bucketed tiles.
 2. **grid_cmax ROI flow** (config 4): all-ROIs-at-once
    ``grid_cmax_batched`` on device vs the reference's per-ROI
    grid-search + BFGS CPU loop (events_cmax.py:28-76), wall-clock for the
    full 108-ROI sensor (reference extrapolated from a timed sample).
+3. **Event + timestamp images** (config 2), **augmentation 2x densify**
+   (config 3), **streaming voxel loader** (config 5): delegated to
+   benchmarks/bench_configs.py, each reference-vs-ours.
 
 Timing uses the on-device loop harness (benchmarks/harness.py): inputs are
 generated on device per iteration and only a checksum scalar transfers, so
@@ -19,6 +24,8 @@ Prints ONE JSON line; the required keys certify the voxel north star and the
 ``grid_cmax_*`` keys certify the second:
   {"metric": ..., "value": Mev/s, "unit": "Mev/s", "vs_baseline": ratio,
    "grid_cmax_wallclock_s": s, "grid_cmax_vs_baseline": ratio}
+plus honest statistics (``value_median``, ``voxel_kernel`` naming which
+precision variant won) and the config-2/3/5 + large-sensor rows.
 Diagnostics go to stderr.
 """
 
@@ -154,6 +161,80 @@ def bench_grid_cmax():
     }
 
 
+def bench_tiled_sensors(runs: int = 2):
+    """Large-sensor voxel rows: the multi-tile kernel at DAVIS346/VGA/720p
+    (median Mev/s over ``runs``), device-generated pre-bucketed tiles."""
+    import jax.numpy as jnp
+
+    from bench_tiled import grid_for, time_tiled_loop
+    from event_utils_tpu.ops.pallas_scatter import voxel_matmul_tiles
+
+    tile, chunk, iters = (96, 128), 4096, 8
+    out = {}
+    for sname, sensor in (("davis346", (260, 346)), ("vga", (480, 640)),
+                          ("720p", (720, 1280))):
+        T = grid_for(sensor, tile)
+        cap = max(1, N // T)
+        n_eff = T * cap
+
+        def fn(bx, by, bt, bp):
+            return voxel_matmul_tiles(bx, by, bt, bp, B, tile,
+                                      jnp.float32(0.0), jnp.float32(0.1),
+                                      chunk=chunk)
+
+        rates = [n_eff / time_tiled_loop(
+            fn, T, cap, tile, iters=iters,
+            seed=int(time.time() * 1000) % (1 << 20) + 31 * r) / 1e6
+            for r in range(runs)]
+        out[sname] = round(float(np.median(rates)), 1)
+        log(f"tiled voxel {sname} {sensor}: median {out[sname]:.0f} Mev/s "
+            f"(runs {[round(r) for r in rates]})")
+    return out
+
+
+def bench_secondary_configs():
+    """BASELINE configs 2/3/5 via bench_configs; flattened JSON fields."""
+    import tempfile
+
+    import bench_configs as bc
+
+    rng = np.random.default_rng(int(time.time()) % (1 << 20))
+    xs, ys, ts, ps = bc.slider_scene(rng)
+    fields = {}
+    try:
+        r2 = bc.config2_images(xs, ys, ts, ps)
+        fields.update({
+            "event_image_mevs": r2["ours_mevs"][0],
+            "event_image_vs_baseline": r2["speedup"][0],
+            "timestamp_image_mevs": r2["ours_mevs"][1],
+            "timestamp_image_vs_baseline": r2["speedup"][1]})
+    except Exception as exc:
+        log(f"config2 (images) FAILED: {type(exc).__name__}: {exc}")
+    try:
+        r3 = bc.config3_augmentation(xs, ys, ts, ps)
+        # The unsorted device variant is cheaper than the harness's base
+        # loop (its subtraction floors at 1e-9 s -> absurd rates); certify
+        # the SORTED device densify, which is a real measurement, and keep
+        # the unsorted number only when it is plausible.
+        dev = r3["ours_device_sorted_mevs"]
+        if r3["ours_device_mevs"] < 1e5:
+            dev = max(dev, r3["ours_device_mevs"])
+        fields.update({
+            "augment_densify_mevs": r3["ours_mevs"],
+            "augment_densify_device_mevs": dev,
+            "augment_densify_vs_baseline": r3["speedup"]})
+    except Exception as exc:
+        log(f"config3 (augmentation) FAILED: {type(exc).__name__}: {exc}")
+    try:
+        r5 = bc.config5_streaming(tempfile.mkdtemp())
+        fields.update({
+            "streaming_loader_mevs": r5["ours_mevs"]["memmap"],
+            "streaming_loader_vs_baseline": r5["speedup"]})
+    except Exception as exc:
+        log(f"config5 (streaming) FAILED: {type(exc).__name__}: {exc}")
+    return fields
+
+
 def main():
     import jax
 
@@ -206,7 +287,15 @@ def main():
             f"Mev/s (runs: {[round(r) for r in results[prec]]})")
     best_prec = max(results, key=lambda k: robust_best(results[k]))
     mevs = robust_best(results[best_prec])
-    log(f"headline: {best_prec} at {mevs:.0f} Mev/s")
+    med_mevs = float(np.median(results[best_prec]))
+    log(f"headline: {best_prec} at {mevs:.0f} Mev/s (median {med_mevs:.0f})")
+
+    # ---- large sensors: the multi-tile kernel -----------------------------
+    try:
+        tiled_fields = {"voxel_tiled_mevs": bench_tiled_sensors()}
+    except Exception as exc:
+        log(f"tiled-sensor bench FAILED: {type(exc).__name__}: {exc}")
+        tiled_fields = {}
 
     # ---- north star 2: grid_cmax ------------------------------------------
     try:
@@ -215,6 +304,13 @@ def main():
         log(f"grid_cmax bench FAILED: {type(exc).__name__}: {exc}")
         cmax_fields = {"grid_cmax_wallclock_s": None,
                        "grid_cmax_vs_baseline": None}
+
+    # ---- configs 2/3/5 ----------------------------------------------------
+    try:
+        secondary_fields = bench_secondary_configs()
+    except Exception as exc:
+        log(f"secondary configs FAILED: {type(exc).__name__}: {exc}")
+        secondary_fields = {}
 
     # secondary diagnostics (opt-in: they add ~2-3 min of tunnel time)
     try:
@@ -237,7 +333,12 @@ def main():
         "value": round(mevs, 1),
         "unit": "Mev/s",
         "vs_baseline": round(mevs / torch_mevs, 2),
+        "value_median": round(med_mevs, 1),
+        "vs_baseline_median": round(med_mevs / torch_mevs, 2),
+        "voxel_kernel": best_prec,
+        **tiled_fields,
         **cmax_fields,
+        **secondary_fields,
     }))
 
 

@@ -15,7 +15,18 @@ import argparse
 def main(argv=None):
     parser = argparse.ArgumentParser(
         description="Train EV-FlowNet self-supervised on an event file")
-    parser.add_argument("path", help="memmap dir (or H5 file)")
+    parser.add_argument("path", nargs="?", default=None,
+                        help="memmap dir (or H5 file); omit with --simulate")
+    parser.add_argument("--simulate", action="store_true",
+                        help="training-in-the-loop: generate fresh "
+                             "simulated scenes ON DEVICE each step (no "
+                             "files; see training.in_the_loop)")
+    parser.add_argument("--steps", type=int, default=1000,
+                        help="steps for --simulate mode")
+    parser.add_argument("--capacity", type=int, default=16384,
+                        help="per-window event capacity for --simulate")
+    parser.add_argument("--v_max", type=float, default=40.0,
+                        help="|velocity| bound (px/s) for --simulate scenes")
     parser.add_argument("--sensor", nargs=2, type=int, default=(64, 64),
                         help="crop/pad target (multiples of 8)")
     parser.add_argument("--num_bins", type=int, default=5)
@@ -36,6 +47,25 @@ def main(argv=None):
 
     from ..data_loaders import NativeWindowedLoader
     from ..training import FlowTrainer
+
+    if args.simulate:
+        from ..training import train_flow_in_the_loop
+        trainer = FlowTrainer(sensor_size=tuple(args.sensor),
+                              num_bins=args.num_bins,
+                              learning_rate=args.lr)
+        if args.resume and args.ckpt_dir:
+            step = trainer.restore_checkpoint(args.ckpt_dir)
+            print(f"resumed from step {step}")
+        losses, aee = train_flow_in_the_loop(
+            trainer, steps=args.steps, batch_size=args.batch_size,
+            capacity=args.capacity, v_max=args.v_max,
+            ckpt_dir=args.ckpt_dir)
+        print(f"final loss: {np.mean(losses[-10:]):.5f} over "
+              f"{len(losses)} steps"
+              + (f"; final AEE {aee[-1][1]:.2f} px/s" if aee else ""))
+        return
+    if args.path is None:
+        raise SystemExit("path is required unless --simulate is given")
 
     if os.path.isdir(args.path) and not os.path.exists(
             os.path.join(args.path, "t.npy")):

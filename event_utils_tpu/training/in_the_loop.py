@@ -1,0 +1,156 @@
+"""Training-in-the-loop: device simulation feeding the trainer directly.
+
+The file-based path (``cli.simulate --num_sequences`` -> ``train_flow``)
+writes H5 recordings and streams them back — right for reproducible
+datasets, but the host compaction and disk round-trip bound its rate. This
+module closes the loop ON DEVICE: every training step renders a fresh
+random translating scene, runs the ESIM sensor model
+(:func:`simulation.esim.simulate_events_device`), voxelizes, and takes an
+optimizer step — one jitted program per stage, zero intermediate files,
+zero host round-trips for data (the only transfers are logged scalars).
+
+No reference counterpart (the reference has no training or simulation
+code); this is the "training-in-the-loop at scale" promise of
+``simulation/esim.py`` made concrete.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..simulation.esim import (SimulatorConfig, simulate_events_device,
+                               smooth_texture)
+
+Array = jax.Array
+
+
+def _render_translating(texture: Array, v: Array, t: Array) -> Array:
+    """Jit/vmap-friendly translating-scene render (traced velocity —
+    `translating_scene` closes over Python floats, this can't)."""
+    H, W = texture.shape
+    yy, xx = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
+                          jnp.arange(W, dtype=jnp.float32), indexing="ij")
+    return jax.scipy.ndimage.map_coordinates(
+        texture, [yy - v[1] * t, xx - v[0] * t], order=1, mode="wrap")
+
+
+@partial(jax.jit, static_argnames=("batch_size", "sensor_size", "capacity",
+                                   "num_frames", "octaves"))
+def simulate_flow_batch(key: Array, batch_size: int,
+                        sensor_size: Tuple[int, int], capacity: int,
+                        v_max: float = 40.0, window_t: float = 0.1,
+                        num_frames: int = 9, octaves: int = 3,
+                        c_pos: float = 0.15, c_neg: float = 0.15):
+    """One fresh supervised flow batch, generated entirely on device.
+
+    Per element: random smooth texture + uniform random velocity in
+    ``[-v_max, v_max]^2`` px/s, ``num_frames`` rendered frames over
+    ``window_t`` seconds, ESIM simulation into a capacity-padded batch.
+
+    Returns ``(events (B, capacity, 4), mask (B, capacity),
+    gt_velocity (B, 2))`` — ``events``/``mask`` in the exact padded
+    contract ``FlowTrainer.train_batch`` consumes, ``gt_velocity`` the
+    uniform ground-truth flow in px/s for AEE tracking.
+    """
+    H, W = sensor_size
+    cfg = SimulatorConfig(c_pos=c_pos, c_neg=c_neg)
+    fts = jnp.linspace(0.0, window_t, num_frames)
+
+    def one(k):
+        k_tex, k_vel, k_sim = jax.random.split(k, 3)
+        tex = smooth_texture(k_tex, (H, W), octaves=octaves)
+        v = jax.random.uniform(k_vel, (2,), minval=-v_max, maxval=v_max)
+        frames = jax.vmap(lambda t: _render_translating(tex, v, t))(fts)
+        ev, mask = simulate_events_device(frames, fts, capacity, cfg,
+                                          key=k_sim)
+        return ev, mask, v
+
+    keys = jax.random.split(key, batch_size)
+    return jax.vmap(one)(keys)
+
+
+def train_flow_in_the_loop(trainer, steps: int, batch_size: int = 8,
+                           capacity: int = 16384, v_max: float = 40.0,
+                           window_t: float = 0.1, num_frames: int = 9,
+                           seed: int = 0, log_every: int = 20,
+                           eval_every: int = 100, ckpt_dir: Optional[str] = None,
+                           ckpt_every: int = 500, log_fn=print):
+    """Drive ``FlowTrainer`` on device-simulated batches (no files).
+
+    Each step: ``simulate_flow_batch`` -> on-device voxelize -> one
+    optimizer step, dispatched asynchronously (losses sync only at log
+    points). Every ``eval_every`` steps the current net is scored on a
+    held-out simulated batch: AEE (px/s) of the predicted dense flow vs
+    the scene's uniform GT velocity.
+
+    Returns ``(losses, aee_curve)`` where ``aee_curve`` is a list of
+    ``(step, aee)`` pairs.
+    """
+    import time
+
+    from ..representations.voxel_grid import events_to_neg_pos_voxel
+
+    H, W = trainer.sensor_size
+    num_bins, combined = trainer.num_bins, trainer.combined_channels
+
+    @jax.jit
+    def voxelize(events, mask):
+        def one(ev, m):
+            xs, ys, ts, ps = ev[:, 0], ev[:, 1], ev[:, 2], ev[:, 3]
+            if combined:
+                from ..representations.voxel_grid import events_to_voxel
+                return events_to_voxel(xs, ys, ts, ps, num_bins,
+                                       sensor_size=(H, W), mask=m)
+            vp, vn = events_to_neg_pos_voxel(xs, ys, ts, ps, num_bins,
+                                             sensor_size=(H, W), mask=m)
+            return jnp.concatenate([vp, vn], 0)
+
+        return jax.vmap(one)(events, mask)
+
+    def gen(k):
+        return simulate_flow_batch(k, batch_size, (H, W), capacity,
+                                   v_max=v_max, window_t=window_t,
+                                   num_frames=num_frames)
+
+    @jax.jit
+    def aee_of(params, voxel, gt_v):
+        flow = trainer.model.apply(params, voxel)  # (B, 2, H, W) px/s
+        err = jnp.linalg.norm(flow - gt_v[:, :, None, None], axis=1)
+        return jnp.mean(err)
+
+    key = jax.random.PRNGKey(seed)
+    key, k_eval = jax.random.split(key)
+    eval_ev, eval_mask, eval_gt = gen(k_eval)
+    eval_voxel = voxelize(eval_ev, eval_mask)
+
+    losses, aee_curve = [], []
+    pending = []
+    n_events = jnp.zeros((), jnp.float32)
+    t0 = time.perf_counter()
+    for i in range(steps):
+        key, k = jax.random.split(key)
+        ev, mask, _gt = gen(k)
+        voxel = voxelize(ev, mask)
+        pending.append(trainer.train_batch_async(voxel, ev, mask))
+        n_events = n_events + mask.sum()
+        if log_every and (i + 1) % log_every == 0:
+            losses.extend(float(x) for x in pending)
+            pending = []
+            rate = float(n_events) / (time.perf_counter() - t0) / 1e6
+            log_fn(f"step {trainer.step}: loss {losses[-1]:.5f}, "
+                   f"{rate:.2f} Mev/s simulated+trained")
+        if eval_every and (i + 1) % eval_every == 0:
+            aee = float(aee_of(trainer.params, eval_voxel, eval_gt))
+            aee_curve.append((trainer.step, aee))
+            log_fn(f"step {trainer.step}: held-out AEE {aee:.2f} px/s "
+                   f"(zero-flow baseline {float(jnp.mean(jnp.linalg.norm(eval_gt, axis=1))):.2f})")
+        if ckpt_dir and (i + 1) % ckpt_every == 0:
+            trainer.save_checkpoint(ckpt_dir)
+    losses.extend(float(x) for x in pending)
+    if ckpt_dir:
+        trainer.save_checkpoint(ckpt_dir)
+    return losses, aee_curve
