@@ -27,6 +27,9 @@ def main(argv=None):
                         help="per-window event capacity for --simulate")
     parser.add_argument("--v_max", type=float, default=40.0,
                         help="|velocity| bound (px/s) for --simulate scenes")
+    parser.add_argument("--metrics_out", default=None,
+                        help="write {losses, aee_curve} JSON here "
+                             "(--simulate mode)")
     parser.add_argument("--sensor", nargs=2, type=int, default=(64, 64),
                         help="crop/pad target (multiples of 8)")
     parser.add_argument("--num_bins", type=int, default=5)
@@ -60,6 +63,19 @@ def main(argv=None):
             trainer, steps=args.steps, batch_size=args.batch_size,
             capacity=args.capacity, v_max=args.v_max,
             ckpt_dir=args.ckpt_dir)
+        if args.metrics_out:
+            import json
+            with open(args.metrics_out, "w") as f:
+                json.dump({"losses": [round(float(x), 5) for x in losses],
+                           "aee_curve": [[int(s), round(float(a), 3)]
+                                         for s, a in aee],
+                           "config": {"sensor": list(args.sensor),
+                                      "num_bins": args.num_bins,
+                                      "batch_size": args.batch_size,
+                                      "steps": args.steps,
+                                      "capacity": args.capacity,
+                                      "v_max": args.v_max,
+                                      "lr": args.lr}}, f)
         print(f"final loss: {np.mean(losses[-10:]):.5f} over "
               f"{len(losses)} steps"
               + (f"; final AEE {aee[-1][1]:.2f} px/s" if aee else ""))

@@ -291,3 +291,22 @@ def test_stream_flow_cli(tmp_path):
     # uniform-velocity scene: the dense field's median must be near GT
     med = np.median(flow.reshape(2, -1), axis=1)
     assert np.hypot(med[0] - 25, med[1] - 12) < 10.0, med
+
+
+def test_train_flow_simulate_in_the_loop(tmp_path):
+    """train_flow --simulate: zero-file training-in-the-loop with metrics
+    JSON (losses + AEE curve) and an orbax checkpoint."""
+    import json
+
+    from event_utils_tpu.cli.train_flow import main
+
+    mpath = str(tmp_path / "m.json")
+    main(["--simulate", "--steps", "6", "--sensor", "16", "16",
+          "--num_bins", "2", "--batch_size", "2", "--capacity", "512",
+          "--v_max", "15", "--ckpt_dir", str(tmp_path / "ck"),
+          "--metrics_out", mpath])
+    m = json.load(open(mpath))
+    assert len(m["losses"]) == 6
+    assert all(np.isfinite(v) for v in m["losses"])
+    assert m["config"]["sensor"] == [16, 16]
+    assert (tmp_path / "ck").exists()
