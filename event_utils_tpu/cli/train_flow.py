@@ -30,6 +30,11 @@ def main(argv=None):
     parser.add_argument("--metrics_out", default=None,
                         help="write {losses, aee_curve} JSON here "
                              "(--simulate mode)")
+    parser.add_argument("--supervised_weight", type=float, default=0.0,
+                        help="weight of the sim-supervised AEE term "
+                             "(--simulate mode only; the contrast term "
+                             "alone does not converge from random init — "
+                             "see runs/flow128)")
     parser.add_argument("--sensor", nargs=2, type=int, default=(64, 64),
                         help="crop/pad target (multiples of 8)")
     parser.add_argument("--num_bins", type=int, default=5)
@@ -55,7 +60,8 @@ def main(argv=None):
         from ..training import train_flow_in_the_loop
         trainer = FlowTrainer(sensor_size=tuple(args.sensor),
                               num_bins=args.num_bins,
-                              learning_rate=args.lr)
+                              learning_rate=args.lr,
+                              supervised_weight=args.supervised_weight)
         if args.resume and args.ckpt_dir:
             step = trainer.restore_checkpoint(args.ckpt_dir)
             print(f"resumed from step {step}")
@@ -75,13 +81,18 @@ def main(argv=None):
                                       "steps": args.steps,
                                       "capacity": args.capacity,
                                       "v_max": args.v_max,
-                                      "lr": args.lr}}, f)
+                                      "lr": args.lr,
+                                      "supervised_weight":
+                                          args.supervised_weight}}, f)
         print(f"final loss: {np.mean(losses[-10:]):.5f} over "
               f"{len(losses)} steps"
               + (f"; final AEE {aee[-1][1]:.2f} px/s" if aee else ""))
         return
     if args.path is None:
         raise SystemExit("path is required unless --simulate is given")
+    if args.supervised_weight:
+        raise SystemExit("--supervised_weight needs --simulate (recordings "
+                         "carry no per-window ground-truth flow here)")
 
     if os.path.isdir(args.path) and not os.path.exists(
             os.path.join(args.path, "t.npy")):

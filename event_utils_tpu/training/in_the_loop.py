@@ -127,15 +127,20 @@ def train_flow_in_the_loop(trainer, steps: int, batch_size: int = 8,
     eval_ev, eval_mask, eval_gt = gen(k_eval)
     eval_voxel = voxelize(eval_ev, eval_mask)
 
+    def dense_gt(gt_v):
+        return jnp.broadcast_to(gt_v[:, :, None, None],
+                                (gt_v.shape[0], 2, H, W))
+
     losses, aee_curve = [], []
     pending = []
     n_events = jnp.zeros((), jnp.float32)
     t0 = time.perf_counter()
     for i in range(steps):
         key, k = jax.random.split(key)
-        ev, mask, _gt = gen(k)
+        ev, mask, gt_v = gen(k)
         voxel = voxelize(ev, mask)
-        pending.append(trainer.train_batch_async(voxel, ev, mask))
+        pending.append(trainer.train_batch_async(voxel, ev, mask,
+                                                 dense_gt(gt_v)))
         n_events = n_events + mask.sum()
         if log_every and (i + 1) % log_every == 0:
             losses.extend(float(x) for x in pending)

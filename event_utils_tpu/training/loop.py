@@ -39,7 +39,8 @@ class FlowTrainer:
     def __init__(self, sensor_size=(64, 64), num_bins: int = 5,
                  combined_channels: bool = False, learning_rate: float = 1e-4,
                  mesh: Optional[Mesh] = None, seed: int = 0,
-                 smoothness_weight: float = 0.5):
+                 smoothness_weight: float = 0.5,
+                 supervised_weight: float = 0.0):
         from ..models.networks import EVFlowNet, contrast_flow_loss
 
         self.sensor_size = tuple(sensor_size)
@@ -47,6 +48,7 @@ class FlowTrainer:
         self.mesh = mesh
         self.num_bins = num_bins
         self.combined_channels = combined_channels
+        self.supervised_weight = float(supervised_weight)
         channels = num_bins if combined_channels else 2 * num_bins
         dummy = jnp.zeros((1, channels) + self.sensor_size, jnp.float32)
         self.params = self.model.init(jax.random.PRNGKey(seed), dummy)
@@ -55,15 +57,22 @@ class FlowTrainer:
         self.step = 0
 
         H, W = self.sensor_size
+        sup_w = self.supervised_weight
 
-        def loss_fn(params, voxel, events, mask):
+        def loss_fn(params, voxel, events, mask, gt_flow):
             flow = self.model.apply(params, voxel)
-            return contrast_flow_loss(flow, events, mask, (H, W),
+            loss = contrast_flow_loss(flow, events, mask, (H, W),
                                       smoothness_weight=smoothness_weight)
+            if sup_w:
+                # sim-supervised term: AEE vs the (B, 2, H, W) ground-truth
+                # field — available when training on simulated scenes
+                loss = loss + sup_w * jnp.mean(
+                    jnp.linalg.norm(flow - gt_flow, axis=1))
+            return loss
 
-        def train_step(params, opt_state, voxel, events, mask):
+        def train_step(params, opt_state, voxel, events, mask, gt_flow):
             loss, grads = jax.value_and_grad(loss_fn)(params, voxel, events,
-                                                      mask)
+                                                      mask, gt_flow)
             updates, opt_state = self.tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss
@@ -78,7 +87,7 @@ class FlowTrainer:
             self._train_step = jax.jit(
                 train_step,
                 in_shardings=(repl, repl, batch_sharding, batch_sharding,
-                              batch_sharding),
+                              batch_sharding, batch_sharding),
                 out_shardings=(repl, repl, repl),
                 donate_argnums=(0, 1))
         else:
@@ -92,20 +101,30 @@ class FlowTrainer:
             arr = jax.device_put(arr, self._batch_sharding)
         return arr
 
-    def train_batch_async(self, voxel, events, mask):
+    def train_batch_async(self, voxel, events, mask, gt_flow=None):
         """One optimization step on a (B, C, H, W) voxel batch + its raw
         padded events. Returns the loss as a device scalar WITHOUT
         synchronizing — convert with float() only when you need the value,
-        so the host keeps dispatching ahead of the device."""
+        so the host keeps dispatching ahead of the device.
+
+        ``gt_flow`` (B, 2, H, W) feeds the sim-supervised term when the
+        trainer was built with ``supervised_weight > 0`` (ignored — and
+        optional — otherwise)."""
+        if gt_flow is None:
+            if self.supervised_weight:
+                raise ValueError("trainer has supervised_weight > 0; "
+                                 "train_batch needs gt_flow")
+            B = jnp.shape(voxel)[0]
+            gt_flow = jnp.zeros((B, 2) + self.sensor_size, jnp.float32)
         self.params, self.opt_state, loss = self._train_step(
             self.params, self.opt_state, self._place(voxel),
-            self._place(events), self._place(mask))
+            self._place(events), self._place(mask), self._place(gt_flow))
         self.step += 1
         return loss
 
-    def train_batch(self, voxel, events, mask) -> float:
+    def train_batch(self, voxel, events, mask, gt_flow=None) -> float:
         """Synchronous `train_batch_async` (returns the loss float)."""
-        return float(self.train_batch_async(voxel, events, mask))
+        return float(self.train_batch_async(voxel, events, mask, gt_flow))
 
     def predict(self, voxel):
         return self.model.apply(self.params, self._place(voxel))
