@@ -26,6 +26,11 @@ import numpy as np
 
 from ..ops.scatter import scatter_add_flat
 
+# Spatial tile of the multi-tile MXU voxel builder (events_to_voxel_tiled)
+# and of the auto-route's "would the tiled builder fit VMEM?" guard. Best
+# median across the benchmarks/bench_tiled.py sweep on v5e.
+DEFAULT_TILE = (96, 128)
+
 Array = jax.Array
 
 
@@ -83,7 +88,7 @@ def events_to_voxel(xs, ys, ts, ps, B: int, sensor_size=(180, 240),
         concrete = not any(isinstance(a, jax.core.Tracer)
                            for a in (xs, ys, ts, ps))
         if (concrete and mask is None and t0 is None and t1 is None
-                and voxel_matmul_max_chunk(B, (128, 128)) is not None):
+                and voxel_matmul_max_chunk(B, DEFAULT_TILE) is not None):
             return events_to_voxel_tiled(xs, ys, ts, ps, B, sensor_size)
         import warnings
         warnings.warn(
@@ -180,7 +185,7 @@ def events_to_voxel(xs, ys, ts, ps, B: int, sensor_size=(180, 240),
 
 
 def events_to_voxel_tiled(xs, ys, ts, ps, B: int, sensor_size,
-                          tile=(96, 128), impl: str = "matmul",
+                          tile=DEFAULT_TILE, impl: str = "matmul",
                           capacity=None):
     """Voxel grid for ANY sensor size via spatial tiling — the fast ingest
     path.

@@ -309,6 +309,21 @@ def test_normalize_reference_compute_indices_table(rng, tmp_path):
     np.save(os.path.join(d, "index.npy"),
             compute_indices(ts.reshape(-1, 1), frame_ts))
 
+    # our metadata still carries the start_end_v1 marker: the mixed-tooling
+    # directory must be surfaced as a hard error, not silently mis-paired
+    import json
+
+    from event_utils_tpu.errors import DataFormatError
+    with pytest.raises(DataFormatError):
+        read_memmap_events(d)
+
+    # a genuinely reference-written directory has no marker: the heuristic
+    # must realign AND re-row the table, not just swap columns
+    mpath = os.path.join(d, "metadata.json")
+    meta = json.load(open(mpath))
+    meta.pop("index_layout")
+    json.dump(meta, open(mpath, "w"))
+
     got = read_memmap_events(d)["index"]
     expect = frame_event_indices(ts.reshape(-1, 1), frame_ts)
     np.testing.assert_array_equal(got, expect)

@@ -226,14 +226,20 @@ def test_large_sensor_vmem_fallback(rng):
         pass
 
     # huge bin counts where even the default tile overflows VMEM must NOT
-    # raise from the auto-route: warn + exact scatter (regression: B>=30)
+    # raise from the auto-route: warn + exact scatter. The threshold
+    # depends on the runtime-resolved VMEM budget, so find the first
+    # overflowing B instead of hard-coding one.
+    from event_utils_tpu.ops.pallas_scatter import voxel_matmul_max_chunk
+    from event_utils_tpu.representations.voxel_grid import DEFAULT_TILE
+    B_huge = next(b for b in range(8, 4096, 8)
+                  if voxel_matmul_max_chunk(b, DEFAULT_TILE) is None)
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
-        got_b = np.asarray(events_to_voxel(xs, ys, ts, ps, 32,
+        got_b = np.asarray(events_to_voxel(xs, ys, ts, ps, B_huge,
                                            sensor_size=(480, 640),
                                            impl="matmul"))
         assert any("VMEM" in str(x.message) for x in w)
-    exact_b = np.asarray(events_to_voxel(xs, ys, ts, ps, 32,
+    exact_b = np.asarray(events_to_voxel(xs, ys, ts, ps, B_huge,
                                          sensor_size=(480, 640)))
     np.testing.assert_allclose(got_b, exact_b, rtol=1e-6)
 
