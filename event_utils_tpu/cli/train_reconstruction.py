@@ -35,6 +35,17 @@ def build_parser():
     parser.add_argument("--ckpt_dir", default=None)
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--max_steps", type=int, default=None)
+    parser.add_argument("--cache_windows", action="store_true",
+                        help="materialize every (voxel, frame) window once "
+                             "per recording into a sidecar .npz; epochs and "
+                             "re-runs then skip the per-window voxelization "
+                             "entirely (production runs on slow hosts)")
+    parser.add_argument("--shuffle", action="store_true",
+                        help="sample random sequence start offsets each "
+                             "epoch instead of the fixed aligned batches "
+                             "(uses all windows; needs --cache_windows)")
+    parser.add_argument("--seed", type=int, default=0,
+                        help="--shuffle sampling seed")
     return parser
 
 
@@ -76,6 +87,71 @@ def iter_sequences(dataset, seq_len, batch_size):
         yield (np.stack(voxels, axis=1), np.stack(frames, axis=1))
 
 
+def materialize_windows(dataset, cache_path=None):
+    """Fetch every between-frames window of ``dataset`` once, returning
+    ``(N, C, H, W)`` voxels + ``(N, 1, H, W)`` frames (HW padded to /8).
+
+    With ``cache_path``, the stacks are saved to/loaded from a sidecar
+    ``.npz`` so repeated epochs and resumed segments never re-run the
+    per-window voxelization (the dominant cost on slow hosts: each
+    ``dataset[i]`` is an H5 slice + a device scatter round-trip).
+    """
+    import os
+
+    import numpy as np
+
+    if cache_path and os.path.exists(cache_path):
+        z = np.load(cache_path)
+        return z["voxels"], z["frames"]
+    voxels, frames = [], []
+    for i in range(len(dataset)):
+        item = dataset[i]
+        vox = np.asarray(item["voxel"], np.float32)
+        frame = np.asarray(item["frame"], np.float32)
+        if frame.ndim == 2:
+            frame = frame[None]
+        voxels.append(_pad_to_multiple_hw(vox))
+        frames.append(_pad_to_multiple_hw(frame))
+    voxels = np.stack(voxels)
+    frames = np.stack(frames)
+    if cache_path:
+        tmp = cache_path + ".tmp.npz"
+        np.savez(tmp, voxels=voxels, frames=frames)
+        os.replace(tmp, cache_path)
+    return voxels, frames
+
+
+def iter_sequences_cached(voxels, frames, seq_len, batch_size, rng=None):
+    """Batch materialized window stacks into (T, B, C, H, W) sequences.
+
+    Deterministic mode (``rng=None``) reproduces :func:`iter_sequences`'s
+    aligned non-overlapping batches. With an ``np.random.Generator``, one
+    epoch yields the same number of batches but each sequence starts at a
+    random offset in ``[0, N - seq_len]`` — every window participates and
+    batches differ across epochs.
+    """
+    import numpy as np
+
+    n = len(voxels)
+    per_batch = seq_len * batch_size
+    if n < per_batch:
+        return
+    t_idx = np.arange(seq_len)[None, :]
+    if rng is None:
+        n_seq = n // seq_len
+        for s0 in range(0, n_seq * seq_len - per_batch + 1, per_batch):
+            starts = s0 + np.arange(batch_size) * seq_len
+            idx = starts[:, None] + t_idx
+            yield (voxels[idx].transpose(1, 0, 2, 3, 4),
+                   frames[idx].transpose(1, 0, 2, 3, 4))
+    else:
+        for _ in range(n // per_batch):
+            starts = rng.integers(0, n - seq_len + 1, size=batch_size)
+            idx = starts[:, None] + t_idx
+            yield (voxels[idx].transpose(1, 0, 2, 3, 4),
+                   frames[idx].transpose(1, 0, 2, 3, 4))
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
@@ -102,22 +178,23 @@ def main(argv=None):
         if not h5s:
             raise SystemExit(f"{args.path} has neither t.npy (memmap) nor "
                              ".h5 recordings")
-        datasets = [DynamicH5Dataset(p, **kwargs) for p in h5s]
+        datasets = [(p, DynamicH5Dataset(p, **kwargs)) for p in h5s]
         print(f"training over {len(datasets)} recordings")
     elif os.path.isdir(args.path):
-        datasets = [MemMapDataset(args.path, **kwargs)]
+        datasets = [(args.path.rstrip("/"), MemMapDataset(args.path,
+                                                          **kwargs))]
     else:
-        datasets = [DynamicH5Dataset(args.path, **kwargs)]
-    datasets = [d for d in datasets
+        datasets = [(args.path, DynamicH5Dataset(args.path, **kwargs))]
+    datasets = [(p, d) for p, d in datasets
                 if len(d) >= args.seq_len * args.batch_size]
     if not datasets:
         raise SystemExit("no recording has enough between-frame windows; "
                          "reduce --seq_len/--batch_size")
-    sizes = {tuple(d.sensor_resolution) for d in datasets}
+    sizes = {tuple(d.sensor_resolution) for _, d in datasets}
     if len(sizes) > 1:
         raise SystemExit(f"recordings disagree on sensor size: {sizes}")
 
-    H, W = datasets[0].sensor_resolution
+    H, W = datasets[0][1].sensor_resolution
     Hp, Wp = H + (-H) % 8, W + (-W) % 8
     trainer = ReconstructionTrainer(
         sensor_size=(Hp, Wp), num_bins=args.num_bins,
@@ -127,12 +204,27 @@ def main(argv=None):
         step = trainer.restore_checkpoint(args.ckpt_dir)
         print(f"resumed from step {step}")
 
+    if args.shuffle and not args.cache_windows:
+        raise SystemExit("--shuffle needs --cache_windows")
+    if args.cache_windows:
+        tag = f"b{args.num_bins}" + ("c" if args.combined_channels else "")
+        stacks = [materialize_windows(d, f"{p}.wincache_{tag}.npz")
+                  for p, d in datasets]
+    rng = np.random.default_rng(args.seed) if args.shuffle else None
+
     steps = 0
     done = False
     for epoch in range(args.epochs):
-        for dataset in datasets:
-            for voxels, frames in iter_sequences(
-                    dataset, args.seq_len, args.batch_size):
+        for src_i, (_, dataset) in enumerate(datasets):
+            if args.cache_windows:
+                vox_stack, frame_stack = stacks[src_i]
+                batches = iter_sequences_cached(
+                    vox_stack, frame_stack, args.seq_len, args.batch_size,
+                    rng=rng)
+            else:
+                batches = iter_sequences(
+                    dataset, args.seq_len, args.batch_size)
+            for voxels, frames in batches:
                 loss = trainer.train_sequence(voxels, frames)
                 steps += 1
                 print(f"epoch {epoch} step {trainer.step} loss {loss:.4f}",
