@@ -19,7 +19,28 @@ import argparse
 def build_parser():
     parser = argparse.ArgumentParser(
         description="Train E2VID on an H5/memmap recording with frames")
-    parser.add_argument("path", help="H5 file or memmap dir (needs frames)")
+    parser.add_argument("path", nargs="?", default=None,
+                        help="H5 file or memmap dir (needs frames); omit "
+                             "with --simulate")
+    parser.add_argument("--simulate", action="store_true",
+                        help="training-in-the-loop: simulate fresh scenes "
+                             "ON DEVICE each step into truncated-BPTT "
+                             "sequences (no files; see "
+                             "training.in_the_loop)")
+    parser.add_argument("--steps", type=int, default=1000,
+                        help="steps for --simulate mode")
+    parser.add_argument("--capacity", type=int, default=65536,
+                        help="events per simulated sequence (--simulate)")
+    parser.add_argument("--v_max", type=float, default=40.0,
+                        help="|velocity| bound (px/s) for --simulate scenes")
+    parser.add_argument("--window_t", type=float, default=0.05,
+                        help="seconds per voxel window (--simulate)")
+    parser.add_argument("--sensor", nargs=2, type=int, default=(64, 64),
+                        help="simulated sensor H W, multiples of 8 "
+                             "(--simulate)")
+    parser.add_argument("--metrics_out", default=None,
+                        help="write {losses, psnr_curve} JSON here "
+                             "(--simulate mode)")
     parser.add_argument("--num_bins", type=int, default=5)
     parser.add_argument("--seq_len", type=int, default=4,
                         help="truncated-BPTT unroll length (windows)")
@@ -161,6 +182,45 @@ def main(argv=None):
 
     from ..data_loaders import DynamicH5Dataset, MemMapDataset
     from ..training.reconstruction import ReconstructionTrainer
+
+    if args.simulate:
+        from ..training import train_reconstruction_in_the_loop
+        trainer = ReconstructionTrainer(
+            sensor_size=tuple(args.sensor), num_bins=args.num_bins,
+            combined_channels=args.combined_channels,
+            learning_rate=args.lr, lpips_weight=args.lpips_weight)
+        if args.resume and args.ckpt_dir:
+            step = trainer.restore_checkpoint(args.ckpt_dir)
+            print(f"resumed from step {step}")
+        losses, curve = train_reconstruction_in_the_loop(
+            trainer, steps=args.steps, batch_size=args.batch_size,
+            seq_len=args.seq_len, capacity=args.capacity,
+            v_max=args.v_max, window_t=args.window_t,
+            ckpt_dir=args.ckpt_dir)
+        if args.metrics_out:
+            import json
+            with open(args.metrics_out, "w") as f:
+                json.dump({"losses": [round(float(x), 5) for x in losses],
+                           "psnr_curve": [[int(s), round(p, 3), round(ss, 4)]
+                                          for s, p, ss in curve],
+                           "config": {"sensor": list(args.sensor),
+                                      "num_bins": args.num_bins,
+                                      "seq_len": args.seq_len,
+                                      "batch_size": args.batch_size,
+                                      "steps": args.steps,
+                                      "capacity": args.capacity,
+                                      "v_max": args.v_max,
+                                      "window_t": args.window_t,
+                                      "lr": args.lr,
+                                      "lpips_weight": args.lpips_weight}},
+                          f)
+        print(f"final loss: {np.mean(losses[-10:]):.5f} over "
+              f"{len(losses)} steps"
+              + (f"; final PSNR {curve[-1][1]:.2f} dB / "
+                 f"SSIM {curve[-1][2]:.3f}" if curve else ""))
+        return
+    if args.path is None:
+        raise SystemExit("path is required unless --simulate is given")
 
     kwargs = dict(voxel_method={"method": "between_frames",
                                 "sliding_window_w": 0},

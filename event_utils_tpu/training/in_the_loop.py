@@ -73,6 +73,146 @@ def simulate_flow_batch(key: Array, batch_size: int,
     return jax.vmap(one)(keys)
 
 
+@partial(jax.jit, static_argnames=("batch_size", "sensor_size", "capacity",
+                                   "seq_len", "sim_steps_per_window",
+                                   "num_bins", "combined", "octaves"))
+def simulate_recon_batch(key: Array, batch_size: int,
+                         sensor_size: Tuple[int, int], capacity: int,
+                         seq_len: int, v_max: float = 40.0,
+                         window_t: float = 0.05,
+                         sim_steps_per_window: int = 4, num_bins: int = 5,
+                         combined: bool = False, octaves: int = 3,
+                         c_pos: float = 0.15, c_neg: float = 0.15):
+    """One fresh supervised E2VID sequence batch, generated on device.
+
+    Per element: random smooth texture + uniform random velocity, a
+    ``seq_len * sim_steps_per_window + 1``-frame render over
+    ``seq_len * window_t`` seconds, one ESIM pass (sensor state threads
+    across the whole sequence), then each ``window_t`` slice is voxelized
+    against its own validity mask — the windowing the ``between_frames``
+    dataset path produces, without the files.
+
+    Returns ``(voxels (T, B, C, H, W), frames (T, B, 1, H, W))`` — exactly
+    the :meth:`ReconstructionTrainer.train_sequence` contract; ``frames[w]``
+    is the rendered frame at window w's END (the dataset pairing).
+    ``capacity`` bounds events per SEQUENCE (all ``seq_len`` windows).
+    """
+    from ..representations.voxel_grid import (events_to_neg_pos_voxel,
+                                              events_to_voxel)
+
+    H, W = sensor_size
+    cfg = SimulatorConfig(c_pos=c_pos, c_neg=c_neg)
+    spw = sim_steps_per_window
+    F = seq_len * spw + 1
+    fts = jnp.linspace(0.0, seq_len * window_t, F)
+    bounds = fts[::spw]                       # (seq_len + 1,) window edges
+    target_idx = jnp.arange(1, seq_len + 1) * spw
+
+    def one(k):
+        k_tex, k_vel, k_sim = jax.random.split(k, 3)
+        tex = smooth_texture(k_tex, (H, W), octaves=octaves)
+        v = jax.random.uniform(k_vel, (2,), minval=-v_max, maxval=v_max)
+        frames = jax.vmap(lambda t: _render_translating(tex, v, t))(fts)
+        ev, mask = simulate_events_device(frames, fts, capacity, cfg,
+                                          key=k_sim)
+        xs, ys, ts, ps = ev[:, 0], ev[:, 1], ev[:, 2], ev[:, 3]
+
+        def win(w):
+            m = (mask > 0) & (ts > bounds[w]) & (ts <= bounds[w + 1])
+            if combined:
+                return events_to_voxel(xs, ys, ts, ps, num_bins,
+                                       sensor_size=(H, W), mask=m)
+            vp, vn = events_to_neg_pos_voxel(xs, ys, ts, ps, num_bins,
+                                             sensor_size=(H, W), mask=m)
+            return jnp.concatenate([vp, vn], 0)
+
+        voxels = jax.vmap(win)(jnp.arange(seq_len))   # (T, C, H, W)
+        return voxels, frames[target_idx][:, None]    # + (T, 1, H, W)
+
+    keys = jax.random.split(key, batch_size)
+    voxels, targets = jax.vmap(one)(keys)
+    return (voxels.transpose(1, 0, 2, 3, 4),
+            targets.transpose(1, 0, 2, 3, 4))
+
+
+def train_reconstruction_in_the_loop(trainer, steps: int,
+                                     batch_size: int = 4, seq_len: int = 6,
+                                     capacity: int = 65536,
+                                     v_max: float = 40.0,
+                                     window_t: float = 0.05,
+                                     sim_steps_per_window: int = 4,
+                                     seed: int = 0, log_every: int = 20,
+                                     eval_every: int = 100,
+                                     ckpt_dir: Optional[str] = None,
+                                     ckpt_every: int = 500, log_fn=print):
+    """Drive ``ReconstructionTrainer`` on device-simulated sequences.
+
+    The E2VID twin of :func:`train_flow_in_the_loop`: every step simulates
+    ``batch_size`` fresh scenes into truncated-BPTT sequences and takes one
+    optimizer step (async dispatch). Every ``eval_every`` steps the net is
+    scored on a held-out simulated batch: PSNR (dB) / SSIM of the
+    reconstructions vs the exact rendered frames.
+
+    Returns ``(losses, psnr_curve)`` with ``psnr_curve`` a list of
+    ``(step, psnr_db, ssim)`` tuples.
+    """
+    import time
+
+    import numpy as np
+
+    from ..utils.metrics import psnr, ssim
+
+    H, W = trainer.sensor_size
+
+    def gen(k):
+        return simulate_recon_batch(
+            k, batch_size, (H, W), capacity, seq_len, v_max=v_max,
+            window_t=window_t, sim_steps_per_window=sim_steps_per_window,
+            num_bins=trainer.num_bins, combined=trainer.combined_channels)
+
+    key = jax.random.PRNGKey(seed)
+    key, k_eval = jax.random.split(key)
+    eval_voxels, eval_frames = gen(k_eval)
+    eval_frames_np = np.asarray(eval_frames)
+
+    def eval_metrics():
+        imgs, _ = trainer.reconstruct(eval_voxels)
+        imgs = np.asarray(imgs)
+        ps_, ss_ = [], []
+        for t in range(imgs.shape[0]):
+            for b in range(imgs.shape[1]):
+                ps_.append(float(psnr(imgs[t, b, 0],
+                                      eval_frames_np[t, b, 0])))
+                ss_.append(float(ssim(imgs[t, b, 0],
+                                      eval_frames_np[t, b, 0])))
+        return float(np.mean(ps_)), float(np.mean(ss_))
+
+    losses, psnr_curve = [], []
+    pending = []
+    t0 = time.perf_counter()
+    for i in range(steps):
+        key, k = jax.random.split(key)
+        voxels, frames = gen(k)
+        pending.append(trainer.train_sequence_async(voxels, frames))
+        if log_every and (i + 1) % log_every == 0:
+            losses.extend(float(x) for x in pending)
+            pending = []
+            sps = (i + 1) / (time.perf_counter() - t0)
+            log_fn(f"step {trainer.step}: loss {losses[-1]:.5f} "
+                   f"({sps:.2f} steps/s)")
+        if eval_every and (i + 1) % eval_every == 0:
+            p, s = eval_metrics()
+            psnr_curve.append((trainer.step, p, s))
+            log_fn(f"step {trainer.step}: held-out PSNR {p:.2f} dB, "
+                   f"SSIM {s:.3f}")
+        if ckpt_dir and (i + 1) % ckpt_every == 0:
+            trainer.save_checkpoint(ckpt_dir)
+    losses.extend(float(x) for x in pending)
+    if ckpt_dir:
+        trainer.save_checkpoint(ckpt_dir)
+    return losses, psnr_curve
+
+
 def train_flow_in_the_loop(trainer, steps: int, batch_size: int = 8,
                            capacity: int = 16384, v_max: float = 40.0,
                            window_t: float = 0.1, num_frames: int = 9,

@@ -30,6 +30,8 @@ class ReconstructionTrainer:
 
         self.sensor_size = tuple(sensor_size)
         self.model = E2VID()
+        self.num_bins = num_bins
+        self.combined_channels = combined_channels
         channels = num_bins if combined_channels else 2 * num_bins
         dummy = jnp.zeros((1, channels) + self.sensor_size, jnp.float32)
         self.params = self.model.init(jax.random.PRNGKey(seed), dummy, None)
@@ -73,8 +75,10 @@ class ReconstructionTrainer:
         else:
             self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
 
-    def train_sequence(self, voxels, frames) -> float:
-        """One truncated-BPTT step over an unrolled window.
+    def train_sequence_async(self, voxels, frames):
+        """One truncated-BPTT step; returns the loss as a device scalar
+        WITHOUT synchronizing (convert with float() at log points so the
+        host keeps dispatching ahead of the device).
 
         @param voxels ``(T, B, C, H, W)`` voxel-grid sequence
         @param frames ``(T, B, 1, H, W)`` target frames in [0, 1]
@@ -83,7 +87,11 @@ class ReconstructionTrainer:
             self.params, self.opt_state, jnp.asarray(voxels, jnp.float32),
             jnp.asarray(frames, jnp.float32))
         self.step += 1
-        return float(loss)
+        return loss
+
+    def train_sequence(self, voxels, frames) -> float:
+        """Synchronous :meth:`train_sequence_async` (returns a float)."""
+        return float(self.train_sequence_async(voxels, frames))
 
     def reconstruct(self, voxels, state=None):
         """Run inference over a ``(T, B, C, H, W)`` sequence; returns
