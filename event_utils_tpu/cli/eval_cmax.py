@@ -123,6 +123,7 @@ def main(argv=None):
 
     if not errs:
         raise SystemExit("no window had enough events to evaluate")
+    dataset.close()
     metrics = {"median_aee_px_s": round(float(np.median(errs)), 3),
                "mean_aee_px_s": round(float(np.mean(errs)), 3),
                "num_rois": len(errs), "roi_size": [rh, rw]}

@@ -114,6 +114,7 @@ def main(argv=None):
                 gt = np.asarray(dataset.get_flow(i), np.float32)
                 aees.append(float(average_endpoint_error(flow, gt)))
             written += 1
+    dataset.close()
     np.savetxt(os.path.join(args.output_dir, "timestamps.txt"),
                np.asarray(stamps))
     print(f"wrote {written} flow fields to {args.output_dir}")

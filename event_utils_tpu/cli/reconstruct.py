@@ -125,6 +125,7 @@ def main(argv=None):
         np.save(os.path.join(args.output_dir, "frames.npy"),
                 np.stack(frames_all))
     print(f"wrote {written} frames to {args.output_dir}")
+    dataset.close()
     if psnrs:
         import json
         metrics = {"psnr_db": round(float(np.mean(psnrs)), 3),

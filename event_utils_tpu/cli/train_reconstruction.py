@@ -297,6 +297,8 @@ def main(argv=None):
         if done:
             break
 
+    for _, dataset in datasets:
+        dataset.close()
     if args.ckpt_dir:
         trainer.save_checkpoint(args.ckpt_dir)
         print(f"checkpoint saved to {args.ckpt_dir} at step {trainer.step}")

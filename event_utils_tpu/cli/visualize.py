@@ -98,6 +98,7 @@ def main(argv=None):
         out = os.path.join(args.output_path, f"frame_{i:010d}.png")
         visualizer.plot_events(data, out, **kwargs)
         print(f"[{i + 1}/{end}] -> {out}")
+    dataset.close()
 
 
 if __name__ == "__main__":

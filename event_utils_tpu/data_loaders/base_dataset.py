@@ -63,6 +63,23 @@ class BaseVoxelDataset:
     def ts(self, index):
         raise NotImplementedError
 
+    def close(self):
+        """Release any underlying file handles (idempotent).
+
+        HDF5 enforces same-process lock compatibility: a dataset object
+        left alive in a reference cycle keeps its read-only handle open
+        until GC runs, which makes any later writer open of the same file
+        fail nondeterministically. CLIs and tests should close datasets
+        when done; ``with`` works too.
+        """
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        self.close()
+        return False
+
     def __init__(self, data_path, transforms=None, sensor_resolution=None,
                  num_bins: int = 5, voxel_method: Optional[Dict] = None,
                  max_length: Optional[int] = None,

@@ -46,6 +46,14 @@ class DynamicH5Dataset(BaseVoxelDataset):
         self.data_source_idx = (data_sources.index(source)
                                 if source in data_sources else -1)
 
+    def close(self):
+        f = getattr(self, "h5_file", None)
+        if f is not None:
+            try:
+                f.close()
+            finally:
+                self.h5_file = None
+
     def find_ts_index(self, timestamp):
         return binary_search_h5_dset(self.h5_file["events/ts"], timestamp)
 
