@@ -43,7 +43,73 @@ def build_parser():
                         help="score reconstructions against the recording's "
                              "frames with PSNR/SSIM (between_frames only — "
                              "window i pairs with frame i)")
+    parser.add_argument("--no_window_cache", action="store_true",
+                        help="disable the sidecar .npz window cache "
+                             "(default: voxelized windows are cached next "
+                             "to the recording, keyed on windowing params "
+                             "and the file's mtime/size — repeated evals "
+                             "of the same recording skip voxelization)")
     return parser
+
+
+def _gather_windows(dataset, n, need_frames, pad):
+    """(voxels (N, C, Hp, Wp), stamps (N,), frames (N, H, W) | None) for
+    the first ``n`` windows — one ``dataset[i]`` fetch per window."""
+    import numpy as np
+
+    voxels, stamps, frames = [], [], []
+    for i in range(n):
+        item = dataset[i]
+        voxels.append(pad(np.asarray(item["voxel"], np.float32)))
+        _, idx1 = dataset.get_event_indices(i)
+        stamps.append(float(dataset.ts(max(idx1 - 1, 0))))
+        if need_frames:
+            frames.append(np.asarray(item["frame"], np.float32).squeeze())
+    return (np.stack(voxels), np.asarray(stamps, np.float64),
+            np.stack(frames) if need_frames else None)
+
+
+def _window_arrays(dataset, args, n, need_frames, pad):
+    """:func:`_gather_windows` behind a sidecar .npz cache.
+
+    Keyed on windowing params + num_bins/channels + the source file's
+    (mtime_ns, size); rebuilt when the key mismatches or the cache covers
+    fewer than ``n`` windows. Any cache IO failure falls back to direct
+    gathering (e.g. read-only dirs)."""
+    import json
+    import os
+
+    import numpy as np
+
+    if args.no_window_cache or os.path.isdir(args.path):
+        return _gather_windows(dataset, n, need_frames, pad)
+    st = os.stat(args.path)
+    key = {"method": args.method, "k": args.k, "t": args.t,
+           "num_bins": args.num_bins,
+           "combined": bool(args.combined_channels),
+           "src_mtime_ns": st.st_mtime_ns, "src_size": st.st_size}
+    cache_path = args.path + ".reconcache.npz"
+    try:
+        if os.path.exists(cache_path):
+            z = np.load(cache_path, allow_pickle=False)
+            if (json.loads(str(z["key"])) == key and z["voxels"].shape[0] >= n
+                    and (not need_frames or "frames" in z)):
+                frames = z["frames"][:n] if need_frames else None
+                return z["voxels"][:n], z["stamps"][:n], frames
+    except Exception as exc:  # corrupt cache: rebuild
+        print(f"window cache unreadable ({type(exc).__name__}); rebuilding")
+    voxels, stamps, frames = _gather_windows(dataset, n, need_frames, pad)
+    try:
+        payload = {"key": json.dumps(key), "voxels": voxels,
+                   "stamps": stamps}
+        if need_frames:
+            payload["frames"] = frames
+        tmp = cache_path + ".tmp.npz"
+        np.savez(tmp, **payload)
+        os.replace(tmp, cache_path)
+    except Exception as exc:
+        print(f"window cache not written ({type(exc).__name__})")
+    return voxels, stamps, frames
 
 
 def _voxel_method(args):
@@ -93,29 +159,27 @@ def main(argv=None):
     os.makedirs(args.output_dir, exist_ok=True)
     n = len(dataset) if args.max_frames is None \
         else min(len(dataset), args.max_frames)
+    # frames arrive /255-normalized from transform_frame
+    all_voxels, stamps, gt_frames = _window_arrays(
+        dataset, args, n, need_frames=args.eval_gt, pad=_pad_to_multiple_hw)
     state = None
-    stamps = []
     frames_all = [] if args.npy else None
     psnrs, ssims = [], []
     written = 0
     for s0 in range(0, n, args.chunk):
         idxs = range(s0, min(s0 + args.chunk, n))
-        voxels = np.stack([_pad_to_multiple_hw(
-            np.asarray(dataset[i]["voxel"], np.float32)) for i in idxs])
+        voxels = all_voxels[s0:s0 + args.chunk]
         preds, state = trainer.reconstruct(voxels[:, None], state=state)
         imgs = np.asarray(preds)[:, 0, 0, :H, :W]  # (T, H, W) in [0, 1]
         for i, img in zip(idxs, imgs):
             plt.imsave(os.path.join(args.output_dir,
                                     f"frame_{written:05d}.png"),
                        img, cmap="gray", vmin=0.0, vmax=1.0)
-            _, idx1 = dataset.get_event_indices(i)
-            stamps.append(float(dataset.ts(max(idx1 - 1, 0))))
             if frames_all is not None:
                 frames_all.append(img)
             if args.eval_gt:
                 from ..utils.metrics import psnr, ssim
-                # frames arrive /255-normalized from transform_frame
-                gt = np.asarray(dataset[i]["frame"], np.float32).squeeze()
+                gt = gt_frames[i]
                 psnrs.append(float(psnr(img, gt)))
                 ssims.append(float(ssim(img, gt)))
             written += 1
