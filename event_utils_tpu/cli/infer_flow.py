@@ -40,6 +40,8 @@ def build_parser():
                         help="score predictions against the recording's "
                              "ground-truth flow with AEE (between_frames "
                              "only; e.g. a cli.simulate recording)")
+    parser.add_argument("--no_window_cache", action="store_true",
+                        help="disable the sidecar .npz window cache")
     return parser
 
 
@@ -52,7 +54,7 @@ def main(argv=None):
 
     from ..data_loaders import DynamicH5Dataset, MemMapDataset
     from ..training.loop import FlowTrainer
-    from .reconstruct import _voxel_method
+    from .reconstruct import _voxel_method, _window_arrays
     from .train_reconstruction import _pad_to_multiple_hw
 
     if args.eval_gt and args.method != "between_frames":
@@ -85,19 +87,24 @@ def main(argv=None):
     os.makedirs(args.output_dir, exist_ok=True)
     n = len(dataset) if args.max_frames is None \
         else min(len(dataset), args.max_frames)
+    # get_flow(i) is the raw VELOCITY field (px/s) — the item dict's
+    # 'flow' is already converted to displacement
+    flow_gt = (lambda ds, i, item: np.asarray(ds.get_flow(i), np.float32)) \
+        if args.eval_gt else None
+    all_voxels, all_stamps, gt_flows = _window_arrays(
+        dataset, args, n, pad=_pad_to_multiple_hw, gt_fn=flow_gt,
+        cache_suffix=".flowcache.npz")
     stamps = []
     aees = []
     written = 0
     for s0 in range(0, n, args.batch_size):
         idxs = range(s0, min(s0 + args.batch_size, n))
-        voxels = np.stack([_pad_to_multiple_hw(
-            np.asarray(dataset[i]["voxel"], np.float32)) for i in idxs])
+        voxels = all_voxels[s0:s0 + args.batch_size]
         flows = np.asarray(trainer.predict(voxels))[:, :, :H, :W]
         for i, flow in zip(idxs, flows):
             np.save(os.path.join(args.output_dir, f"flow_{written:04d}.npy"),
                     flow.astype(np.float32))
-            _, idx1 = dataset.get_event_indices(i)
-            stamps.append(float(dataset.ts(max(idx1 - 1, 0))))
+            stamps.append(float(all_stamps[i]))
             if args.render:
                 import matplotlib.pyplot as plt
 
@@ -109,10 +116,7 @@ def main(argv=None):
             if args.eval_gt:
                 from ..utils.metrics import average_endpoint_error
 
-                # get_flow(i) is the raw VELOCITY field (px/s) — the item
-                # dict's 'flow' is already converted to displacement
-                gt = np.asarray(dataset.get_flow(i), np.float32)
-                aees.append(float(average_endpoint_error(flow, gt)))
+                aees.append(float(average_endpoint_error(flow, gt_flows[i])))
             written += 1
     dataset.close()
     np.savetxt(os.path.join(args.output_dir, "timestamps.txt"),

@@ -52,24 +52,26 @@ def build_parser():
     return parser
 
 
-def _gather_windows(dataset, n, need_frames, pad):
-    """(voxels (N, C, Hp, Wp), stamps (N,), frames (N, H, W) | None) for
-    the first ``n`` windows — one ``dataset[i]`` fetch per window."""
+def _gather_windows(dataset, n, pad, gt_fn=None):
+    """(voxels (N, C, Hp, Wp), stamps (N,), gts (N, ...) | None) for the
+    first ``n`` windows — one ``dataset[i]`` fetch per window. ``gt_fn``
+    maps ``(dataset, i, item)`` to the ground-truth array for window i."""
     import numpy as np
 
-    voxels, stamps, frames = [], [], []
+    voxels, stamps, gts = [], [], []
     for i in range(n):
         item = dataset[i]
         voxels.append(pad(np.asarray(item["voxel"], np.float32)))
         _, idx1 = dataset.get_event_indices(i)
         stamps.append(float(dataset.ts(max(idx1 - 1, 0))))
-        if need_frames:
-            frames.append(np.asarray(item["frame"], np.float32).squeeze())
+        if gt_fn is not None:
+            gts.append(gt_fn(dataset, i, item))
     return (np.stack(voxels), np.asarray(stamps, np.float64),
-            np.stack(frames) if need_frames else None)
+            np.stack(gts) if gt_fn is not None else None)
 
 
-def _window_arrays(dataset, args, n, need_frames, pad):
+def _window_arrays(dataset, args, n, pad, gt_fn=None,
+                   cache_suffix=".reconcache.npz"):
     """:func:`_gather_windows` behind a sidecar .npz cache.
 
     Keyed on windowing params + num_bins/channels + the source file's
@@ -82,34 +84,35 @@ def _window_arrays(dataset, args, n, need_frames, pad):
     import numpy as np
 
     if args.no_window_cache or os.path.isdir(args.path):
-        return _gather_windows(dataset, n, need_frames, pad)
+        return _gather_windows(dataset, n, pad, gt_fn)
     st = os.stat(args.path)
     key = {"method": args.method, "k": args.k, "t": args.t,
            "num_bins": args.num_bins,
            "combined": bool(args.combined_channels),
            "src_mtime_ns": st.st_mtime_ns, "src_size": st.st_size}
-    cache_path = args.path + ".reconcache.npz"
+    cache_path = args.path + cache_suffix
+    need_gt = gt_fn is not None
     try:
         if os.path.exists(cache_path):
             z = np.load(cache_path, allow_pickle=False)
             if (json.loads(str(z["key"])) == key and z["voxels"].shape[0] >= n
-                    and (not need_frames or "frames" in z)):
-                frames = z["frames"][:n] if need_frames else None
-                return z["voxels"][:n], z["stamps"][:n], frames
+                    and (not need_gt or "gts" in z)):
+                gts = z["gts"][:n] if need_gt else None
+                return z["voxels"][:n], z["stamps"][:n], gts
     except Exception as exc:  # corrupt cache: rebuild
         print(f"window cache unreadable ({type(exc).__name__}); rebuilding")
-    voxels, stamps, frames = _gather_windows(dataset, n, need_frames, pad)
+    voxels, stamps, gts = _gather_windows(dataset, n, pad, gt_fn)
     try:
         payload = {"key": json.dumps(key), "voxels": voxels,
                    "stamps": stamps}
-        if need_frames:
-            payload["frames"] = frames
+        if need_gt:
+            payload["gts"] = gts
         tmp = cache_path + ".tmp.npz"
         np.savez(tmp, **payload)
         os.replace(tmp, cache_path)
     except Exception as exc:
         print(f"window cache not written ({type(exc).__name__})")
-    return voxels, stamps, frames
+    return voxels, stamps, gts
 
 
 def _voxel_method(args):
@@ -160,8 +163,11 @@ def main(argv=None):
     n = len(dataset) if args.max_frames is None \
         else min(len(dataset), args.max_frames)
     # frames arrive /255-normalized from transform_frame
+    frame_gt = (lambda ds, i, item:
+                np.asarray(item["frame"], np.float32).squeeze()) \
+        if args.eval_gt else None
     all_voxels, stamps, gt_frames = _window_arrays(
-        dataset, args, n, need_frames=args.eval_gt, pad=_pad_to_multiple_hw)
+        dataset, args, n, pad=_pad_to_multiple_hw, gt_fn=frame_gt)
     state = None
     frames_all = [] if args.npy else None
     psnrs, ssims = [], []
