@@ -310,3 +310,35 @@ def test_train_flow_simulate_in_the_loop(tmp_path):
     assert all(np.isfinite(v) for v in m["losses"])
     assert m["config"]["sensor"] == [16, 16]
     assert (tmp_path / "ck").exists()
+
+
+def test_reconstruct_window_cache(h5_path, tmp_path):
+    """Sidecar window cache: repeat runs reuse it byte-identically, and a
+    source-file touch (mtime change) invalidates it."""
+    import json
+
+    from event_utils_tpu.cli.reconstruct import main as recon
+
+    cache = h5_path + ".reconcache.npz"
+    if os.path.exists(cache):
+        os.remove(cache)
+    out1 = str(tmp_path / "wc1")
+    recon([h5_path, "--output_dir", out1, "--method", "between_frames",
+           "--eval_gt"])
+    assert os.path.exists(cache)
+    stat1 = os.stat(cache).st_mtime_ns
+    out2 = str(tmp_path / "wc2")
+    recon([h5_path, "--output_dir", out2, "--method", "between_frames",
+           "--eval_gt"])
+    m1 = json.load(open(os.path.join(out1, "metrics.json")))
+    m2 = json.load(open(os.path.join(out2, "metrics.json")))
+    assert m1 == m2
+    assert os.stat(cache).st_mtime_ns == stat1  # cache reused, not rebuilt
+    # touching the source invalidates
+    os.utime(h5_path, ns=(1, 1))
+    out3 = str(tmp_path / "wc3")
+    recon([h5_path, "--output_dir", out3, "--method", "between_frames",
+           "--eval_gt"])
+    assert os.stat(cache).st_mtime_ns != stat1  # rebuilt
+    m3 = json.load(open(os.path.join(out3, "metrics.json")))
+    assert m3 == m1  # same data -> same result
