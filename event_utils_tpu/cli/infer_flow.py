@@ -25,6 +25,8 @@ def build_parser():
     parser.add_argument("--ckpt_dir", default=None,
                         help="orbax checkpoint from train_flow (omitted: "
                              "random init — pipeline smoke only)")
+    parser.add_argument("--ckpt_step", type=int, default=None,
+                        help="restore this step instead of the latest")
     parser.add_argument("--method", default="k_events",
                         choices=["k_events", "t_seconds", "between_frames"])
     parser.add_argument("--k", type=int, default=20000)
@@ -76,7 +78,8 @@ def main(argv=None):
     trainer = FlowTrainer(sensor_size=(Hp, Wp), num_bins=args.num_bins,
                           combined_channels=args.combined_channels)
     if args.ckpt_dir:
-        step = trainer.restore_checkpoint(args.ckpt_dir)
+        step = trainer.restore_checkpoint(args.ckpt_dir,
+                                          step=args.ckpt_step)
         print(f"restored checkpoint step {step}")
     else:
         print("WARNING: no --ckpt_dir; predicting with random weights")

@@ -25,6 +25,9 @@ def build_parser():
     parser.add_argument("--ckpt_dir", default=None,
                         help="orbax checkpoint from train_reconstruction "
                              "(omitted: random init — pipeline smoke only)")
+    parser.add_argument("--ckpt_step", type=int, default=None,
+                        help="restore this step instead of the latest "
+                             "(re-evaluate any point of a run)")
     parser.add_argument("--method", default="between_frames",
                         choices=["between_frames", "k_events", "t_seconds"])
     parser.add_argument("--k", type=int, default=20000,
@@ -154,7 +157,8 @@ def main(argv=None):
         sensor_size=(Hp, Wp), num_bins=args.num_bins,
         combined_channels=args.combined_channels)
     if args.ckpt_dir:
-        step = trainer.restore_checkpoint(args.ckpt_dir)
+        step = trainer.restore_checkpoint(args.ckpt_dir,
+                                          step=args.ckpt_step)
         print(f"restored checkpoint step {step}")
     else:
         print("WARNING: no --ckpt_dir; reconstructing with random weights")
