@@ -9,6 +9,26 @@ DIR=runs/recon128
 CKPT=$DIR/ckpt
 SEG_STEPS=240
 
+# Pre-materialize window caches in a CPU process first: the per-window
+# voxelize round-trips are ~5x faster on the host CPU than through the
+# TPU tunnel for these tiny (~5k-event) windows, and the trainer then
+# starts straight into device steps.
+python - "$DIR/data" <<'EOF'
+import sys, glob
+import jax; jax.config.update("jax_platforms", "cpu")
+from event_utils_tpu.data_loaders import DynamicH5Dataset
+from event_utils_tpu.cli.train_reconstruction import materialize_windows
+kwargs = dict(voxel_method={"method": "between_frames",
+                            "sliding_window_w": 0},
+              num_bins=5, combined_voxel_channels=False,
+              return_events=False, return_frame=True,
+              return_format="numpy")
+for p in sorted(glob.glob(sys.argv[1] + "/*.h5")):
+    materialize_windows(DynamicH5Dataset(p, **kwargs),
+                        p + ".wincache_b5.npz")
+    print("materialized", p, flush=True)
+EOF
+
 for seg in $(seq 1 8); do
   RESUME=""
   if [ -d "$CKPT" ] && [ -n "$(ls -A $CKPT 2>/dev/null)" ]; then
