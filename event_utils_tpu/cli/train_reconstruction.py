@@ -41,6 +41,10 @@ def build_parser():
     parser.add_argument("--metrics_out", default=None,
                         help="write {losses, psnr_curve} JSON here "
                              "(--simulate mode)")
+    parser.add_argument("--eval_seed", type=int, default=None,
+                        help="pin the --simulate held-out batch to this "
+                             "seed (keep curves comparable across resumed "
+                             "stages that vary --seed)")
     parser.add_argument("--num_bins", type=int, default=5)
     parser.add_argument("--seq_len", type=int, default=4,
                         help="truncated-BPTT unroll length (windows)")
@@ -66,7 +70,9 @@ def build_parser():
                              "epoch instead of the fixed aligned batches "
                              "(uses all windows; needs --cache_windows)")
     parser.add_argument("--seed", type=int, default=0,
-                        help="--shuffle sampling seed")
+                        help="--shuffle sampling seed; also the scene-"
+                             "generation seed in --simulate mode (vary it "
+                             "across resumed stages so scenes don't replay)")
     return parser
 
 
@@ -195,8 +201,8 @@ def main(argv=None):
         losses, curve = train_reconstruction_in_the_loop(
             trainer, steps=args.steps, batch_size=args.batch_size,
             seq_len=args.seq_len, capacity=args.capacity,
-            v_max=args.v_max, window_t=args.window_t,
-            ckpt_dir=args.ckpt_dir)
+            v_max=args.v_max, window_t=args.window_t, seed=args.seed,
+            eval_seed=args.eval_seed, ckpt_dir=args.ckpt_dir)
         if args.metrics_out:
             import json
             with open(args.metrics_out, "w") as f:

@@ -141,7 +141,9 @@ def train_reconstruction_in_the_loop(trainer, steps: int,
                                      v_max: float = 40.0,
                                      window_t: float = 0.05,
                                      sim_steps_per_window: int = 4,
-                                     seed: int = 0, log_every: int = 20,
+                                     seed: int = 0,
+                                     eval_seed: Optional[int] = None,
+                                     log_every: int = 20,
                                      eval_every: int = 100,
                                      ckpt_dir: Optional[str] = None,
                                      ckpt_every: int = 500, log_fn=print):
@@ -155,6 +157,11 @@ def train_reconstruction_in_the_loop(trainer, steps: int,
 
     Returns ``(losses, psnr_curve)`` with ``psnr_curve`` a list of
     ``(step, psnr_db, ssim)`` tuples.
+
+    ``eval_seed`` pins the held-out batch independently of the training
+    scene stream: resumed stages with a fresh ``seed`` (so scenes don't
+    replay) keep a comparable curve by passing the first stage's seed as
+    ``eval_seed``.
     """
     import time
 
@@ -172,6 +179,8 @@ def train_reconstruction_in_the_loop(trainer, steps: int,
 
     key = jax.random.PRNGKey(seed)
     key, k_eval = jax.random.split(key)
+    if eval_seed is not None:
+        _, k_eval = jax.random.split(jax.random.PRNGKey(eval_seed))
     eval_voxels, eval_frames = gen(k_eval)
     eval_frames_np = np.asarray(eval_frames)
 
@@ -216,7 +225,9 @@ def train_reconstruction_in_the_loop(trainer, steps: int,
 def train_flow_in_the_loop(trainer, steps: int, batch_size: int = 8,
                            capacity: int = 16384, v_max: float = 40.0,
                            window_t: float = 0.1, num_frames: int = 9,
-                           seed: int = 0, log_every: int = 20,
+                           seed: int = 0,
+                           eval_seed: Optional[int] = None,
+                           log_every: int = 20,
                            eval_every: int = 100, ckpt_dir: Optional[str] = None,
                            ckpt_every: int = 500, log_fn=print):
     """Drive ``FlowTrainer`` on device-simulated batches (no files).
@@ -264,6 +275,8 @@ def train_flow_in_the_loop(trainer, steps: int, batch_size: int = 8,
 
     key = jax.random.PRNGKey(seed)
     key, k_eval = jax.random.split(key)
+    if eval_seed is not None:
+        _, k_eval = jax.random.split(jax.random.PRNGKey(eval_seed))
     eval_ev, eval_mask, eval_gt = gen(k_eval)
     eval_voxel = voxelize(eval_ev, eval_mask)
 
