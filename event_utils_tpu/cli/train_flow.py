@@ -35,6 +35,12 @@ def main(argv=None):
                              "(--simulate mode only; the contrast term "
                              "alone does not converge from random init — "
                              "see runs/flow128)")
+    parser.add_argument("--seed", type=int, default=0,
+                        help="scene-generation seed (--simulate mode; vary "
+                             "across resumed stages so scenes don't replay)")
+    parser.add_argument("--eval_seed", type=int, default=None,
+                        help="pin the --simulate held-out batch to this "
+                             "seed (comparable curves across stages)")
     parser.add_argument("--sensor", nargs=2, type=int, default=(64, 64),
                         help="crop/pad target (multiples of 8)")
     parser.add_argument("--num_bins", type=int, default=5)
@@ -67,8 +73,8 @@ def main(argv=None):
             print(f"resumed from step {step}")
         losses, aee = train_flow_in_the_loop(
             trainer, steps=args.steps, batch_size=args.batch_size,
-            capacity=args.capacity, v_max=args.v_max,
-            ckpt_dir=args.ckpt_dir)
+            capacity=args.capacity, v_max=args.v_max, seed=args.seed,
+            eval_seed=args.eval_seed, ckpt_dir=args.ckpt_dir)
         if args.metrics_out:
             import json
             with open(args.metrics_out, "w") as f:
