@@ -41,6 +41,12 @@ def build_parser():
     parser.add_argument("--metrics_out", default=None,
                         help="write {losses, psnr_curve} JSON here "
                              "(--simulate mode)")
+    parser.add_argument("--omega_max", type=float, default=0.0,
+                        help="max |rotation rate| rad/s for --simulate "
+                             "scenes (0: pure translation)")
+    parser.add_argument("--s_max", type=float, default=0.0,
+                        help="max |divergence rate| 1/s for --simulate "
+                             "scenes (0: pure translation)")
     parser.add_argument("--eval_seed", type=int, default=None,
                         help="pin the --simulate held-out batch to this "
                              "seed (keep curves comparable across resumed "
@@ -202,6 +208,7 @@ def main(argv=None):
             trainer, steps=args.steps, batch_size=args.batch_size,
             seq_len=args.seq_len, capacity=args.capacity,
             v_max=args.v_max, window_t=args.window_t, seed=args.seed,
+            omega_max=args.omega_max, s_max=args.s_max,
             eval_seed=args.eval_seed, ckpt_dir=args.ckpt_dir)
         if args.metrics_out:
             import json

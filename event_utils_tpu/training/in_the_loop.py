@@ -38,6 +38,28 @@ def _render_translating(texture: Array, v: Array, t: Array) -> Array:
         texture, [yy - v[1] * t, xx - v[0] * t], order=1, mode="wrap")
 
 
+def _render_similarity(texture: Array, v: Array, omega: Array, s: Array,
+                       t: Array) -> Array:
+    """Similarity-motion render (traced params): translation ``v`` px/s +
+    rotation ``omega`` rad/s + divergence ``s`` 1/s about the sensor
+    center — the xyztheta motion family. Reduces to
+    :func:`_render_translating` at ``omega = s = 0``."""
+    H, W = texture.shape
+    cy, cx = (H - 1) / 2.0, (W - 1) / 2.0
+    yy, xx = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
+                          jnp.arange(W, dtype=jnp.float32), indexing="ij")
+    # map the pixel back to its texture coordinate at t=0: undo the
+    # translation, then the rotation, then the exponential scaling
+    x0 = xx - cx - v[0] * t
+    y0 = yy - cy - v[1] * t
+    c, sn = jnp.cos(omega * t), jnp.sin(omega * t)
+    xr = c * x0 + sn * y0
+    yr = -sn * x0 + c * y0
+    f = jnp.exp(-s * t)
+    return jax.scipy.ndimage.map_coordinates(
+        texture, [cy + yr * f, cx + xr * f], order=1, mode="wrap")
+
+
 @partial(jax.jit, static_argnames=("batch_size", "sensor_size", "capacity",
                                    "num_frames", "octaves"))
 def simulate_flow_batch(key: Array, batch_size: int,
@@ -75,14 +97,16 @@ def simulate_flow_batch(key: Array, batch_size: int,
 
 @partial(jax.jit, static_argnames=("batch_size", "sensor_size", "capacity",
                                    "seq_len", "sim_steps_per_window",
-                                   "num_bins", "combined", "octaves"))
+                                   "num_bins", "combined", "octaves",
+                                   "omega_max", "s_max"))
 def simulate_recon_batch(key: Array, batch_size: int,
                          sensor_size: Tuple[int, int], capacity: int,
                          seq_len: int, v_max: float = 40.0,
                          window_t: float = 0.05,
                          sim_steps_per_window: int = 4, num_bins: int = 5,
                          combined: bool = False, octaves: int = 3,
-                         c_pos: float = 0.15, c_neg: float = 0.15):
+                         c_pos: float = 0.15, c_neg: float = 0.15,
+                         omega_max: float = 0.0, s_max: float = 0.0):
     """One fresh supervised E2VID sequence batch, generated on device.
 
     Per element: random smooth texture + uniform random velocity, a
@@ -91,6 +115,11 @@ def simulate_recon_batch(key: Array, batch_size: int,
     across the whole sequence), then each ``window_t`` slice is voxelized
     against its own validity mask — the windowing the ``between_frames``
     dataset path produces, without the files.
+
+    ``omega_max`` (rad/s) / ``s_max`` (1/s) widen the motion family from
+    pure translation to similarity motion (per-element uniform rotation /
+    divergence rates about the sensor center); 0 (default) keeps the
+    translating-scene behavior bit-for-bit.
 
     Returns ``(voxels (T, B, C, H, W), frames (T, B, 1, H, W))`` — exactly
     the :meth:`ReconstructionTrainer.train_sequence` contract; ``frames[w]``
@@ -108,11 +137,23 @@ def simulate_recon_batch(key: Array, batch_size: int,
     bounds = fts[::spw]                       # (seq_len + 1,) window edges
     target_idx = jnp.arange(1, seq_len + 1) * spw
 
+    similarity = bool(omega_max or s_max)
+
     def one(k):
-        k_tex, k_vel, k_sim = jax.random.split(k, 3)
+        # the extra split only happens when the motion family widens, so
+        # the default scene stream (and any --eval_seed pinned batch)
+        # stays bit-for-bit identical to the translation-only builds
+        if similarity:
+            k_tex, k_vel, k_rot, k_sim = jax.random.split(k, 4)
+            ws = jax.random.uniform(k_rot, (2,), minval=-1.0, maxval=1.0) \
+                * jnp.asarray([omega_max, s_max], jnp.float32)
+        else:
+            k_tex, k_vel, k_sim = jax.random.split(k, 3)
+            ws = jnp.zeros(2, jnp.float32)
         tex = smooth_texture(k_tex, (H, W), octaves=octaves)
         v = jax.random.uniform(k_vel, (2,), minval=-v_max, maxval=v_max)
-        frames = jax.vmap(lambda t: _render_translating(tex, v, t))(fts)
+        frames = jax.vmap(
+            lambda t: _render_similarity(tex, v, ws[0], ws[1], t))(fts)
         ev, mask = simulate_events_device(frames, fts, capacity, cfg,
                                           key=k_sim)
         xs, ys, ts, ps = ev[:, 0], ev[:, 1], ev[:, 2], ev[:, 3]
@@ -141,6 +182,8 @@ def train_reconstruction_in_the_loop(trainer, steps: int,
                                      v_max: float = 40.0,
                                      window_t: float = 0.05,
                                      sim_steps_per_window: int = 4,
+                                     omega_max: float = 0.0,
+                                     s_max: float = 0.0,
                                      seed: int = 0,
                                      eval_seed: Optional[int] = None,
                                      log_every: int = 20,
@@ -175,7 +218,8 @@ def train_reconstruction_in_the_loop(trainer, steps: int,
         return simulate_recon_batch(
             k, batch_size, (H, W), capacity, seq_len, v_max=v_max,
             window_t=window_t, sim_steps_per_window=sim_steps_per_window,
-            num_bins=trainer.num_bins, combined=trainer.combined_channels)
+            num_bins=trainer.num_bins, combined=trainer.combined_channels,
+            omega_max=omega_max, s_max=s_max)
 
     key = jax.random.PRNGKey(seed)
     key, k_eval = jax.random.split(key)

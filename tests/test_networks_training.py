@@ -319,3 +319,28 @@ def test_train_reconstruction_in_the_loop_descends(tmp_path):
     assert all(np.isfinite(p) and np.isfinite(s) for _, p, s in curve)
     assert np.mean(losses[-3:]) < np.mean(losses[:3])
     assert (tmp_path / "ck").exists()
+
+
+def test_simulate_recon_batch_similarity_motion():
+    """omega_max/s_max widen the motion family; defaults preserve the
+    translation-only RNG stream bit-for-bit (pinned eval batches across
+    builds depend on this)."""
+    from event_utils_tpu.training import simulate_recon_batch
+
+    vox_a, frm_a = simulate_recon_batch(
+        jax.random.PRNGKey(3), 1, (24, 32), 1024, 2, v_max=15.0,
+        window_t=0.08, num_bins=2)
+    vox_b, frm_b = simulate_recon_batch(
+        jax.random.PRNGKey(3), 1, (24, 32), 1024, 2, v_max=15.0,
+        window_t=0.08, num_bins=2, omega_max=0.0, s_max=0.0)
+    assert np.array_equal(np.asarray(vox_a), np.asarray(vox_b))
+
+    vox_r, frm_r = simulate_recon_batch(
+        jax.random.PRNGKey(3), 1, (24, 32), 1024, 2, v_max=0.0,
+        window_t=0.08, num_bins=2, omega_max=8.0)
+    v = np.asarray(vox_r)
+    f = np.asarray(frm_r)
+    assert np.isfinite(v).all()
+    # pure rotation still moves the scene (fires events, frames change)
+    assert np.abs(v).sum() > 0
+    assert not np.allclose(f[0], f[-1])
