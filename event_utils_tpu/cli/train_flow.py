@@ -35,6 +35,12 @@ def main(argv=None):
                              "(--simulate mode only; the contrast term "
                              "alone does not converge from random init — "
                              "see runs/flow128)")
+    parser.add_argument("--omega_max", type=float, default=0.0,
+                        help="max |rotation rate| rad/s for --simulate "
+                             "scenes (nonzero: dense similarity-field GT)")
+    parser.add_argument("--s_max", type=float, default=0.0,
+                        help="max |divergence rate| 1/s for --simulate "
+                             "scenes (nonzero: dense similarity-field GT)")
     parser.add_argument("--seed", type=int, default=0,
                         help="scene-generation seed (--simulate mode; vary "
                              "across resumed stages so scenes don't replay)")
@@ -74,6 +80,7 @@ def main(argv=None):
         losses, aee = train_flow_in_the_loop(
             trainer, steps=args.steps, batch_size=args.batch_size,
             capacity=args.capacity, v_max=args.v_max, seed=args.seed,
+            omega_max=args.omega_max, s_max=args.s_max,
             eval_seed=args.eval_seed, ckpt_dir=args.ckpt_dir)
         if args.metrics_out:
             import json

@@ -61,35 +61,61 @@ def _render_similarity(texture: Array, v: Array, omega: Array, s: Array,
 
 
 @partial(jax.jit, static_argnames=("batch_size", "sensor_size", "capacity",
-                                   "num_frames", "octaves"))
+                                   "num_frames", "octaves", "omega_max",
+                                   "s_max"))
 def simulate_flow_batch(key: Array, batch_size: int,
                         sensor_size: Tuple[int, int], capacity: int,
                         v_max: float = 40.0, window_t: float = 0.1,
                         num_frames: int = 9, octaves: int = 3,
-                        c_pos: float = 0.15, c_neg: float = 0.15):
+                        c_pos: float = 0.15, c_neg: float = 0.15,
+                        omega_max: float = 0.0, s_max: float = 0.0):
     """One fresh supervised flow batch, generated entirely on device.
 
     Per element: random smooth texture + uniform random velocity in
     ``[-v_max, v_max]^2`` px/s, ``num_frames`` rendered frames over
     ``window_t`` seconds, ESIM simulation into a capacity-padded batch.
 
-    Returns ``(events (B, capacity, 4), mask (B, capacity),
-    gt_velocity (B, 2))`` — ``events``/``mask`` in the exact padded
-    contract ``FlowTrainer.train_batch`` consumes, ``gt_velocity`` the
-    uniform ground-truth flow in px/s for AEE tracking.
+    Returns ``(events (B, capacity, 4), mask (B, capacity), gt)`` —
+    ``events``/``mask`` in the exact padded contract
+    ``FlowTrainer.train_batch`` consumes. With the default pure-translation
+    family, ``gt`` is the ``(B, 2)`` uniform ground-truth velocity (px/s)
+    and the RNG stream is bit-for-bit the historical one. With
+    ``omega_max`` (rad/s) / ``s_max`` (1/s) nonzero, scenes carry
+    per-element rotation/divergence about the sensor center and ``gt`` is
+    the DENSE ``(B, 2, H, W)`` velocity field at t=0:
+    ``v + omega x r + s r`` — spatially-varying supervision the uniform
+    family can never provide.
     """
     H, W = sensor_size
     cfg = SimulatorConfig(c_pos=c_pos, c_neg=c_neg)
     fts = jnp.linspace(0.0, window_t, num_frames)
+    similarity = bool(omega_max or s_max)
 
     def one(k):
-        k_tex, k_vel, k_sim = jax.random.split(k, 3)
+        if similarity:
+            k_tex, k_vel, k_rot, k_sim = jax.random.split(k, 4)
+            ws = jax.random.uniform(k_rot, (2,), minval=-1.0, maxval=1.0) \
+                * jnp.asarray([omega_max, s_max], jnp.float32)
+        else:
+            k_tex, k_vel, k_sim = jax.random.split(k, 3)
+            ws = jnp.zeros(2, jnp.float32)
         tex = smooth_texture(k_tex, (H, W), octaves=octaves)
         v = jax.random.uniform(k_vel, (2,), minval=-v_max, maxval=v_max)
-        frames = jax.vmap(lambda t: _render_translating(tex, v, t))(fts)
+        frames = jax.vmap(
+            lambda t: _render_similarity(tex, v, ws[0], ws[1], t))(fts)
         ev, mask = simulate_events_device(frames, fts, capacity, cfg,
                                           key=k_sim)
-        return ev, mask, v
+        if not similarity:
+            return ev, mask, v
+        # dense velocity field of the similarity motion at t=0:
+        # (vx - omega*ry + s*rx, vy + omega*rx + s*ry), r about center
+        cy, cx = (H - 1) / 2.0, (W - 1) / 2.0
+        yy, xx = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32) - cy,
+                              jnp.arange(W, dtype=jnp.float32) - cx,
+                              indexing="ij")
+        gt = jnp.stack([v[0] - ws[0] * yy + ws[1] * xx,
+                        v[1] + ws[0] * xx + ws[1] * yy])
+        return ev, mask, gt
 
     keys = jax.random.split(key, batch_size)
     return jax.vmap(one)(keys)
@@ -269,6 +295,7 @@ def train_reconstruction_in_the_loop(trainer, steps: int,
 def train_flow_in_the_loop(trainer, steps: int, batch_size: int = 8,
                            capacity: int = 16384, v_max: float = 40.0,
                            window_t: float = 0.1, num_frames: int = 9,
+                           omega_max: float = 0.0, s_max: float = 0.0,
                            seed: int = 0,
                            eval_seed: Optional[int] = None,
                            log_every: int = 20,
@@ -309,12 +336,13 @@ def train_flow_in_the_loop(trainer, steps: int, batch_size: int = 8,
     def gen(k):
         return simulate_flow_batch(k, batch_size, (H, W), capacity,
                                    v_max=v_max, window_t=window_t,
-                                   num_frames=num_frames)
+                                   num_frames=num_frames,
+                                   omega_max=omega_max, s_max=s_max)
 
     @jax.jit
     def aee_of(params, voxel, gt_v):
         flow = trainer.model.apply(params, voxel)  # (B, 2, H, W) px/s
-        err = jnp.linalg.norm(flow - gt_v[:, :, None, None], axis=1)
+        err = jnp.linalg.norm(flow - dense_gt(gt_v), axis=1)
         return jnp.mean(err)
 
     key = jax.random.PRNGKey(seed)
@@ -325,8 +353,12 @@ def train_flow_in_the_loop(trainer, steps: int, batch_size: int = 8,
     eval_voxel = voxelize(eval_ev, eval_mask)
 
     def dense_gt(gt_v):
-        return jnp.broadcast_to(gt_v[:, :, None, None],
-                                (gt_v.shape[0], 2, H, W))
+        # uniform family: (B, 2) broadcast dense; similarity family:
+        # already the (B, 2, H, W) field
+        if gt_v.ndim == 2:
+            return jnp.broadcast_to(gt_v[:, :, None, None],
+                                    (gt_v.shape[0], 2, H, W))
+        return gt_v
 
     losses, aee_curve = [], []
     pending = []

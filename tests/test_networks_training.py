@@ -344,3 +344,27 @@ def test_simulate_recon_batch_similarity_motion():
     # pure rotation still moves the scene (fires events, frames change)
     assert np.abs(v).sum() > 0
     assert not np.allclose(f[0], f[-1])
+
+
+def test_simulate_flow_batch_similarity_dense_gt():
+    """Nonzero omega_max/s_max: dense (B, 2, H, W) similarity-field GT,
+    spatially varying; defaults keep the (B, 2) uniform contract and the
+    historical RNG stream."""
+    from event_utils_tpu.training import simulate_flow_batch
+
+    ev_a, m_a, gt_a = simulate_flow_batch(
+        jax.random.PRNGKey(0), 2, (24, 32), 2048, v_max=30.0,
+        window_t=0.12, num_frames=7)
+    ev_b, m_b, gt_b = simulate_flow_batch(
+        jax.random.PRNGKey(0), 2, (24, 32), 2048, v_max=30.0,
+        window_t=0.12, num_frames=7, omega_max=0.0, s_max=0.0)
+    assert gt_a.shape == (2, 2)
+    assert np.array_equal(np.asarray(ev_a), np.asarray(ev_b))
+
+    _, _, gt = simulate_flow_batch(
+        jax.random.PRNGKey(1), 2, (24, 32), 2048, v_max=10.0,
+        window_t=0.12, num_frames=7, omega_max=5.0, s_max=0.5)
+    gt = np.asarray(gt)
+    assert gt.shape == (2, 2, 24, 32)
+    assert np.isfinite(gt).all()
+    assert gt.std(axis=(2, 3)).max() > 0.1  # genuinely spatially varying
