@@ -235,14 +235,39 @@ def bench_secondary_configs():
     return fields
 
 
+def _probe_devices(timeout_s: float = 180.0):
+    """Bounded jax.devices(): the remote-TPU tunnel can outage-hang device
+    init indefinitely (measured 2026-08-17); fail fast with a clear exit
+    code instead of hanging the driver's bench step forever."""
+    import threading
+
+    out = []
+
+    def probe():
+        import jax
+
+        out.append(jax.devices())
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not out:
+        log(f"FATAL: jax.devices() did not return within {timeout_s:.0f}s "
+            "— TPU tunnel down? No benchmark result produced.")
+        os._exit(3)
+    return out[0]
+
+
 def main():
+    devices = _probe_devices()
+
     import jax
 
     from harness import throughput_mevs
     from event_utils_tpu.ops.pallas_scatter import voxel_matmul
     from event_utils_tpu.representations.voxel_grid import events_to_voxel
 
-    log(f"jax device: {jax.devices()[0]}")
+    log(f"jax device: {devices[0]}")
 
     torch_mevs, (xs, ys, ts, ps, torch_out) = bench_torch_reference()
     log(f"torch-cpu reference voxel: {torch_mevs:.1f} Mev/s")
