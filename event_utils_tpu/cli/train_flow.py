@@ -70,9 +70,15 @@ def main(argv=None):
 
     if args.simulate:
         from ..training import train_flow_in_the_loop
+        mesh = None
+        if args.data_parallel:
+            from ..parallel import make_mesh
+            mesh = make_mesh(axis_name="batch")
+            print(f"data-parallel over {mesh.devices.size} devices "
+                  "(sharded in-the-loop simulation)")
         trainer = FlowTrainer(sensor_size=tuple(args.sensor),
                               num_bins=args.num_bins,
-                              learning_rate=args.lr,
+                              learning_rate=args.lr, mesh=mesh,
                               supervised_weight=args.supervised_weight)
         if args.resume and args.ckpt_dir:
             step = trainer.restore_checkpoint(args.ckpt_dir)

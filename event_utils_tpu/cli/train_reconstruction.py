@@ -66,6 +66,9 @@ def build_parser():
     parser.add_argument("--ckpt_dir", default=None)
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--max_steps", type=int, default=None)
+    parser.add_argument("--data_parallel", action="store_true",
+                        help="--simulate mode: shard batch + per-scene "
+                             "simulation over all devices")
     parser.add_argument("--cache_windows", action="store_true",
                         help="materialize every (voxel, frame) window once "
                              "per recording into a sidecar .npz; epochs and "
@@ -197,10 +200,17 @@ def main(argv=None):
 
     if args.simulate:
         from ..training import train_reconstruction_in_the_loop
+        mesh = None
+        if args.data_parallel:
+            from ..parallel import make_mesh
+            mesh = make_mesh(axis_name="batch")
+            print(f"data-parallel over {mesh.devices.size} devices "
+                  "(sharded in-the-loop simulation)")
         trainer = ReconstructionTrainer(
             sensor_size=tuple(args.sensor), num_bins=args.num_bins,
             combined_channels=args.combined_channels,
-            learning_rate=args.lr, lpips_weight=args.lpips_weight)
+            learning_rate=args.lr, lpips_weight=args.lpips_weight,
+            mesh=mesh)
         if args.resume and args.ckpt_dir:
             step = trainer.restore_checkpoint(args.ckpt_dir)
             print(f"resumed from step {step}")

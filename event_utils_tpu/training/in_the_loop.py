@@ -240,12 +240,26 @@ def train_reconstruction_in_the_loop(trainer, steps: int,
 
     H, W = trainer.sensor_size
 
-    def gen(k):
+    def _gen(k):
         return simulate_recon_batch(
             k, batch_size, (H, W), capacity, seq_len, v_max=v_max,
             window_t=window_t, sim_steps_per_window=sim_steps_per_window,
             num_bins=trainer.num_bins, combined=trainer.combined_channels,
             omega_max=omega_max, s_max=s_max)
+
+    mesh = getattr(trainer, "mesh", None)
+    if mesh is not None:
+        # Sharded generation: (T, B, ...) outputs split on the batch axis,
+        # matching ReconstructionTrainer's (seq, batch) sharding.
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if batch_size % mesh.size:
+            raise ValueError(f"batch_size {batch_size} must divide the "
+                             f"mesh size {mesh.size}")
+        ssh = NamedSharding(mesh, P(None, mesh.axis_names[0]))
+        gen = jax.jit(_gen, out_shardings=(ssh, ssh))
+    else:
+        gen = _gen
 
     key = jax.random.PRNGKey(seed)
     key, k_eval = jax.random.split(key)
@@ -319,8 +333,7 @@ def train_flow_in_the_loop(trainer, steps: int, batch_size: int = 8,
     H, W = trainer.sensor_size
     num_bins, combined = trainer.num_bins, trainer.combined_channels
 
-    @jax.jit
-    def voxelize(events, mask):
+    def _voxelize(events, mask):
         def one(ev, m):
             xs, ys, ts, ps = ev[:, 0], ev[:, 1], ev[:, 2], ev[:, 3]
             if combined:
@@ -333,11 +346,30 @@ def train_flow_in_the_loop(trainer, steps: int, batch_size: int = 8,
 
         return jax.vmap(one)(events, mask)
 
-    def gen(k):
+    def _gen(k):
         return simulate_flow_batch(k, batch_size, (H, W), capacity,
                                    v_max=v_max, window_t=window_t,
                                    num_frames=num_frames,
                                    omega_max=omega_max, s_max=s_max)
+
+    mesh = getattr(trainer, "mesh", None)
+    if mesh is not None:
+        # Sharded in-the-loop: annotate the batch axis and let the SPMD
+        # partitioner split the per-element simulate/voxelize pipeline
+        # across the mesh — each device renders + simulates its own batch
+        # shard; only the train step's gradient psum crosses ICI.
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if batch_size % mesh.size:
+            raise ValueError(f"batch_size {batch_size} must divide the "
+                             f"mesh size {mesh.size}")
+        bsh = NamedSharding(mesh, P(mesh.axis_names[0]))
+        gen = jax.jit(_gen, out_shardings=(bsh, bsh, bsh))
+        voxelize = jax.jit(_voxelize, in_shardings=(bsh, bsh),
+                           out_shardings=bsh)
+    else:
+        gen = jax.jit(_gen)
+        voxelize = jax.jit(_voxelize)
 
     @jax.jit
     def aee_of(params, voxel, gt_v):

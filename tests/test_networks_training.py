@@ -368,3 +368,40 @@ def test_simulate_flow_batch_similarity_dense_gt():
     assert gt.shape == (2, 2, 24, 32)
     assert np.isfinite(gt).all()
     assert gt.std(axis=(2, 3)).max() > 0.1  # genuinely spatially varying
+
+
+def test_sharded_in_the_loop_training():
+    """In-the-loop training with a mesh: scene simulation + voxelize run
+    sharded over the batch axis (virtual 8-device mesh), losses finite."""
+    from jax.sharding import Mesh
+    from event_utils_tpu.training import (FlowTrainer,
+                                          ReconstructionTrainer,
+                                          train_flow_in_the_loop,
+                                          train_reconstruction_in_the_loop)
+
+    devs = jax.devices()
+    if len(devs) < 2:
+        pytest.skip("needs a multi-device (virtual) mesh")
+    mesh = Mesh(np.array(devs), ("data",))
+
+    tr = FlowTrainer(sensor_size=(16, 16), num_bins=2, learning_rate=2e-3,
+                     mesh=mesh, supervised_weight=1.0)
+    losses, aee = train_flow_in_the_loop(
+        tr, steps=4, batch_size=len(devs), capacity=512, v_max=15.0,
+        window_t=0.1, num_frames=5, log_every=2, eval_every=4,
+        log_fn=lambda s: None)
+    assert len(losses) == 4 and np.all(np.isfinite(losses))
+    assert len(aee) == 1 and np.isfinite(aee[0][1])
+
+    tr2 = ReconstructionTrainer(sensor_size=(16, 16), num_bins=2,
+                                learning_rate=2e-3, mesh=mesh)
+    l2, c2 = train_reconstruction_in_the_loop(
+        tr2, steps=4, batch_size=len(devs), seq_len=2, capacity=1024,
+        v_max=15.0, window_t=0.08, log_every=2, eval_every=4,
+        log_fn=lambda s: None)
+    assert len(l2) == 4 and np.all(np.isfinite(l2))
+    assert len(c2) == 1 and np.isfinite(c2[0][1])
+
+    with pytest.raises(ValueError):
+        train_flow_in_the_loop(tr, steps=1, batch_size=len(devs) + 1,
+                               capacity=512, log_fn=lambda s: None)
