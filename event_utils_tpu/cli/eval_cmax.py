@@ -54,9 +54,6 @@ def main(argv=None):
 
     import os
 
-    import numpy as np
-
-    from ..contrast_max.events_cmax import grid_cmax_batched
     from ..data_loaders import DynamicH5Dataset, MemMapDataset
 
     vm = ({"method": "k_events", "k": args.k, "sliding_window_w": 0}
@@ -66,6 +63,17 @@ def main(argv=None):
     dataset = cls(args.path, voxel_method=vm,
                   return_events=True, return_voxelgrid=False,
                   return_format="numpy")
+    try:
+        _eval(dataset, args)
+    finally:
+        dataset.close()
+
+
+def _eval(dataset, args):
+    import numpy as np
+
+    from ..contrast_max.events_cmax import grid_cmax_batched
+
     if not dataset.has_flow:
         raise SystemExit(f"{args.path} carries no ground-truth flow")
     if len(np.asarray(dataset.frame_ts)) == 0:
@@ -123,7 +131,6 @@ def main(argv=None):
 
     if not errs:
         raise SystemExit("no window had enough events to evaluate")
-    dataset.close()
     metrics = {"median_aee_px_s": round(float(np.median(errs)), 3),
                "mean_aee_px_s": round(float(np.mean(errs)), 3),
                "num_rois": len(errs), "roi_size": [rh, rw]}

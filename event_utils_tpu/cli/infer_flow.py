@@ -56,7 +56,7 @@ def main(argv=None):
 
     from ..data_loaders import DynamicH5Dataset, MemMapDataset
     from ..training.loop import FlowTrainer
-    from .reconstruct import _voxel_method, _window_arrays
+    from .reconstruct import _voxel_method, _window_source
     from .train_reconstruction import _pad_to_multiple_hw
 
     if args.eval_gt and args.method != "between_frames":
@@ -94,15 +94,16 @@ def main(argv=None):
     # 'flow' is already converted to displacement
     flow_gt = (lambda ds, i, item: np.asarray(ds.get_flow(i), np.float32)) \
         if args.eval_gt else None
-    all_voxels, all_stamps, gt_flows = _window_arrays(
+    fetch_windows, all_stamps = _window_source(
         dataset, args, n, pad=_pad_to_multiple_hw, gt_fn=flow_gt,
         cache_suffix=".flowcache.npz")
     stamps = []
     aees = []
     written = 0
     for s0 in range(0, n, args.batch_size):
-        idxs = range(s0, min(s0 + args.batch_size, n))
-        voxels = all_voxels[s0:s0 + args.batch_size]
+        hi = min(s0 + args.batch_size, n)
+        idxs = range(s0, hi)
+        voxels, gt_flows = fetch_windows(s0, hi)
         flows = np.asarray(trainer.predict(voxels))[:, :, :H, :W]
         for i, flow in zip(idxs, flows):
             np.save(os.path.join(args.output_dir, f"flow_{written:04d}.npy"),
@@ -119,7 +120,8 @@ def main(argv=None):
             if args.eval_gt:
                 from ..utils.metrics import average_endpoint_error
 
-                aees.append(float(average_endpoint_error(flow, gt_flows[i])))
+                aees.append(float(average_endpoint_error(
+                    flow, gt_flows[i - s0])))
             written += 1
     dataset.close()
     np.savetxt(os.path.join(args.output_dir, "timestamps.txt"),

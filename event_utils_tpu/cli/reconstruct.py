@@ -73,6 +73,58 @@ def _gather_windows(dataset, n, pad, gt_fn=None):
             np.stack(gts) if gt_fn is not None else None)
 
 
+def _window_source(dataset, args, n, pad, gt_fn=None,
+                   cache_suffix=".reconcache.npz"):
+    """Chunkable window access: returns ``(fetch, stamps)`` where
+    ``fetch(lo, hi) -> (voxels (hi-lo, C, Hp, Wp), gts | None)``.
+
+    Small recordings are materialized once behind the sidecar cache
+    (:func:`_window_arrays`); recordings whose padded windows would exceed
+    ``EVENT_UTILS_TPU_WINCACHE_LIMIT_MB`` (default 2048) stream O(chunk)
+    windows per fetch instead — bounded RAM, no multi-GB sidecar file."""
+    import os
+
+    import numpy as np
+
+    item0 = dataset[0]
+    vox0 = pad(np.asarray(item0["voxel"], np.float32))
+    per_win = vox0.nbytes
+    if gt_fn is not None:
+        per_win += np.asarray(gt_fn(dataset, 0, item0)).nbytes
+    limit = float(os.environ.get("EVENT_UTILS_TPU_WINCACHE_LIMIT_MB",
+                                 "2048")) * 2**20
+    if n * per_win > limit:
+        if not args.no_window_cache:
+            print(f"window cache skipped: {n} windows x {per_win >> 10} KiB "
+                  f"exceeds {int(limit) >> 20} MiB "
+                  "(EVENT_UTILS_TPU_WINCACHE_LIMIT_MB); streaming")
+        stamps = np.empty(n, np.float64)
+        for i in range(n):
+            _, idx1 = dataset.get_event_indices(i)
+            stamps[i] = float(dataset.ts(max(idx1 - 1, 0)))
+
+        def fetch(lo, hi):
+            voxels, gts = [], []
+            for i in range(lo, hi):
+                item = dataset[i]
+                voxels.append(pad(np.asarray(item["voxel"], np.float32)))
+                if gt_fn is not None:
+                    gts.append(gt_fn(dataset, i, item))
+            return (np.stack(voxels),
+                    np.stack(gts) if gt_fn is not None else None)
+
+        return fetch, stamps
+
+    all_voxels, stamps, all_gts = _window_arrays(
+        dataset, args, n, pad, gt_fn, cache_suffix)
+
+    def fetch(lo, hi):
+        return (all_voxels[lo:hi],
+                all_gts[lo:hi] if all_gts is not None else None)
+
+    return fetch, stamps
+
+
 def _window_arrays(dataset, args, n, pad, gt_fn=None,
                    cache_suffix=".reconcache.npz"):
     """:func:`_gather_windows` behind a sidecar .npz cache.
@@ -170,15 +222,16 @@ def main(argv=None):
     frame_gt = (lambda ds, i, item:
                 np.asarray(item["frame"], np.float32).squeeze()) \
         if args.eval_gt else None
-    all_voxels, stamps, gt_frames = _window_arrays(
+    fetch_windows, stamps = _window_source(
         dataset, args, n, pad=_pad_to_multiple_hw, gt_fn=frame_gt)
     state = None
     frames_all = [] if args.npy else None
     psnrs, ssims = [], []
     written = 0
     for s0 in range(0, n, args.chunk):
-        idxs = range(s0, min(s0 + args.chunk, n))
-        voxels = all_voxels[s0:s0 + args.chunk]
+        hi = min(s0 + args.chunk, n)
+        idxs = range(s0, hi)
+        voxels, gt_frames = fetch_windows(s0, hi)
         preds, state = trainer.reconstruct(voxels[:, None], state=state)
         imgs = np.asarray(preds)[:, 0, 0, :H, :W]  # (T, H, W) in [0, 1]
         for i, img in zip(idxs, imgs):
@@ -189,7 +242,7 @@ def main(argv=None):
                 frames_all.append(img)
             if args.eval_gt:
                 from ..utils.metrics import psnr, ssim
-                gt = gt_frames[i]
+                gt = gt_frames[i - s0]
                 psnrs.append(float(psnr(img, gt)))
                 ssims.append(float(ssim(img, gt)))
             written += 1

@@ -86,9 +86,23 @@ def main(argv=None):
                                       batch_size=1, shuffle=False,
                                       relative_time=False)
         if args.sensor is None:
-            data = read_memmap_events(args.path)
-            xy = np.asarray(data["xy"][:1000000])
-            sensor = (int(xy[:, 1].max()) + 1, int(xy[:, 0].max()) + 1)
+            # Same precedence as MemMapDataset.find_config: a recorded
+            # sensor_resolution (dataset_config.json, then metadata.json)
+            # beats coordinate extents — the extents of a recording whose
+            # motion never reaches the last rows/cols undersize the frame.
+            sensor = None
+            for meta_name in ("dataset_config.json", "metadata.json"):
+                meta_path = os.path.join(args.path, meta_name)
+                if os.path.exists(meta_path):
+                    with open(meta_path) as f:
+                        res = json.load(f).get("sensor_resolution")
+                    if res is not None:
+                        sensor = (int(res[0]), int(res[1]))
+                        break
+            if sensor is None:
+                data = read_memmap_events(args.path)
+                xy = np.asarray(data["xy"])
+                sensor = (int(xy[:, 1].max()) + 1, int(xy[:, 0].max()) + 1)
         else:
             sensor = tuple(args.sensor)
     else:
@@ -115,47 +129,52 @@ def main(argv=None):
     n_events = 0
     n_windows = 0
     t_start = time.perf_counter()
-    for batch in loader:
-        if args.max_windows is not None and n_windows >= args.max_windows:
-            break
-        ev = np.asarray(batch["events"][0])
-        m = np.asarray(batch["events_mask"][0]) != 0
-        ev = ev[m]
-        if len(ev) < args.min_events:
-            continue
-        xs, ys, ts, ps = (ev[:, 0].astype(np.float32),
-                          ev[:, 1].astype(np.float32),
-                          ev[:, 2].astype(np.float32),
-                          ev[:, 3].astype(np.float32))
-        params, rois, _f, valid = grid_cmax_batched(
-            xs, ys, ts, ps, roi_size=tuple(args.roi_size), img_size=(H, W),
-            min_events=args.min_events, maxiter=args.maxiter,
-            capacity=args.capacity, smooth=args.smooth, x0=prev,
-            pyramid=2 if (args.pyramid_first and prev is None) else 1)
-        params = np.asarray(params)
-        prev = params
-        flow = roi_params_to_dense_flow(params, np.asarray(valid),
-                                        tuple(args.roi_size), (H, W))
-        np.save(os.path.join(args.output_dir,
-                             f"flow_{n_windows:04d}.npy"), flow)
-        stamps.append(float(ts[-1]))
-        if args.render:
-            import matplotlib
+    try:
+        for batch in loader:
+            if (args.max_windows is not None
+                    and n_windows >= args.max_windows):
+                break
+            ev = np.asarray(batch["events"][0])
+            m = np.asarray(batch["events_mask"][0]) != 0
+            ev = ev[m]
+            if len(ev) < args.min_events:
+                continue
+            xs, ys, ts, ps = (ev[:, 0].astype(np.float32),
+                              ev[:, 1].astype(np.float32),
+                              ev[:, 2].astype(np.float32),
+                              ev[:, 3].astype(np.float32))
+            params, rois, _f, valid = grid_cmax_batched(
+                xs, ys, ts, ps, roi_size=tuple(args.roi_size),
+                img_size=(H, W), min_events=args.min_events,
+                maxiter=args.maxiter, capacity=args.capacity,
+                smooth=args.smooth, x0=prev,
+                pyramid=2 if (args.pyramid_first and prev is None) else 1)
+            params = np.asarray(params)
+            prev = params
+            flow = roi_params_to_dense_flow(params, np.asarray(valid),
+                                            tuple(args.roi_size), (H, W))
+            np.save(os.path.join(args.output_dir,
+                                 f"flow_{n_windows:04d}.npy"), flow)
+            stamps.append(float(ts[-1]))
+            if args.render:
+                import matplotlib
 
-            matplotlib.use("Agg")
-            import matplotlib.pyplot as plt
+                matplotlib.use("Agg")
+                import matplotlib.pyplot as plt
 
-            from ..utils.util import flow2bgr_np
+                from ..utils.util import flow2bgr_np
 
-            rgb = flow2bgr_np(flow[0], flow[1])[..., ::-1]
-            plt.imsave(os.path.join(args.output_dir,
-                                    f"flow_{n_windows:04d}.png"), rgb)
-        n_events += len(ev)
-        n_windows += 1
-        elapsed = time.perf_counter() - t_start
-        print(f"window {n_windows}: {len(ev)} events, sustained "
-              f"{n_events / elapsed / 1e6:.2f} Mev/s, "
-              f"{n_windows / elapsed:.2f} windows/s", flush=True)
+                rgb = flow2bgr_np(flow[0], flow[1])[..., ::-1]
+                plt.imsave(os.path.join(args.output_dir,
+                                        f"flow_{n_windows:04d}.png"), rgb)
+            n_events += len(ev)
+            n_windows += 1
+            elapsed = time.perf_counter() - t_start
+            print(f"window {n_windows}: {len(ev)} events, sustained "
+                  f"{n_events / elapsed / 1e6:.2f} Mev/s, "
+                  f"{n_windows / elapsed:.2f} windows/s", flush=True)
+    finally:
+        loader.close()
 
     if n_windows == 0:
         raise SystemExit("no window had enough events")

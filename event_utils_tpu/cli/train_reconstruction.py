@@ -123,22 +123,42 @@ def iter_sequences(dataset, seq_len, batch_size):
         yield (np.stack(voxels, axis=1), np.stack(frames, axis=1))
 
 
-def materialize_windows(dataset, cache_path=None):
+def _source_stamp(src_path):
+    """(mtime_ns, size) of a recording — for memmap dirs, of its t.npy."""
+    import os
+
+    p = src_path
+    if os.path.isdir(p):
+        t = os.path.join(p, "t.npy")
+        p = t if os.path.exists(t) else p
+    st = os.stat(p)
+    return st.st_mtime_ns, st.st_size
+
+
+def materialize_windows(dataset, cache_path=None, src_path=None):
     """Fetch every between-frames window of ``dataset`` once, returning
     ``(N, C, H, W)`` voxels + ``(N, 1, H, W)`` frames (HW padded to /8).
 
     With ``cache_path``, the stacks are saved to/loaded from a sidecar
     ``.npz`` so repeated epochs and resumed segments never re-run the
     per-window voxelization (the dominant cost on slow hosts: each
-    ``dataset[i]`` is an H5 slice + a device scatter round-trip).
+    ``dataset[i]`` is an H5 slice + a device scatter round-trip). The cache
+    is keyed on the source recording's (mtime_ns, size) via ``src_path``;
+    a regenerated recording at the same path rebuilds it (caches written
+    before this key existed are rebuilt once).
     """
     import os
 
     import numpy as np
 
+    stamp = (np.asarray(_source_stamp(src_path), np.int64)
+             if src_path else None)
     if cache_path and os.path.exists(cache_path):
         z = np.load(cache_path)
-        return z["voxels"], z["frames"]
+        if stamp is None or ("src_stamp" in z
+                             and np.array_equal(z["src_stamp"], stamp)):
+            return z["voxels"], z["frames"]
+        print(f"window cache stale ({cache_path}); rebuilding")
     voxels, frames = [], []
     for i in range(len(dataset)):
         item = dataset[i]
@@ -151,8 +171,11 @@ def materialize_windows(dataset, cache_path=None):
     voxels = np.stack(voxels)
     frames = np.stack(frames)
     if cache_path:
+        payload = {"voxels": voxels, "frames": frames}
+        if stamp is not None:
+            payload["src_stamp"] = stamp
         tmp = cache_path + ".tmp.npz"
-        np.savez(tmp, voxels=voxels, frames=frames)
+        np.savez(tmp, **payload)
         os.replace(tmp, cache_path)
     return voxels, frames
 
@@ -291,7 +314,8 @@ def main(argv=None):
         raise SystemExit("--shuffle needs --cache_windows")
     if args.cache_windows:
         tag = f"b{args.num_bins}" + ("c" if args.combined_channels else "")
-        stacks = [materialize_windows(d, f"{p}.wincache_{tag}.npz")
+        stacks = [materialize_windows(d, f"{p}.wincache_{tag}.npz",
+                                      src_path=p)
                   for p, d in datasets]
     rng = np.random.default_rng(args.seed) if args.shuffle else None
 

@@ -90,6 +90,13 @@ class NativeWindowedLoader:
             return len(self.windows) // self.batch_size
         return (len(self.windows) + self.batch_size - 1) // self.batch_size
 
+    def close(self):
+        """Release the memmap views (uniform loader contract with
+        H5WindowedLoader/ChainLoader; numpy memmaps close on GC, so this
+        is deterministic-release sugar, not a correctness requirement)."""
+        self.t = self.xy = self.p = None
+        self._out_pool = _RotatingPool()
+
     def __iter__(self) -> Iterator[dict]:
         order = np.arange(len(self.windows))
         if self.shuffle:

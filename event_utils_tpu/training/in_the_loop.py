@@ -124,7 +124,8 @@ def simulate_flow_batch(key: Array, batch_size: int,
 @partial(jax.jit, static_argnames=("batch_size", "sensor_size", "capacity",
                                    "seq_len", "sim_steps_per_window",
                                    "num_bins", "combined", "octaves",
-                                   "omega_max", "s_max"))
+                                   "omega_max", "s_max",
+                                   "return_saturation"))
 def simulate_recon_batch(key: Array, batch_size: int,
                          sensor_size: Tuple[int, int], capacity: int,
                          seq_len: int, v_max: float = 40.0,
@@ -132,7 +133,8 @@ def simulate_recon_batch(key: Array, batch_size: int,
                          sim_steps_per_window: int = 4, num_bins: int = 5,
                          combined: bool = False, octaves: int = 3,
                          c_pos: float = 0.15, c_neg: float = 0.15,
-                         omega_max: float = 0.0, s_max: float = 0.0):
+                         omega_max: float = 0.0, s_max: float = 0.0,
+                         return_saturation: bool = False):
     """One fresh supervised E2VID sequence batch, generated on device.
 
     Per element: random smooth texture + uniform random velocity, a
@@ -151,6 +153,11 @@ def simulate_recon_batch(key: Array, batch_size: int,
     the :meth:`ReconstructionTrainer.train_sequence` contract; ``frames[w]``
     is the rendered frame at window w's END (the dataset pairing).
     ``capacity`` bounds events per SEQUENCE (all ``seq_len`` windows).
+    With ``return_saturation``, a third ``(B,)`` bool output flags elements
+    whose scene filled every capacity slot — their event stream was
+    TAIL-CUT in time (late windows under-populated vs the full-window
+    frame targets; see ``simulate_events_device``), so trainers should
+    warn and the capacity should be raised.
     """
     from ..representations.voxel_grid import (events_to_neg_pos_voxel,
                                               events_to_voxel)
@@ -194,12 +201,14 @@ def simulate_recon_batch(key: Array, batch_size: int,
             return jnp.concatenate([vp, vn], 0)
 
         voxels = jax.vmap(win)(jnp.arange(seq_len))   # (T, C, H, W)
-        return voxels, frames[target_idx][:, None]    # + (T, 1, H, W)
+        sat = jnp.sum(mask > 0) >= capacity
+        return voxels, frames[target_idx][:, None], sat   # + (T, 1, H, W)
 
     keys = jax.random.split(key, batch_size)
-    voxels, targets = jax.vmap(one)(keys)
-    return (voxels.transpose(1, 0, 2, 3, 4),
-            targets.transpose(1, 0, 2, 3, 4))
+    voxels, targets, sat = jax.vmap(one)(keys)
+    out = (voxels.transpose(1, 0, 2, 3, 4),
+           targets.transpose(1, 0, 2, 3, 4))
+    return out + (sat,) if return_saturation else out
 
 
 def train_reconstruction_in_the_loop(trainer, steps: int,
@@ -245,7 +254,7 @@ def train_reconstruction_in_the_loop(trainer, steps: int,
             k, batch_size, (H, W), capacity, seq_len, v_max=v_max,
             window_t=window_t, sim_steps_per_window=sim_steps_per_window,
             num_bins=trainer.num_bins, combined=trainer.combined_channels,
-            omega_max=omega_max, s_max=s_max)
+            omega_max=omega_max, s_max=s_max, return_saturation=True)
 
     mesh = getattr(trainer, "mesh", None)
     if mesh is not None:
@@ -257,7 +266,8 @@ def train_reconstruction_in_the_loop(trainer, steps: int,
             raise ValueError(f"batch_size {batch_size} must divide the "
                              f"mesh size {mesh.size}")
         ssh = NamedSharding(mesh, P(None, mesh.axis_names[0]))
-        gen = jax.jit(_gen, out_shardings=(ssh, ssh))
+        bsh = NamedSharding(mesh, P(mesh.axis_names[0]))
+        gen = jax.jit(_gen, out_shardings=(ssh, ssh, bsh))
     else:
         gen = _gen
 
@@ -265,8 +275,9 @@ def train_reconstruction_in_the_loop(trainer, steps: int,
     key, k_eval = jax.random.split(key)
     if eval_seed is not None:
         _, k_eval = jax.random.split(jax.random.PRNGKey(eval_seed))
-    eval_voxels, eval_frames = gen(k_eval)
-    eval_frames_np = np.asarray(eval_frames)
+    if eval_every:
+        eval_voxels, eval_frames, _ = gen(k_eval)
+        eval_frames_np = np.asarray(eval_frames)
 
     def eval_metrics():
         imgs, _ = trainer.reconstruct(eval_voxels)
@@ -282,17 +293,28 @@ def train_reconstruction_in_the_loop(trainer, steps: int,
 
     losses, psnr_curve = [], []
     pending = []
+    n_sat = jnp.zeros((), jnp.int32)
+    n_elems = 0
+    sat_warned = False
     t0 = time.perf_counter()
     for i in range(steps):
         key, k = jax.random.split(key)
-        voxels, frames = gen(k)
+        voxels, frames, sat = gen(k)
         pending.append(trainer.train_sequence_async(voxels, frames))
+        n_sat = n_sat + sat.sum()
+        n_elems += batch_size
         if log_every and (i + 1) % log_every == 0:
             losses.extend(float(x) for x in pending)
             pending = []
             sps = (i + 1) / (time.perf_counter() - t0)
             log_fn(f"step {trainer.step}: loss {losses[-1]:.5f} "
                    f"({sps:.2f} steps/s)")
+            if not sat_warned and int(n_sat) > 0:
+                sat_warned = True
+                log_fn(f"WARNING: {int(n_sat)}/{n_elems} simulated scenes "
+                       f"hit the {capacity}-event capacity — their streams "
+                       "are TAIL-CUT in time (late windows under-populated "
+                       "vs full-window targets); raise capacity")
         if eval_every and (i + 1) % eval_every == 0:
             p, s = eval_metrics()
             psnr_curve.append((trainer.step, p, s))
@@ -381,8 +403,9 @@ def train_flow_in_the_loop(trainer, steps: int, batch_size: int = 8,
     key, k_eval = jax.random.split(key)
     if eval_seed is not None:
         _, k_eval = jax.random.split(jax.random.PRNGKey(eval_seed))
-    eval_ev, eval_mask, eval_gt = gen(k_eval)
-    eval_voxel = voxelize(eval_ev, eval_mask)
+    if eval_every:
+        eval_ev, eval_mask, eval_gt = gen(k_eval)
+        eval_voxel = voxelize(eval_ev, eval_mask)
 
     def dense_gt(gt_v):
         # uniform family: (B, 2) broadcast dense; similarity family:
@@ -395,6 +418,9 @@ def train_flow_in_the_loop(trainer, steps: int, batch_size: int = 8,
     losses, aee_curve = [], []
     pending = []
     n_events = jnp.zeros((), jnp.float32)
+    n_sat = jnp.zeros((), jnp.int32)
+    n_elems = 0
+    sat_warned = False
     t0 = time.perf_counter()
     for i in range(steps):
         key, k = jax.random.split(key)
@@ -403,12 +429,20 @@ def train_flow_in_the_loop(trainer, steps: int, batch_size: int = 8,
         pending.append(trainer.train_batch_async(voxel, ev, mask,
                                                  dense_gt(gt_v)))
         n_events = n_events + mask.sum()
+        n_sat = n_sat + jnp.sum(jnp.sum(mask > 0, axis=1) >= capacity)
+        n_elems += batch_size
         if log_every and (i + 1) % log_every == 0:
             losses.extend(float(x) for x in pending)
             pending = []
             rate = float(n_events) / (time.perf_counter() - t0) / 1e6
             log_fn(f"step {trainer.step}: loss {losses[-1]:.5f}, "
                    f"{rate:.2f} Mev/s simulated+trained")
+            if not sat_warned and int(n_sat) > 0:
+                sat_warned = True
+                log_fn(f"WARNING: {int(n_sat)}/{n_elems} simulated scenes "
+                       f"hit the {capacity}-event capacity — their streams "
+                       "are TAIL-CUT in time (late voxel bins under-"
+                       "populated vs full-window GT); raise capacity")
         if eval_every and (i + 1) % eval_every == 0:
             aee = float(aee_of(trainer.params, eval_voxel, eval_gt))
             aee_curve.append((trainer.step, aee))

@@ -25,7 +25,7 @@ kwargs = dict(voxel_method={"method": "between_frames",
               return_format="numpy")
 for p in sorted(glob.glob(sys.argv[1] + "/*.h5")):
     materialize_windows(DynamicH5Dataset(p, **kwargs),
-                        p + ".wincache_b5.npz")
+                        p + ".wincache_b5.npz", src_path=p)
     print("materialized", p, flush=True)
 EOF
 
