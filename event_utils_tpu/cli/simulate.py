@@ -47,6 +47,20 @@ def build_parser():
                         help="Per-pixel threshold-mismatch sigma")
     parser.add_argument("--refractory", type=float, default=0.0,
                         help="Refractory period in seconds")
+    parser.add_argument("--leak_rate", type=float, default=0.0,
+                        help="Per-pixel background-activity rate in Hz "
+                             "(spurious ON 'leak' events)")
+    parser.add_argument("--shot_rate", type=float, default=0.0,
+                        help="Per-pixel random-polarity shot-noise rate, Hz")
+    parser.add_argument("--hot_pixels", type=float, default=0.0,
+                        help="Fraction of pixels that are hot (stuck-ON "
+                             "at --hot_pixel_rate Hz)")
+    parser.add_argument("--hot_pixel_rate", type=float, default=100.0,
+                        help="Extra ON-leak rate of each hot pixel in Hz")
+    parser.add_argument("--noise_slots", type=int, default=4,
+                        help="Static noise-event slots per pixel per frame "
+                             "interval; must hold the configured rates "
+                             "(the simulator errors with the needed value)")
     parser.add_argument("--octaves", type=int, default=4,
                         help="Texture octaves (higher = finer structure)")
     parser.add_argument("--seed", type=int, default=0)
@@ -114,13 +128,20 @@ def _run_one(args, seed, output_path, fmt, velocity, omega):
         scene = rotating_scene(texture, omega)
 
     cfg = SimulatorConfig(c_pos=args.c_pos, c_neg=args.c_neg,
-                          sigma_c=args.sigma_c, refractory=args.refractory)
-    noise_key = sim_key if (args.sigma_c > 0 or cfg.noise_std > 0) else None
+                          sigma_c=args.sigma_c, refractory=args.refractory,
+                          leak_rate_hz=args.leak_rate,
+                          shot_rate_hz=args.shot_rate,
+                          hot_pixel_fraction=args.hot_pixels,
+                          hot_pixel_rate_hz=args.hot_pixel_rate,
+                          max_noise_events_per_pixel=args.noise_slots)
+    noise_key = sim_key if (args.sigma_c > 0 or cfg.noise_std > 0
+                            or cfg.has_noise_events()) else None
     events, frames, frame_ts, flows = simulate_scene(
         scene, args.duration, args.fps, cfg, key=noise_key)
     print(f"simulated {len(events)} events "
           f"({events.stats['num_pos']} pos / {events.stats['num_neg']} neg, "
-          f"{events.stats['dropped']} dropped)")
+          f"{events.stats['dropped']} dropped, "
+          f"{events.stats.get('num_noise', 0)} noise)")
 
     if fmt == "h5":
         parent = os.path.dirname(os.path.abspath(output_path))

@@ -13,8 +13,10 @@ level ``L_ref``; whenever ``|L(t) - L_ref|`` crosses the contrast threshold
 ``C`` an event fires with the crossing's sign, the timestamp linearly
 interpolated between the bracketing frames, and ``L_ref`` moves to the
 crossed level. Supported sensor non-idealities: per-pixel threshold
-mismatch (log-normal around ``c_pos``/``c_neg``), a refractory period, and
-additive log-intensity noise.
+mismatch (log-normal around ``c_pos``/``c_neg``), a refractory period,
+additive log-intensity noise, and background activity — Poisson ON "leak"
+events, random-polarity shot noise, and stuck-ON hot pixels (v2e-style,
+independent of the crossing dynamics).
 
 TPU-first design: frames are consumed by one ``lax.scan`` over frame pairs
 inside ``jit``; every pixel emits into ``K`` static event slots per
@@ -191,6 +193,17 @@ class SimulatorConfig:
     log_eps: float = 1e-3        # L = log(I + log_eps)
     max_events_per_pixel: int = 8  # K static slots per pixel per frame pair
     chunk: int = 64              # frame pairs per compiled scan
+    # Background activity (spurious events independent of the signal):
+    leak_rate_hz: float = 0.0    # per-pixel Poisson rate of ON leak events
+    shot_rate_hz: float = 0.0    # per-pixel random-polarity shot noise rate
+    hot_pixel_fraction: float = 0.0  # fraction of pixels that are "hot"
+    hot_pixel_rate_hz: float = 100.0  # per-hot-pixel extra ON-leak rate
+    max_noise_events_per_pixel: int = 4  # Kn noise slots per pixel/interval
+
+    def has_noise_events(self) -> bool:
+        return (self.leak_rate_hz > 0.0 or self.shot_rate_hz > 0.0
+                or (self.hot_pixel_fraction > 0.0
+                    and self.hot_pixel_rate_hz > 0.0))
 
 
 @dataclass
@@ -225,6 +238,116 @@ def _threshold_maps(key: Optional[Array], shape, cfg: SimulatorConfig):
     # A threshold below ~1e-2 log units fires unphysically often and can
     # overflow any static K; clamp like real simulators do.
     return jnp.maximum(cp, 1e-2), jnp.maximum(cn, 1e-2)
+
+
+def hot_pixel_map(key: Array, shape: Tuple[int, int],
+                  cfg: SimulatorConfig) -> Array:
+    """The ``(H, W)`` bool map of hot pixels for a given run ``key``.
+
+    Deterministic per key — the same map :func:`simulate_events` /
+    :func:`simulate_events_device` use internally, exposed so tests (and
+    denoising evaluations against ``utils.event_util.remove_hot_pixels``)
+    can recover the planted ground truth.
+    """
+    k_hot, _ = jax.random.split(_noise_events_key(key))
+    return jax.random.bernoulli(k_hot, cfg.hot_pixel_fraction, shape)
+
+
+def _noise_events_key(key: Array) -> Array:
+    # fold_in (not a wider split) so the historical thresh/noise streams
+    # stay bit-identical when noise events are disabled.
+    return jax.random.fold_in(jnp.asarray(key), 0x6e73)
+
+
+def _validate_noise_cfg(cfg: SimulatorConfig, key) -> None:
+    if (cfg.leak_rate_hz < 0.0 or cfg.shot_rate_hz < 0.0
+            or cfg.hot_pixel_rate_hz < 0.0
+            or not 0.0 <= cfg.hot_pixel_fraction <= 1.0):
+        raise ConfigurationError(
+            "leak_rate_hz/shot_rate_hz/hot_pixel_rate_hz must be >= 0 and "
+            "hot_pixel_fraction within [0, 1]")
+    if cfg.has_noise_events() and key is None:
+        raise ConfigurationError(
+            "leak/hot-pixel noise events require an explicit PRNG key")
+
+
+def _check_noise_capacity(cfg: SimulatorConfig, dt_max: float) -> None:
+    """Fail loudly when the static noise-slot capacity cannot hold the
+    configured background activity.
+
+    Noise events draw ``min(Poisson(rate·dt), Kn)`` per pixel per frame
+    interval; a λ near/above Kn silently tail-truncates the noise process.
+    Keeping Kn identical between the host and device paths is what makes
+    their streams bit-comparable (same PRNG draw shapes), so Kn is never
+    auto-resized — the check demands an explicit config instead.
+    """
+    rate_max = cfg.leak_rate_hz + cfg.shot_rate_hz + (
+        cfg.hot_pixel_rate_hz if cfg.hot_pixel_fraction > 0.0 else 0.0)
+    lam = rate_max * float(dt_max)
+    need = lam + 4.0 * np.sqrt(lam) + 1.0  # P(Poisson(λ) > need) ~ 3e-5
+    if need > cfg.max_noise_events_per_pixel:
+        raise ConfigurationError(
+            f"max_noise_events_per_pixel={cfg.max_noise_events_per_pixel} "
+            f"cannot hold the configured background activity (up to "
+            f"λ={lam:.1f} noise events per pixel per frame interval): "
+            f"raise it to >= {int(np.ceil(need))} or increase the frame "
+            "rate")
+
+
+def _noise_rate_maps(key: Array, shape, cfg: SimulatorConfig):
+    """Per-pixel noise-event Poisson rate + ON-polarity probability.
+
+    Background-activity model (v2e-style, independent of the crossing
+    dynamics): every pixel leaks ON events at ``leak_rate_hz`` (the DVS
+    reset-switch junction leak — ON-polarity by construction) and fires
+    random-polarity shot noise at ``shot_rate_hz``; a random
+    ``hot_pixel_fraction`` of pixels carries ``hot_pixel_rate_hz`` of
+    EXTRA leak (hot pixels are the extreme-leak tail, so they read as
+    stuck-ON — exactly what count-based denoisers like
+    ``utils.event_util.remove_hot_pixels`` key on). The per-event ON
+    probability of the mixture is ``(leak + hot + shot/2) / total``.
+    """
+    k_hot, k_slots = jax.random.split(_noise_events_key(key))
+    hot = (jax.random.bernoulli(k_hot, cfg.hot_pixel_fraction, shape)
+           .astype(jnp.float32) * cfg.hot_pixel_rate_hz
+           if cfg.hot_pixel_fraction > 0.0 else jnp.zeros(shape, jnp.float32))
+    rate = cfg.leak_rate_hz + cfg.shot_rate_hz + hot
+    p_on = jnp.where(
+        rate > 0.0,
+        (cfg.leak_rate_hz + hot + 0.5 * cfg.shot_rate_hz)
+        / jnp.maximum(rate, 1e-30),
+        1.0)
+    return rate, p_on, k_slots
+
+
+@lru_cache(maxsize=None)
+def _compiled_noise(Kn: int):
+    """Jitted noise-event sampler: (interval indices, bounds) -> slots.
+
+    Each frame interval draws ``n ~ min(Poisson(rate·dt), Kn)`` spurious
+    events per pixel at uniform times inside the interval — the same
+    static-slot/validity-mask idiom as the crossing scan, so shapes stay
+    compile-time constant. Keys fold in the ABSOLUTE interval index, making
+    the stream invariant to the host path's chunking.
+    """
+
+    @jax.jit
+    def run(k_slots, idx, t0s, t1s, rate, p_on):
+        def one(i, t0, t1):
+            k = jax.random.fold_in(k_slots, i)
+            k1, k2, k3 = jax.random.split(k, 3)
+            dt = t1 - t0
+            n = jnp.minimum(jax.random.poisson(k1, rate * dt), Kn)
+            valid = jnp.arange(Kn)[None, None, :] < n[..., None]
+            u = jax.random.uniform(k2, rate.shape + (Kn,))
+            t = (t0 + u * dt).astype(jnp.float32)
+            on = jax.random.uniform(k3, rate.shape + (Kn,)) < p_on[..., None]
+            sign = jnp.where(on, 1, -1).astype(jnp.int8)
+            return t, valid, sign
+
+        return jax.vmap(one)(idx, t0s, t1s)
+
+    return run
 
 
 @lru_cache(maxsize=None)
@@ -327,7 +450,13 @@ def simulate_events(frames, frame_ts, cfg: Optional[SimulatorConfig] = None,
         thresh_key, noise_key = jax.random.split(jnp.asarray(key))
     if cfg.noise_std > 0.0 and noise_key is None:
         raise ConfigurationError("noise_std > 0 requires an explicit PRNG key")
+    _validate_noise_cfg(cfg, key)
     cp, cn = _threshold_maps(thresh_key, (H, W), cfg)
+    noise_rate = None
+    if cfg.has_noise_events():
+        _check_noise_capacity(cfg, np.diff(frame_ts).max())
+        noise_rate, noise_p_on, k_slots = _noise_rate_maps(key, (H, W), cfg)
+        noise_run = _compiled_noise(int(cfg.max_noise_events_per_pixel))
 
     def log_block(block, first_index):
         """Log-transform (+ per-frame-indexed noise) one frame chunk on
@@ -351,6 +480,7 @@ def simulate_events(frames, frame_ts, cfg: Optional[SimulatorConfig] = None,
                          np.arange(H, dtype=np.int32))
     blocks = []
     dropped_total = 0
+    noise_total = 0
     chunk = max(1, int(cfg.chunk))
     # Relative float32 time inside the scan; float64 origin restored below.
     t_origin = frame_ts[0]
@@ -380,19 +510,32 @@ def simulate_events(frames, frame_ts, cfg: Optional[SimulatorConfig] = None,
         if len(si):
             blocks.append((xx[iy, ix], yy[iy, ix], t_ev[kept],
                            sign[si, iy, ix].astype(np.float32)))
+        if noise_rate is not None:
+            idx = jnp.arange(start, start + chunk)
+            n_t, n_valid, n_sign = noise_run(k_slots, idx, st[:-1], st[1:],
+                                             noise_rate, noise_p_on)
+            n_t = np.asarray(n_t)[:real]
+            n_valid = np.asarray(n_valid)[:real]
+            n_sign = np.asarray(n_sign)[:real]
+            _, niy, nix, _ = np.nonzero(n_valid)
+            if len(niy):
+                blocks.append((xx[niy, nix], yy[niy, nix], n_t[n_valid],
+                               n_sign[n_valid].astype(np.float32)))
+                noise_total += int(n_valid.sum())
 
     if not blocks:
         empty = np.array([], np.float32)
         return SimulatedEvents(empty, empty, empty.astype(np.float64), empty,
                                {"num_events": 0, "dropped": dropped_total,
-                                "num_pos": 0, "num_neg": 0})
+                                "num_pos": 0, "num_neg": 0, "num_noise": 0})
     xs = np.concatenate([b[0] for b in blocks]).astype(np.float32)
     ys = np.concatenate([b[1] for b in blocks]).astype(np.float32)
     ts = np.concatenate([b[2] for b in blocks]).astype(np.float64) + t_origin
     ps = np.concatenate([b[3] for b in blocks])
     order = np.argsort(ts, kind="stable")
     stats = {"num_events": len(ts), "dropped": dropped_total,
-             "num_pos": int((ps > 0).sum()), "num_neg": int((ps < 0).sum())}
+             "num_pos": int((ps > 0).sum()), "num_neg": int((ps < 0).sum()),
+             "num_noise": noise_total}
     return SimulatedEvents(xs[order], ys[order], ts[order], ps[order], stats)
 
 
@@ -434,6 +577,7 @@ def simulate_events_device(frames, frame_ts, capacity: int,
         thresh_key, noise_key = jax.random.split(jnp.asarray(key))
     if cfg.noise_std > 0.0 and noise_key is None:
         raise ConfigurationError("noise_std > 0 requires an explicit PRNG key")
+    _validate_noise_cfg(cfg, key)
     cp, cn = _threshold_maps(thresh_key, (H, W), cfg)
     run_chunk = _compiled_scan(int(cfg.max_events_per_pixel),
                                float(cfg.refractory))
@@ -461,6 +605,23 @@ def simulate_events_device(frames, frame_ts, capacity: int,
                           (steps, H, W, K)).reshape(-1)
     tt = t_ev.reshape(-1)
     valid = kept.reshape(-1)
+    if cfg.has_noise_events():
+        if not isinstance(frame_ts, jax.core.Tracer):
+            _check_noise_capacity(cfg, jnp.diff(frame_ts).max())
+        rate, p_on, k_slots = _noise_rate_maps(key, (H, W), cfg)
+        Kn = int(cfg.max_noise_events_per_pixel)
+        n_t, n_valid, n_sign = _compiled_noise(Kn)(
+            k_slots, jnp.arange(steps), frame_ts[:-1], frame_ts[1:],
+            rate, p_on)
+        xx = jnp.concatenate([xx, jnp.broadcast_to(
+            jnp.arange(W, dtype=jnp.float32)[None, None, :, None],
+            (steps, H, W, Kn)).reshape(-1)])
+        yy = jnp.concatenate([yy, jnp.broadcast_to(
+            jnp.arange(H, dtype=jnp.float32)[None, :, None, None],
+            (steps, H, W, Kn)).reshape(-1)])
+        pp = jnp.concatenate([pp, n_sign.astype(jnp.float32).reshape(-1)])
+        tt = jnp.concatenate([tt, n_t.reshape(-1)])
+        valid = jnp.concatenate([valid, n_valid.reshape(-1)])
     order = jnp.argsort(jnp.where(valid, tt, jnp.inf),
                         stable=True)[:capacity]
     pad_out = capacity - order.shape[0]  # static: slot count < capacity

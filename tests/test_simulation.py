@@ -288,7 +288,7 @@ def test_zero_event_run_has_full_stats_contract(tmp_path):
     ev = simulate_events(ramp_frames(0.0, 0.1, 5), np.linspace(0, 1, 5),
                          SimulatorConfig(c_pos=5.0, c_neg=5.0))
     assert ev.stats == {"num_events": 0, "dropped": 0,
-                       "num_pos": 0, "num_neg": 0}
+                        "num_pos": 0, "num_neg": 0, "num_noise": 0}
 
     from event_utils_tpu.cli.simulate import main
     path = str(tmp_path / "empty.h5")
@@ -426,3 +426,127 @@ def test_device_simulated_batch_feeds_flow_trainer():
                           learning_rate=1e-3)
     loss = trainer.train_batch(voxel, ev[None], mask[None])
     assert np.isfinite(loss)
+
+
+def test_leak_events_poisson_statistics():
+    """A static scene emits ONLY background activity: per-pixel ON leak
+    events at leak_rate_hz (Poisson), uniformly in time."""
+    frames = np.full((101, 16, 16), 0.5, np.float32)
+    fts = np.linspace(0.0, 1.0, 101)
+    cfg = SimulatorConfig(leak_rate_hz=5.0)
+    ev = simulate_events(frames, fts, cfg, key=jax.random.PRNGKey(0))
+    expected = 5.0 * 16 * 16  # rate * duration * pixels = 1280
+    assert abs(len(ev) - expected) < 6 * np.sqrt(expected)
+    assert np.all(ev.ps == 1.0)  # leak events are ON by construction
+    assert ev.stats["num_noise"] == len(ev)
+    # uniform in time: first/second half within Poisson noise of each other
+    assert abs((ev.ts < 0.5).sum() - len(ev) / 2) < 6 * np.sqrt(len(ev) / 2)
+    # deterministic per key, chunk-invariant (absolute-interval fold_in)
+    ev_b = simulate_events(frames, fts,
+                           SimulatorConfig(leak_rate_hz=5.0, chunk=7),
+                           key=jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(ev.ts, ev_b.ts)
+    np.testing.assert_array_equal(ev.xs, ev_b.xs)
+    ev_c = simulate_events(frames, fts, cfg, key=jax.random.PRNGKey(1))
+    assert len(ev_c) != len(ev) or not np.array_equal(ev.ts, ev_c.ts)
+
+
+def test_hot_pixels_found_by_remove_hot_pixels():
+    """Planted hot pixels dominate per-pixel counts on a moving scene, so
+    utils.event_util.remove_hot_pixels recovers exactly the planted set
+    (the denoising loop the reference runs on real recordings,
+    reference event_util.py:166-187)."""
+    from event_utils_tpu.simulation.esim import hot_pixel_map
+    from event_utils_tpu.utils.event_util import remove_hot_pixels
+
+    key = jax.random.PRNGKey(5)
+    tex = smooth_texture(key, (32, 32))
+    sc = translating_scene(tex, (20.0, 8.0))
+    cfg = SimulatorConfig(c_pos=0.25, c_neg=0.25,
+                          hot_pixel_fraction=0.02, hot_pixel_rate_hz=2000.0,
+                          max_noise_events_per_pixel=40)  # λ=20/interval
+    sim_key = jax.random.PRNGKey(9)
+    ev, *_ = simulate_scene(sc, 0.25, 100.0, cfg, key=sim_key)
+    hot = np.asarray(hot_pixel_map(sim_key, (32, 32), cfg))
+    n_hot = int(hot.sum())
+    assert n_hot > 0
+    assert ev.stats["num_noise"] >= n_hot * 2000.0 * 0.25 * 0.5
+    # hot pixels fire ~500 events each vs tens for signal pixels
+    xs, ys, ts, ps = remove_hot_pixels(ev.xs, ev.ys, ev.ts, ev.ps,
+                                       sensor_size=(32, 32), num_hot=n_hot)
+    removed = set(zip(ev.xs.astype(int), ev.ys.astype(int))) \
+        - set(zip(xs.astype(int), ys.astype(int)))
+    want = {(int(x), int(y)) for y, x in np.argwhere(hot)}
+    assert removed == want
+    # hot-pixel NOISE is stuck-ON (extreme-leak tail) — that's what makes
+    # the reference's signed-accumulation detector find them. Genuine
+    # scene crossings still fire at those pixels (~tens, either polarity),
+    # so assert dominance, not purity.
+    on_hot = np.array([p for x, y, p in zip(ev.xs.astype(int),
+                                            ev.ys.astype(int), ev.ps)
+                       if (x, y) in want])
+    assert (on_hot > 0).mean() > 0.9
+
+
+def test_shot_noise_is_random_polarity():
+    frames = np.full((51, 12, 12), 0.4, np.float32)
+    fts = np.linspace(0.0, 1.0, 51)
+    ev = simulate_events(frames, fts, SimulatorConfig(shot_rate_hz=10.0),
+                         key=jax.random.PRNGKey(6))
+    expected = 10.0 * 12 * 12
+    assert abs(len(ev) - expected) < 6 * np.sqrt(expected)
+    frac_on = (ev.ps > 0).mean()
+    assert 0.4 < frac_on < 0.6  # 50/50 within binomial noise
+
+
+def test_noise_events_device_host_parity():
+    """simulate_events_device includes the same noise events as the host
+    path for the same key (shared absolute-interval fold_in scheme)."""
+    from event_utils_tpu.simulation.esim import simulate_events_device
+
+    key = jax.random.PRNGKey(2)
+    tex = smooth_texture(key, (20, 24), octaves=3)
+    sc = translating_scene(tex, (28.0, -10.0))
+    fts = np.linspace(0.0, 0.1, 11)
+    frames = np.stack([np.asarray(sc.render(t)) for t in fts])
+    cfg = SimulatorConfig(c_pos=0.2, c_neg=0.2, leak_rate_hz=40.0,
+                          hot_pixel_fraction=0.01, hot_pixel_rate_hz=500.0,
+                          max_noise_events_per_pixel=16)
+    sim_key = jax.random.PRNGKey(4)
+    host = simulate_events(frames, fts, cfg, key=sim_key)
+    assert host.stats["num_noise"] > 0
+    cap = len(host) + 16
+    ev, mask = simulate_events_device(frames, fts, cap, cfg, key=sim_key)
+    ev, n = np.asarray(ev), int(np.asarray(mask).sum())
+    assert n == len(host)
+    np.testing.assert_allclose(np.sort(ev[:n, 2]), host.ts, atol=1e-5)
+    got = sorted(map(tuple, ev[:n, :2].astype(int)))
+    want = sorted(zip(host.xs.astype(int), host.ys.astype(int)))
+    assert got == want
+
+
+def test_noise_config_validation():
+    frames = ramp_frames(0.0, 1.0, 3)
+    fts = [0.0, 0.5, 1.0]
+    with pytest.raises(ConfigurationError):  # needs a key
+        simulate_events(frames, fts, SimulatorConfig(leak_rate_hz=1.0))
+    with pytest.raises(ConfigurationError):  # negative rate
+        simulate_events(frames, fts, SimulatorConfig(leak_rate_hz=-1.0),
+                        key=jax.random.PRNGKey(0))
+    with pytest.raises(ConfigurationError):  # fraction out of range
+        simulate_events(frames, fts,
+                        SimulatorConfig(hot_pixel_fraction=1.5),
+                        key=jax.random.PRNGKey(0))
+    with pytest.raises(ConfigurationError):  # λ·dt overflows the Kn slots
+        simulate_events(frames, fts,
+                        SimulatorConfig(leak_rate_hz=100.0,
+                                        max_noise_events_per_pixel=4),
+                        key=jax.random.PRNGKey(0))
+    # zero-rate configs with a key leave the historical stream untouched
+    base = simulate_events(frames, fts, SimulatorConfig(sigma_c=0.1),
+                           key=jax.random.PRNGKey(3))
+    same = simulate_events(frames, fts,
+                           SimulatorConfig(sigma_c=0.1, leak_rate_hz=0.0,
+                                           hot_pixel_fraction=0.0),
+                           key=jax.random.PRNGKey(3))
+    np.testing.assert_array_equal(base.ts, same.ts)
