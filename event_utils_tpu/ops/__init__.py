@@ -10,6 +10,10 @@ from .scatter import (  # noqa: F401
     set_default_impl,
 )
 from .blur import gaussian_filter, gaussian_blur_image, gaussian_kernel1d  # noqa: F401
+from .denoise import (  # noqa: F401
+    background_activity_filter,
+    filter_background_activity,
+)
 from .matmul_scatter import bilinear_scatter_matmul  # noqa: F401
 from .pallas_scatter import (  # noqa: F401
     bilinear_matmul,

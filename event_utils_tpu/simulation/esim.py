@@ -214,12 +214,18 @@ class SimulatedEvents:
     overflow plus refractory gating); a refractory-blocked crossing retries
     every interval until its pixel wakes, so the count can exceed the
     number of distinct crossings lost.
+
+    ``labels`` (only when background activity is enabled, else ``None``)
+    tags each event 0 = genuine contrast crossing, 1 = noise (leak/shot/
+    hot-pixel) — exact ground truth for scoring denoisers
+    (:func:`ops.denoise.background_activity_filter`).
     """
     xs: np.ndarray
     ys: np.ndarray
     ts: np.ndarray
     ps: np.ndarray
     stats: Dict[str, int] = field(default_factory=dict)
+    labels: Optional[np.ndarray] = None
 
     def __len__(self):
         return len(self.ts)
@@ -509,7 +515,7 @@ def simulate_events(frames, frame_ts, cfg: Optional[SimulatorConfig] = None,
         si, iy, ix, _ = np.nonzero(kept)
         if len(si):
             blocks.append((xx[iy, ix], yy[iy, ix], t_ev[kept],
-                           sign[si, iy, ix].astype(np.float32)))
+                           sign[si, iy, ix].astype(np.float32), 0))
         if noise_rate is not None:
             idx = jnp.arange(start, start + chunk)
             n_t, n_valid, n_sign = noise_run(k_slots, idx, st[:-1], st[1:],
@@ -520,23 +526,30 @@ def simulate_events(frames, frame_ts, cfg: Optional[SimulatorConfig] = None,
             _, niy, nix, _ = np.nonzero(n_valid)
             if len(niy):
                 blocks.append((xx[niy, nix], yy[niy, nix], n_t[n_valid],
-                               n_sign[n_valid].astype(np.float32)))
+                               n_sign[n_valid].astype(np.float32), 1))
                 noise_total += int(n_valid.sum())
 
     if not blocks:
         empty = np.array([], np.float32)
         return SimulatedEvents(empty, empty, empty.astype(np.float64), empty,
                                {"num_events": 0, "dropped": dropped_total,
-                                "num_pos": 0, "num_neg": 0, "num_noise": 0})
+                                "num_pos": 0, "num_neg": 0, "num_noise": 0},
+                               labels=(np.array([], np.int8)
+                                       if noise_rate is not None else None))
     xs = np.concatenate([b[0] for b in blocks]).astype(np.float32)
     ys = np.concatenate([b[1] for b in blocks]).astype(np.float32)
     ts = np.concatenate([b[2] for b in blocks]).astype(np.float64) + t_origin
     ps = np.concatenate([b[3] for b in blocks])
     order = np.argsort(ts, kind="stable")
+    labels = None
+    if noise_rate is not None:
+        labels = np.concatenate(
+            [np.full(len(b[0]), b[4], np.int8) for b in blocks])[order]
     stats = {"num_events": len(ts), "dropped": dropped_total,
              "num_pos": int((ps > 0).sum()), "num_neg": int((ps < 0).sum()),
              "num_noise": noise_total}
-    return SimulatedEvents(xs[order], ys[order], ts[order], ps[order], stats)
+    return SimulatedEvents(xs[order], ys[order], ts[order], ps[order], stats,
+                           labels=labels)
 
 
 def simulate_events_device(frames, frame_ts, capacity: int,
