@@ -96,7 +96,7 @@ def main(argv=None):
         if args.eval_gt else None
     fetch_windows, all_stamps = _window_source(
         dataset, args, n, pad=_pad_to_multiple_hw, gt_fn=flow_gt,
-        cache_suffix=".flowcache.npz")
+        gt_channels=2, cache_suffix=".flowcache.npz")
     stamps = []
     aees = []
     written = 0

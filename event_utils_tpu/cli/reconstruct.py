@@ -73,7 +73,7 @@ def _gather_windows(dataset, n, pad, gt_fn=None):
             np.stack(gts) if gt_fn is not None else None)
 
 
-def _window_source(dataset, args, n, pad, gt_fn=None,
+def _window_source(dataset, args, n, pad, gt_fn=None, gt_channels=1,
                    cache_suffix=".reconcache.npz"):
     """Chunkable window access: returns ``(fetch, stamps)`` where
     ``fetch(lo, hi) -> (voxels (hi-lo, C, Hp, Wp), gts | None)``.
@@ -81,16 +81,20 @@ def _window_source(dataset, args, n, pad, gt_fn=None,
     Small recordings are materialized once behind the sidecar cache
     (:func:`_window_arrays`); recordings whose padded windows would exceed
     ``EVENT_UTILS_TPU_WINCACHE_LIMIT_MB`` (default 2048) stream O(chunk)
-    windows per fetch instead — bounded RAM, no multi-GB sidecar file."""
+    windows per fetch instead — bounded RAM, no multi-GB sidecar file.
+    The sizing decision is metadata-only (``gt_channels`` = per-pixel gt
+    channels: 1 frame / 2 flow) — no window is voxelized just to measure
+    it, so cache-hit runs stay fetch-free."""
     import os
 
     import numpy as np
 
-    item0 = dataset[0]
-    vox0 = pad(np.asarray(item0["voxel"], np.float32))
+    H, W = int(dataset.sensor_resolution[0]), int(dataset.sensor_resolution[1])
+    C = args.num_bins if args.combined_channels else 2 * args.num_bins
+    vox0 = pad(np.zeros((C, H, W), np.float32))
     per_win = vox0.nbytes
     if gt_fn is not None:
-        per_win += np.asarray(gt_fn(dataset, 0, item0)).nbytes
+        per_win += gt_channels * H * W * 4
     limit = float(os.environ.get("EVENT_UTILS_TPU_WINCACHE_LIMIT_MB",
                                  "2048")) * 2**20
     if n * per_win > limit:

@@ -86,19 +86,9 @@ def main(argv=None):
                                       batch_size=1, shuffle=False,
                                       relative_time=False)
         if args.sensor is None:
-            # Same precedence as MemMapDataset.find_config: a recorded
-            # sensor_resolution (dataset_config.json, then metadata.json)
-            # beats coordinate extents — the extents of a recording whose
-            # motion never reaches the last rows/cols undersize the frame.
-            sensor = None
-            for meta_name in ("dataset_config.json", "metadata.json"):
-                meta_path = os.path.join(args.path, meta_name)
-                if os.path.exists(meta_path):
-                    with open(meta_path) as f:
-                        res = json.load(f).get("sensor_resolution")
-                    if res is not None:
-                        sensor = (int(res[0]), int(res[1]))
-                        break
+            from ..data_loaders.data_util import memmap_sensor_resolution
+
+            sensor = memmap_sensor_resolution(args.path)
             if sensor is None:
                 data = read_memmap_events(args.path)
                 xy = np.asarray(data["xy"])

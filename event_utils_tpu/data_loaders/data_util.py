@@ -15,6 +15,27 @@ from ..errors import ConfigurationError, DataNotFoundError
 data_sources = ("esim", "ijrr", "mvsec", "eccd", "hqfd", "unknown")
 
 
+def memmap_sensor_resolution(data_path):
+    """The ``sensor_resolution`` recorded next to a memmap directory, or
+    ``None``.
+
+    Single source of truth for the sidecar precedence —
+    ``dataset_config.json`` beats ``metadata.json`` — shared by
+    ``MemMapDataset.find_config`` and the streaming CLIs (a recording
+    whose motion never reaches the last rows/cols would be undersized by
+    coordinate extents)."""
+    import json
+
+    for name in ("dataset_config.json", "metadata.json"):
+        path = os.path.join(data_path, name)
+        if os.path.exists(path):
+            with open(path) as f:
+                res = json.load(f).get("sensor_resolution")
+            if res is not None:
+                return int(res[0]), int(res[1])
+    return None
+
+
 class ConcatDataset:
     """Concatenation of sequence-protocol datasets."""
 

@@ -113,7 +113,6 @@ class MemMapDataset(BaseVoxelDataset):
         self.data_source = "unknown"
         if self.sensor_resolution is None:
             config = os.path.join(data_path, "dataset_config.json")
-            meta = os.path.join(data_path, "metadata.json")
             if os.path.exists(config):
                 with open(config) as f:
                     self.config = json.load(f)
@@ -122,11 +121,7 @@ class MemMapDataset(BaseVoxelDataset):
                 if self.data_source in data_sources:
                     self.data_source_idx = data_sources.index(
                         self.data_source)
-                self.sensor_resolution = self.config["sensor_resolution"]
-            elif os.path.exists(meta):
-                with open(meta) as f:
-                    m = json.load(f)
-                self.sensor_resolution = m.get("sensor_resolution",
-                                               self.infer_resolution())
-            else:
-                self.sensor_resolution = self.infer_resolution()
+            from .data_util import memmap_sensor_resolution
+            res = memmap_sensor_resolution(data_path)
+            self.sensor_resolution = (list(res) if res is not None
+                                      else self.infer_resolution())

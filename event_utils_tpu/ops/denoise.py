@@ -47,11 +47,14 @@ def background_activity_filter(xs, ys, ts, delta_t,
     """Per-event keep mask of the spatiotemporal correlation filter.
 
     An event at ``(x, y, t)`` is kept iff some pixel within the
-    ``(2*support+1)²`` neighbourhood (centre excluded unless
-    ``include_center``) carries an event in ``[t - delta_t, t]`` — up to
-    the one-slice quantization tolerance described in the module
-    docstring. Jittable: ``sensor_size``/``n_slices``/``support``/
-    ``include_center`` are static, ``delta_t`` may be traced.
+    ``(2*support+1)²`` neighbourhood carries an event in
+    ``[t - delta_t, t]`` — up to the one-slice quantization tolerance
+    described in the module docstring. The centre pixel never validates
+    within its own slice (an event must not validate itself);
+    ``include_center=True`` additionally counts same-pixel events from
+    strictly earlier slices as support. Jittable: ``sensor_size``/
+    ``n_slices``/``support``/``include_center`` are static, ``delta_t``
+    may be traced.
 
     Args:
         xs, ys, ts: event coordinates and timestamps (any float/int dtype;
@@ -71,12 +74,22 @@ def background_activity_filter(xs, ys, ts, delta_t,
     H, W = int(sensor_size[0]), int(sensor_size[1])
     xs = jnp.asarray(xs)
     ys = jnp.asarray(ys)
+    if not isinstance(ts, jax.Array):
+        # Host float64 epoch stamps: subtract the origin IN FLOAT64 before
+        # any device cast — jnp.asarray would quantize ~1.7e9 s stamps to
+        # ~128 s resolution under the default x64-disabled config, folding
+        # the whole recording into one slice.
+        import numpy as _np
+
+        ts_np = _np.asarray(ts)
+        if ts_np.dtype == _np.float64 and ts_np.size:
+            sel = ts_np if mask is None else ts_np[_np.asarray(mask) != 0]
+            ts = ts_np - (sel.min() if sel.size else 0.0)
     ts64 = jnp.asarray(ts)
     valid = jnp.ones(ts64.shape, bool) if mask is None else (
         jnp.asarray(mask) != 0)
 
-    # Relative float32 time (epoch float64 stamps keep full precision in
-    # the differences that matter here).
+    # Relative float32 time.
     t0 = jnp.min(jnp.where(valid, ts64, jnp.inf))
     t0 = jnp.where(jnp.isfinite(t0), t0, 0.0)
     t = (ts64 - t0).astype(jnp.float32)
@@ -87,8 +100,9 @@ def background_activity_filter(xs, ys, ts, delta_t,
 
     xi = jnp.clip(xs.astype(jnp.int32), 0, W - 1)
     yi = jnp.clip(ys.astype(jnp.int32), 0, H - 1)
-    in_frame = ((xs >= 0) & (xs <= W - 1) & (ys >= 0) & (ys <= H - 1)
-                & valid)
+    # xs < W (not <= W-1): fractional coords in (W-1, W) rasterize to the
+    # last pixel, matching every scatter kernel in ops/.
+    in_frame = (xs >= 0) & (xs < W) & (ys >= 0) & (ys < H) & valid
     flat = q * (H * W) + yi * W + xi
     flat = jnp.where(in_frame, flat, n_slices * H * W)  # OOB -> dropped
 
@@ -101,11 +115,21 @@ def background_activity_filter(xs, ys, ts, delta_t,
     ring = jnp.full_like(last, -jnp.inf)
     for dy in range(-r, r + 1):
         for dx in range(-r, r + 1):
-            if dy == 0 and dx == 0 and not include_center:
+            if dy == 0 and dx == 0:
+                # Never in `ring`: the event's own scattered timestamp
+                # would validate itself (keep == in_frame, a no-op filter).
                 continue
             ring = jnp.maximum(
                 ring, padded[:, r + dy:r + dy + H, r + dx:r + dx + W])
     latest = jax.lax.cummax(ring, axis=0)  # latest support up to slice s
+    if include_center:
+        # Same-pixel support from STRICTLY EARLIER slices only (shift the
+        # centre cummax by one slice) — same-slice same-pixel history is
+        # indistinguishable from the event itself under quantization.
+        cum_center = jax.lax.cummax(last, axis=0)
+        prev_center = jnp.concatenate(
+            [jnp.full((1, H, W), -jnp.inf, last.dtype), cum_center[:-1]], 0)
+        latest = jnp.maximum(latest, prev_center)
 
     support_t = latest.reshape(-1)[jnp.minimum(flat, n_slices * H * W - 1)]
     keep = support_t >= t - jnp.asarray(delta_t, jnp.float32)

@@ -554,7 +554,9 @@ def simulate_events(frames, frame_ts, cfg: Optional[SimulatorConfig] = None,
 
 def simulate_events_device(frames, frame_ts, capacity: int,
                            cfg: Optional[SimulatorConfig] = None,
-                           key: Optional[Array] = None):
+                           key: Optional[Array] = None,
+                           dt_max: Optional[float] = None,
+                           return_overflow: bool = False):
     """Fully on-device simulation into ONE capacity-padded event batch.
 
     Same sensor model as :func:`simulate_events`, but the compaction stays
@@ -567,10 +569,16 @@ def simulate_events_device(frames, frame_ts, capacity: int,
 
     Overflow semantics: when more than ``capacity`` events fire, the sort
     by (validity, time) keeps the EARLIEST ``capacity`` events — a temporal
-    tail cut, NOT a uniform subsample. Size ``capacity`` above the expected
-    event count (check ``mask.sum()`` against it) if a biased tail matters
-    for your workload; measured cmax accuracy is flat under uniform
-    subsampling but a missing tail shortens the effective window.
+    tail cut, NOT a uniform subsample. With ``return_overflow`` a third
+    output reports the exact number of events dropped by the cut (0 =
+    nothing truncated, even when the mask is exactly full); measured cmax
+    accuracy is flat under uniform subsampling but a missing tail shortens
+    the effective window.
+
+    ``dt_max`` (the largest frame interval, a static float) is required
+    when background activity is enabled and ``frame_ts`` is traced: the
+    noise-slot capacity check cannot read a traced dt and refuses to run
+    blind rather than silently clipping the noise process.
 
     Device memory scales with ``(F-1)*H*W*K`` — size the frame window
     accordingly (a 32-frame 64x64 window at K=4 is ~0.5M slots).
@@ -619,8 +627,18 @@ def simulate_events_device(frames, frame_ts, capacity: int,
     tt = t_ev.reshape(-1)
     valid = kept.reshape(-1)
     if cfg.has_noise_events():
-        if not isinstance(frame_ts, jax.core.Tracer):
+        if dt_max is not None:
+            _check_noise_capacity(cfg, float(dt_max))
+        elif not isinstance(frame_ts, jax.core.Tracer):
             _check_noise_capacity(cfg, jnp.diff(frame_ts).max())
+        else:
+            # Traced stamps (jit/vmap callers): the overflow check cannot
+            # read dt — demand it explicitly rather than silently clipping
+            # the noise process at Kn per pixel per interval.
+            raise ConfigurationError(
+                "simulate_events_device with background activity under "
+                "tracing: pass dt_max= (the largest frame interval, a "
+                "static float) so the noise-slot capacity can be checked")
         rate, p_on, k_slots = _noise_rate_maps(key, (H, W), cfg)
         Kn = int(cfg.max_noise_events_per_pixel)
         n_t, n_valid, n_sign = _compiled_noise(Kn)(
@@ -635,6 +653,7 @@ def simulate_events_device(frames, frame_ts, capacity: int,
         pp = jnp.concatenate([pp, n_sign.astype(jnp.float32).reshape(-1)])
         tt = jnp.concatenate([tt, n_t.reshape(-1)])
         valid = jnp.concatenate([valid, n_valid.reshape(-1)])
+    n_valid_total = valid.sum().astype(jnp.int32)  # pre-truncation
     order = jnp.argsort(jnp.where(valid, tt, jnp.inf),
                         stable=True)[:capacity]
     pad_out = capacity - order.shape[0]  # static: slot count < capacity
@@ -656,6 +675,8 @@ def simulate_events_device(frames, frame_ts, capacity: int,
         ev = jnp.concatenate(
             [ev, jnp.broadcast_to(pad_row, (pad_out, 4))])
         mask = jnp.concatenate([mask, jnp.zeros((pad_out,), jnp.float32)])
+    if return_overflow:
+        return ev, mask, jnp.maximum(n_valid_total - capacity, 0)
     return ev, mask
 
 

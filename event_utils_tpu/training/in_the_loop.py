@@ -62,13 +62,14 @@ def _render_similarity(texture: Array, v: Array, omega: Array, s: Array,
 
 @partial(jax.jit, static_argnames=("batch_size", "sensor_size", "capacity",
                                    "num_frames", "octaves", "omega_max",
-                                   "s_max"))
+                                   "s_max", "return_saturation"))
 def simulate_flow_batch(key: Array, batch_size: int,
                         sensor_size: Tuple[int, int], capacity: int,
                         v_max: float = 40.0, window_t: float = 0.1,
                         num_frames: int = 9, octaves: int = 3,
                         c_pos: float = 0.15, c_neg: float = 0.15,
-                        omega_max: float = 0.0, s_max: float = 0.0):
+                        omega_max: float = 0.0, s_max: float = 0.0,
+                        return_saturation: bool = False):
     """One fresh supervised flow batch, generated entirely on device.
 
     Per element: random smooth texture + uniform random velocity in
@@ -85,6 +86,10 @@ def simulate_flow_batch(key: Array, batch_size: int,
     the DENSE ``(B, 2, H, W)`` velocity field at t=0:
     ``v + omega x r + s r`` — spatially-varying supervision the uniform
     family can never provide.
+
+    With ``return_saturation``, a fourth ``(B,)`` bool output flags
+    elements whose event stream genuinely overflowed ``capacity`` (events
+    tail-cut in time); an exactly-full untruncated stream is NOT flagged.
     """
     H, W = sensor_size
     cfg = SimulatorConfig(c_pos=c_pos, c_neg=c_neg)
@@ -103,18 +108,21 @@ def simulate_flow_batch(key: Array, batch_size: int,
         v = jax.random.uniform(k_vel, (2,), minval=-v_max, maxval=v_max)
         frames = jax.vmap(
             lambda t: _render_similarity(tex, v, ws[0], ws[1], t))(fts)
-        ev, mask = simulate_events_device(frames, fts, capacity, cfg,
-                                          key=k_sim)
+        ev, mask, overflow = simulate_events_device(
+            frames, fts, capacity, cfg, key=k_sim, return_overflow=True)
         if not similarity:
-            return ev, mask, v
-        # dense velocity field of the similarity motion at t=0:
-        # (vx - omega*ry + s*rx, vy + omega*rx + s*ry), r about center
-        cy, cx = (H - 1) / 2.0, (W - 1) / 2.0
-        yy, xx = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32) - cy,
-                              jnp.arange(W, dtype=jnp.float32) - cx,
-                              indexing="ij")
-        gt = jnp.stack([v[0] - ws[0] * yy + ws[1] * xx,
-                        v[1] + ws[0] * xx + ws[1] * yy])
+            gt = v
+        else:
+            # dense velocity field of the similarity motion at t=0:
+            # (vx - omega*ry + s*rx, vy + omega*rx + s*ry), r about center
+            cy, cx = (H - 1) / 2.0, (W - 1) / 2.0
+            yy, xx = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32) - cy,
+                                  jnp.arange(W, dtype=jnp.float32) - cx,
+                                  indexing="ij")
+            gt = jnp.stack([v[0] - ws[0] * yy + ws[1] * xx,
+                            v[1] + ws[0] * xx + ws[1] * yy])
+        if return_saturation:
+            return ev, mask, gt, overflow > 0
         return ev, mask, gt
 
     keys = jax.random.split(key, batch_size)
@@ -154,10 +162,11 @@ def simulate_recon_batch(key: Array, batch_size: int,
     is the rendered frame at window w's END (the dataset pairing).
     ``capacity`` bounds events per SEQUENCE (all ``seq_len`` windows).
     With ``return_saturation``, a third ``(B,)`` bool output flags elements
-    whose scene filled every capacity slot — their event stream was
+    whose scene genuinely OVERFLOWED ``capacity`` — their event stream was
     TAIL-CUT in time (late windows under-populated vs the full-window
     frame targets; see ``simulate_events_device``), so trainers should
-    warn and the capacity should be raised.
+    warn and the capacity should be raised. An exactly-full untruncated
+    stream is not flagged.
     """
     from ..representations.voxel_grid import (events_to_neg_pos_voxel,
                                               events_to_voxel)
@@ -187,8 +196,8 @@ def simulate_recon_batch(key: Array, batch_size: int,
         v = jax.random.uniform(k_vel, (2,), minval=-v_max, maxval=v_max)
         frames = jax.vmap(
             lambda t: _render_similarity(tex, v, ws[0], ws[1], t))(fts)
-        ev, mask = simulate_events_device(frames, fts, capacity, cfg,
-                                          key=k_sim)
+        ev, mask, overflow = simulate_events_device(
+            frames, fts, capacity, cfg, key=k_sim, return_overflow=True)
         xs, ys, ts, ps = ev[:, 0], ev[:, 1], ev[:, 2], ev[:, 3]
 
         def win(w):
@@ -201,7 +210,7 @@ def simulate_recon_batch(key: Array, batch_size: int,
             return jnp.concatenate([vp, vn], 0)
 
         voxels = jax.vmap(win)(jnp.arange(seq_len))   # (T, C, H, W)
-        sat = jnp.sum(mask > 0) >= capacity
+        sat = overflow > 0  # exact: a full-but-untruncated mask is NOT sat
         return voxels, frames[target_idx][:, None], sat   # + (T, 1, H, W)
 
     keys = jax.random.split(key, batch_size)
@@ -312,9 +321,9 @@ def train_reconstruction_in_the_loop(trainer, steps: int,
             if not sat_warned and int(n_sat) > 0:
                 sat_warned = True
                 log_fn(f"WARNING: {int(n_sat)}/{n_elems} simulated scenes "
-                       f"hit the {capacity}-event capacity — their streams "
-                       "are TAIL-CUT in time (late windows under-populated "
-                       "vs full-window targets); raise capacity")
+                       f"overflowed the {capacity}-event capacity — their "
+                       "streams are TAIL-CUT in time (late windows under-"
+                       "populated vs full-window targets); raise capacity")
         if eval_every and (i + 1) % eval_every == 0:
             p, s = eval_metrics()
             psnr_curve.append((trainer.step, p, s))
@@ -372,7 +381,8 @@ def train_flow_in_the_loop(trainer, steps: int, batch_size: int = 8,
         return simulate_flow_batch(k, batch_size, (H, W), capacity,
                                    v_max=v_max, window_t=window_t,
                                    num_frames=num_frames,
-                                   omega_max=omega_max, s_max=s_max)
+                                   omega_max=omega_max, s_max=s_max,
+                                   return_saturation=True)
 
     mesh = getattr(trainer, "mesh", None)
     if mesh is not None:
@@ -386,7 +396,7 @@ def train_flow_in_the_loop(trainer, steps: int, batch_size: int = 8,
             raise ValueError(f"batch_size {batch_size} must divide the "
                              f"mesh size {mesh.size}")
         bsh = NamedSharding(mesh, P(mesh.axis_names[0]))
-        gen = jax.jit(_gen, out_shardings=(bsh, bsh, bsh))
+        gen = jax.jit(_gen, out_shardings=(bsh, bsh, bsh, bsh))
         voxelize = jax.jit(_voxelize, in_shardings=(bsh, bsh),
                            out_shardings=bsh)
     else:
@@ -404,7 +414,7 @@ def train_flow_in_the_loop(trainer, steps: int, batch_size: int = 8,
     if eval_seed is not None:
         _, k_eval = jax.random.split(jax.random.PRNGKey(eval_seed))
     if eval_every:
-        eval_ev, eval_mask, eval_gt = gen(k_eval)
+        eval_ev, eval_mask, eval_gt, _ = gen(k_eval)
         eval_voxel = voxelize(eval_ev, eval_mask)
 
     def dense_gt(gt_v):
@@ -424,12 +434,12 @@ def train_flow_in_the_loop(trainer, steps: int, batch_size: int = 8,
     t0 = time.perf_counter()
     for i in range(steps):
         key, k = jax.random.split(key)
-        ev, mask, gt_v = gen(k)
+        ev, mask, gt_v, sat = gen(k)
         voxel = voxelize(ev, mask)
         pending.append(trainer.train_batch_async(voxel, ev, mask,
                                                  dense_gt(gt_v)))
         n_events = n_events + mask.sum()
-        n_sat = n_sat + jnp.sum(jnp.sum(mask > 0, axis=1) >= capacity)
+        n_sat = n_sat + sat.sum()
         n_elems += batch_size
         if log_every and (i + 1) % log_every == 0:
             losses.extend(float(x) for x in pending)
@@ -440,9 +450,9 @@ def train_flow_in_the_loop(trainer, steps: int, batch_size: int = 8,
             if not sat_warned and int(n_sat) > 0:
                 sat_warned = True
                 log_fn(f"WARNING: {int(n_sat)}/{n_elems} simulated scenes "
-                       f"hit the {capacity}-event capacity — their streams "
-                       "are TAIL-CUT in time (late voxel bins under-"
-                       "populated vs full-window GT); raise capacity")
+                       f"overflowed the {capacity}-event capacity — their "
+                       "streams are TAIL-CUT in time (late voxel bins "
+                       "under-populated vs full-window GT); raise capacity")
         if eval_every and (i + 1) % eval_every == 0:
             aee = float(aee_of(trainer.params, eval_voxel, eval_gt))
             aee_curve.append((trainer.step, aee))

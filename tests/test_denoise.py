@@ -30,15 +30,50 @@ def test_baf_exact_semantics():
 
 def test_baf_center_exclusion_blocks_self_support():
     # a lone pixel bursting rapidly: never valid with the centre excluded
-    # (a hot pixel cannot validate itself), valid with include_center
+    # (a hot pixel cannot validate itself); with include_center, support
+    # comes from STRICTLY EARLIER slices only — an event still cannot
+    # validate itself (the no-op-filter regression)
     xs = ys = np.full(10, 5.0)
-    ts = np.linspace(0.0, 0.009, 10)
+    ts = np.linspace(0.0, 0.009, 10)  # each event lands in its own slice
     base = dict(sensor_size=(16, 16), n_slices=16)
     keep = np.asarray(background_activity_filter(xs, ys, ts, 0.05, **base))
     assert not keep.any()
     keep_c = np.asarray(background_activity_filter(
         xs, ys, ts, 0.05, include_center=True, **base))
-    assert keep_c.sum() >= 8  # only slice-0 events may lack past support
+    assert not keep_c[0] and keep_c.sum() == 9
+    # include_center must NOT keep a lone single event (self-validation)
+    one = np.asarray(background_activity_filter(
+        [5.0], [5.0], [0.1], 0.05, include_center=True, **base))
+    assert not one.any()
+
+
+def test_baf_float64_epoch_stamps():
+    # epoch-scale float64 stamps must keep millisecond precision (the
+    # origin is subtracted in float64 before any float32 cast)
+    base_t = 1.7e9
+    xs = np.array([10.0, 11.0, 30.0])
+    ys = np.array([10.0, 10.0, 30.0])
+    ts = base_t + np.array([0.10, 0.11, 0.50])
+    keep = np.asarray(background_activity_filter(
+        xs, ys, ts, 0.05, sensor_size=(48, 48), n_slices=64))
+    # event 1 is validated by event 0 (10 ms past support); event 0's only
+    # support lies in a future slice; the loner has none. The float32
+    # downcast bug collapsed all stamps (~128 s resolution at 1.7e9) into
+    # one slice and returned [True, True, False].
+    assert keep.tolist() == [False, True, False]
+
+
+def test_baf_fractional_border_coords():
+    # coords in (W-1, W) rasterize to the last pixel and are filterable,
+    # matching the scatter kernels' domain
+    # the far-away loner stretches the time span so the border pair shares
+    # one slice (mutual same-slice support)
+    xs = np.array([46.4, 47.3, 5.0])
+    ys = np.array([20.0, 20.0, 5.0])
+    ts = np.array([0.100, 0.101, 5.0])
+    keep = np.asarray(background_activity_filter(
+        xs, ys, ts, 0.05, sensor_size=(48, 48), n_slices=8))
+    assert keep.tolist() == [True, True, False]
 
 
 def test_baf_mask_and_oob():
