@@ -36,6 +36,12 @@ def build_parser():
                         help="per-ROI event capacity (grid_cmax)")
     parser.add_argument("--min_events", type=int, default=10)
     parser.add_argument("--smooth", default=None, choices=["median"])
+    parser.add_argument("--denoise", type=float, default=0.0,
+                        metavar="DELTA_T",
+                        help="Drop background activity before solving: "
+                             "keep only events with a neighbouring event "
+                             "within DELTA_T seconds "
+                             "(ops.denoise.background_activity_filter)")
     parser.add_argument("--pyramid_first", action="store_true",
                         help="solve the FIRST window with the coarse-to-"
                              "fine pyramid (global 4-DoF fit base); later "
@@ -127,6 +133,13 @@ def main(argv=None):
             ev = np.asarray(batch["events"][0])
             m = np.asarray(batch["events_mask"][0]) != 0
             ev = ev[m]
+            if args.denoise > 0 and len(ev):
+                from ..ops.denoise import background_activity_filter
+
+                keep = np.asarray(background_activity_filter(
+                    ev[:, 0], ev[:, 1], ev[:, 2], args.denoise,
+                    sensor_size=(H, W)))
+                ev = ev[keep]
             if len(ev) < args.min_events:
                 continue
             xs, ys, ts, ps = (ev[:, 0].astype(np.float32),

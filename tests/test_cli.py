@@ -291,6 +291,14 @@ def test_stream_flow_cli(tmp_path):
     # uniform-velocity scene: the dense field's median must be near GT
     med = np.median(flow.reshape(2, -1), axis=1)
     assert np.hypot(med[0] - 25, med[1] - 12) < 10.0, med
+    # --denoise preprocessing: still solves (dense texture = full support)
+    out2 = str(tmp_path / "flow_dn")
+    stream([path, "--output_dir", out2, "--k", "6000", "--maxiter", "20",
+            "--roi_size", "16", "16", "--max_windows", "1",
+            "--denoise", "0.05"])
+    flow2 = np.load(os.path.join(out2, "flow_0000.npy"))
+    med2 = np.median(flow2.reshape(2, -1), axis=1)
+    assert np.hypot(med2[0] - 25, med2[1] - 12) < 10.0, med2
 
 
 def test_train_flow_simulate_in_the_loop(tmp_path):
