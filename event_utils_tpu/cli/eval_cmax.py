@@ -80,6 +80,11 @@ def _eval(dataset, args):
         raise SystemExit(f"{args.path} has flow but no frame timestamps to "
                          "pair windows with")
 
+    if args.pyramid > 1 and args.warm_start:
+        print("note: --pyramid runs on the FIRST window only — a warm "
+              "start (x0) suppresses the coarse-to-fine cascade on "
+              "subsequent windows (see grid_cmax_batched)")
+
     H, W = dataset.sensor_resolution
     rh, rw = args.roi_size
     n = len(dataset) if args.max_windows is None \
@@ -101,22 +106,32 @@ def _eval(dataset, args):
             capacity=args.capacity, smooth=args.smooth,
             x0=prev_params if args.warm_start else None,
             pyramid=args.pyramid)
-        if args.warm_start:
-            prev_params = np.asarray(params)
         params = np.asarray(params)
         rois = np.asarray(rois)
         valid = np.asarray(valid)
+        if args.warm_start:
+            # Invalid (empty/under-populated) ROIs carry garbage solver
+            # output; seeding the next window's warm refine (which skips
+            # the grid search) from them strands the solve far from the
+            # optimum when the ROI later populates. Zero velocity is the
+            # neutral seed.
+            prev_params = np.where(valid[:, None], params, 0.0)
         # GT velocity field nearest the window's MID-time for both methods
         # (pairing between_frames window i with the flow AT frame i scores
         # against the end of the interval — a half-interval bias under
         # time-varying flow, and inconsistent with the k_events pairing)
         t_mid = 0.5 * (float(ts[0]) + float(ts[-1]))
         stamps = np.asarray(dataset.frame_ts)
-        hi = int(np.clip(np.searchsorted(stamps, t_mid), 1,
-                         len(stamps) - 1))
-        lo = hi - 1
-        gt_idx = lo if (t_mid - stamps[lo]) <= (stamps[hi] - t_mid) \
-            else hi
+        if len(stamps) == 1:
+            # np.clip(x, 1, 0) would return 0 -> lo = -1 -> a negative
+            # flow index (KeyError on H5, silent wraparound on memmap)
+            gt_idx = 0
+        else:
+            hi = int(np.clip(np.searchsorted(stamps, t_mid), 1,
+                             len(stamps) - 1))
+            lo = hi - 1
+            gt_idx = lo if (t_mid - stamps[lo]) <= (stamps[hi] - t_mid) \
+                else hi
         gt = np.asarray(dataset.get_flow(gt_idx), np.float32)  # (2, H, W)
         for p, r, v in zip(params, rois, valid):
             if not v:

@@ -153,7 +153,9 @@ def main(argv=None):
                 smooth=args.smooth, x0=prev,
                 pyramid=2 if (args.pyramid_first and prev is None) else 1)
             params = np.asarray(params)
-            prev = params
+            # zero invalid-ROI params before warm-starting the next window
+            # (garbage seeds + grid-search-skipping refine strand the solve)
+            prev = np.where(np.asarray(valid)[:, None], params, 0.0)
             flow = roi_params_to_dense_flow(params, np.asarray(valid),
                                             tuple(args.roi_size), (H, W))
             np.save(os.path.join(args.output_dir,

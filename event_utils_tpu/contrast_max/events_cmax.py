@@ -146,7 +146,7 @@ def optimize_contrast(xs, ys, ts, ps, warp_function, objective,
                       optimizer=sciopt.fmin_bfgs, x0=None,
                       numeric_grads: bool = False, blur_sigma=None,
                       img_size=(180, 240), grid_search_init: bool = False,
-                      minimum_events: int = 200):
+                      minimum_events: Optional[int] = None):
     """Optimize warp parameters with a (scipy) BFGS driver
     (reference events_cmax.py:313-346).
 
@@ -155,6 +155,12 @@ def optimize_contrast(xs, ys, ts, ps, warp_function, objective,
     parameter magnitude; here the cut is a validity-mask update over a
     fixed-capacity batch (with the reference's ``ps*100`` rescale,
     objectives.py:225), so nothing recompiles.
+
+    ``minimum_events``: floor of events the lifespan mask keeps. The
+    reference accepts this parameter but never reads it (its signature
+    default 200 is dead code — the objective's own ``minimum_events``
+    governs); here an explicit value takes effect, and the default
+    ``None`` defers to ``objective.minimum_events`` like the reference.
     """
     xs = np.ascontiguousarray(xs, np.float32)
     ys = np.ascontiguousarray(ys, np.float32)
@@ -180,12 +186,14 @@ def optimize_contrast(xs, ys, ts, ps, warp_function, objective,
     dps = jnp.asarray(ps)
     state = {"mask": jnp.ones_like(dts)}
 
+    min_events = (objective.minimum_events if minimum_events is None
+                  else int(minimum_events))
+
     def refresh_mask(params):
         if objective.adaptive_lifespan:
             objective.iter_update(params)
             m = lifespan_mask(dts, jnp.asarray(params, jnp.float32),
-                              objective.pixel_crossings,
-                              objective.minimum_events)
+                              objective.pixel_crossings, min_events)
             state["mask"] = m
 
     def weights():
@@ -358,7 +366,13 @@ def grid_search_initial(xs, ys, ts, ps, warp_function, objective_function,
 
 def find_new_range(search_axes, param):
     """New per-axis search range enclosing the unsearched region around the
-    optimum (reference events_cmax.py:162-184)."""
+    optimum (reference events_cmax.py:162-184).
+
+    NB the left-edge case expands by the FULL axis span (``|axes[0] -
+    axes[-1]|``) while the right edge uses one sample step — asymmetric,
+    but replicated verbatim from the reference (its lines 177-179) for
+    parity; `optimize_contrast` here defaults to the jit grid+refine path
+    which does not use this function."""
     search_axes = np.asarray(search_axes)
     nearest_idx = int(np.searchsorted(search_axes, param))
     if nearest_idx >= len(search_axes) - 1:
@@ -888,7 +902,10 @@ def grid_cmax_batched(xs, ys, ts, ps, roi_size=(20, 20), warp=None,
     texture — and each finer level warm-start-refines from its parent ROI's
     (median-smoothed) params instead of its own grid search. Cost is ~0.5x
     extra per level (refines skip the grid search); accuracy on textured
-    scenes improves markedly (see cli.eval_cmax --pyramid).
+    scenes improves markedly (see cli.eval_cmax --pyramid). NB a caller-
+    provided ``x0`` suppresses the cascade entirely (the warm start IS the
+    seed): on video, pass ``pyramid`` on the first window and warm-start
+    the rest (``cli.stream_flow --pyramid_first``).
 
     @param solver ``'gd'`` (default): fixed-``maxiter`` normalized-gradient
         descent with momentum — every ROI takes exactly the same compiled
@@ -1028,7 +1045,17 @@ def grid_cmax_batched(xs, ys, ts, ps, roi_size=(20, 20), warp=None,
     rois = jnp.concatenate(
         [origins, jnp.tile(jnp.asarray([[rh, rw]]), (origins.shape[0], 1))],
         axis=-1)
-    del overflow
+    if overflow:
+        # No silent caps: per-ROI uniform subsampling above capacity_cap is
+        # measured-safe for cmax accuracy (bucket_events_by_roi docstring)
+        # but callers deserve to know it happened. warnings dedups by call
+        # site, so video loops see this once, not per window.
+        import warnings
+
+        warnings.warn(
+            f"grid_cmax_batched: {overflow} events beyond the per-ROI "
+            f"capacity were uniformly subsampled (raise capacity= to keep "
+            "them)", RuntimeWarning, stacklevel=2)
     return params, rois, f_evals, valid
 
 
@@ -1164,7 +1191,10 @@ def make_roi_solve_one(warp, obj, resolution, roi_size, blur_sigma, maxiter,
         return best_p, f(best_p)
 
 
-    def solve_one(ex, ey, et, ep, emask, origin):
+    def _losses(ex, ey, et, ep, emask, origin):
+        """(f_masked, f) for one ROI — the single definition of the
+        patch-vs-full loss dispatch shared by the cold-start and both
+        warm-refine solvers (they must optimize the identical objective)."""
         def f_masked(p, m):
             if use_patch:
                 return patch_loss(p, ex, ey, et, ep, m, origin)
@@ -1173,6 +1203,10 @@ def make_roi_solve_one(warp, obj, resolution, roi_size, blur_sigma, maxiter,
         def f(p):
             return f_masked(p, emask)
 
+        return f_masked, f
+
+    def solve_one(ex, ey, et, ep, emask, origin):
+        f_masked, f = _losses(ex, ey, et, ep, emask, origin)
         init_range = 150.0
         if velocity_cap:
             any_valid = jnp.any(emask != 0)
@@ -1187,28 +1221,14 @@ def make_roi_solve_one(warp, obj, resolution, roi_size, blur_sigma, maxiter,
         return _finish(ex, ey, et, ep, emask, origin, x0, f_masked, f)
 
     def refine_one(ex, ey, et, ep, emask, origin, x0):
-        def f_masked(p, m):
-            if use_patch:
-                return patch_loss(p, ex, ey, et, ep, m, origin)
-            return full_loss(p, ex, ey, et, ep, m)
-
-        def f(p):
-            return f_masked(p, emask)
-
+        f_masked, f = _losses(ex, ey, et, ep, emask, origin)
         return _finish(ex, ey, et, ep, emask, origin,
                        jnp.asarray(x0, jnp.float32), f_masked, f,
                        trust=None if trust_radius in (None, "traced")
                        else trust_radius)
 
     def refine_one_trust(ex, ey, et, ep, emask, origin, x0, trust):
-        def f_masked(p, m):
-            if use_patch:
-                return patch_loss(p, ex, ey, et, ep, m, origin)
-            return full_loss(p, ex, ey, et, ep, m)
-
-        def f(p):
-            return f_masked(p, emask)
-
+        f_masked, f = _losses(ex, ey, et, ep, emask, origin)
         return _finish(ex, ey, et, ep, emask, origin,
                        jnp.asarray(x0, jnp.float32), f_masked, f,
                        trust=trust)

@@ -183,6 +183,16 @@ class H5WindowedLoader:
         return (len(self.windows) + self.batch_size - 1) // self.batch_size
 
     def close(self):
+        # Stop and JOIN any active prefetch reader before closing the h5
+        # handle — a surviving reader would raise against the closed file
+        # and then busy-loop in put() (queue full, stop never set) until
+        # its generator is GC'd.
+        stop = getattr(self, "_reader_stop", None)
+        if stop is not None:
+            stop.set()
+            th = getattr(self, "_reader_thread", None)
+            if th is not None and th.is_alive():
+                th.join()
         self._h5.close()
 
     def _slab_buffers(self, m):

@@ -271,11 +271,15 @@ def make_sharded_cmax_train_step(mesh: Mesh, objective, warpfunc, img_size,
         params = params - lr * mom
         return params, mom, loss
 
+    # NB check_vma must stay ON: disabling it turns the psum's transpose
+    # into identity, so each device would apply ONLY its own shard's
+    # gradient and the P() outputs would silently return device 0's
+    # diverged parameters (regression-tested against the single-device
+    # step in tests/test_parallel.py).
     fn = shard_map(step, mesh=mesh,
                    in_specs=(P(), P(), P(axis_name), P(axis_name),
                              P(axis_name), P(axis_name), P(axis_name)),
-                   out_specs=(P(), P(), P()),
-                   check_vma=False)
+                   out_specs=(P(), P(), P()))
     return jax.jit(fn)
 
 

@@ -61,6 +61,23 @@ def test_sharded_train_step_descends(rng, mesh):
     assert losses[-1] < losses[0], f"loss did not descend: {losses}"
 
 
+def test_sharded_train_step_matches_single_device(rng, mesh):
+    """The 8-way step must produce the SAME update as a 1-device mesh —
+    regression for the check_vma=False bug that turned the psum transpose
+    into identity (per-device shard-only gradients, silently diverged
+    replicated params)."""
+    xs, ys, ts, ps = make_events(rng, n=4096, sensor=SENSOR,
+                                 int_coords=False)
+    mesh1 = make_mesh(1)
+    args = (jnp.array([3.0, -2.0]), None, xs, ys, ts, ps,
+            variance_objective(), linvel_warp(), SENSOR)
+    p8, m8, l8 = sharded_cmax_train_step(mesh, *args)
+    p1, m1, l1 = sharded_cmax_train_step(mesh1, *args)
+    np.testing.assert_allclose(np.asarray(p8), np.asarray(p1), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(m8), np.asarray(m1), atol=1e-4)
+    np.testing.assert_allclose(float(l8), float(l1), rtol=1e-4)
+
+
 def test_sharded_grid_cmax(rng, mesh):
     from test_cmax import synthetic_flow_events
     xs, ys, ts, ps = synthetic_flow_events(rng, vx=12.0, vy=6.0,
