@@ -28,6 +28,28 @@ map onto XLA's static shapes (bucketed padding instead of ragged arrays).
 
 __version__ = "0.1.0"
 
+
+def _apply_platform_env():
+    """Honor ``EVENT_UTILS_TPU_PLATFORM`` (e.g. ``cpu``) at import.
+
+    Out-of-process backend selection via ``JAX_PLATFORMS`` is unreliable
+    with plugin backends (the tunnel plugin used in development ignores
+    it), and every CLI would otherwise need in-process
+    ``jax.config.update`` boilerplate to run host-side — e.g. dataset
+    pre-materialization, or keeping work moving through an accelerator
+    outage. Applied only when the variable is set; harmless if jax's
+    backend is already initialized to the same value."""
+    import os
+
+    platform = os.environ.get("EVENT_UTILS_TPU_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+
+
+_apply_platform_env()
+
 from . import errors  # noqa: F401
 from . import ops, utils, representations, models, contrast_max  # noqa: F401
 from . import transforms, augmentation, data_formats, data_loaders  # noqa: F401

@@ -209,9 +209,16 @@ def main(argv=None):
 
     H, W = dataset.sensor_resolution
     Hp, Wp = H + (-H) % 8, W + (-W) % 8
+    model_kwargs = {}
+    if args.ckpt_dir:
+        from ..training.checkpointing import read_model_config
+        model_kwargs = read_model_config(args.ckpt_dir)
+        if model_kwargs:
+            print(f"model architecture from checkpoint: {model_kwargs}")
     trainer = ReconstructionTrainer(
         sensor_size=(Hp, Wp), num_bins=args.num_bins,
-        combined_channels=args.combined_channels)
+        combined_channels=args.combined_channels,
+        model_kwargs=model_kwargs)
     if args.ckpt_dir:
         step = trainer.restore_checkpoint(args.ckpt_dir,
                                           step=args.ckpt_step)

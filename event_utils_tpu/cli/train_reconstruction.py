@@ -52,6 +52,20 @@ def build_parser():
                              "seed (keep curves comparable across resumed "
                              "stages that vary --seed)")
     parser.add_argument("--num_bins", type=int, default=5)
+    parser.add_argument("--base_features", type=int, default=32,
+                        help="E2VID encoder width at the first level")
+    parser.add_argument("--recurrent_levels", type=int, default=1,
+                        help="encoder levels carrying ConvGRU state, "
+                             "deepest-first (1: bottleneck only — the "
+                             "historical tree; 3: every level, the full "
+                             "E2VID design)")
+    parser.add_argument("--num_res_blocks", type=int, default=0,
+                        help="residual blocks at the bottleneck "
+                             "(reference E2VID uses 2)")
+    parser.add_argument("--burn_in", type=int, default=0,
+                        help="drop the loss of the first N windows per "
+                             "sequence (state still threads through them) "
+                             "— train at steady state, not cold start")
     parser.add_argument("--seq_len", type=int, default=4,
                         help="truncated-BPTT unroll length (windows)")
     parser.add_argument("--batch_size", type=int, default=1,
@@ -83,6 +97,36 @@ def build_parser():
                              "generation seed in --simulate mode (vary it "
                              "across resumed stages so scenes don't replay)")
     return parser
+
+
+def _model_kwargs(args):
+    """Non-default E2VID architecture kwargs from CLI flags, reconciled
+    with a resumed checkpoint's ``model.json`` sidecar: on ``--resume`` the
+    sidecar wins when the flags are at their defaults, and an explicit
+    flag that contradicts the sidecar is an error (restoring into a
+    mismatched parameter tree fails much less legibly)."""
+    kwargs = {}
+    if args.base_features != 32:
+        kwargs["base_features"] = args.base_features
+    if args.recurrent_levels != 1:
+        kwargs["recurrent_levels"] = args.recurrent_levels
+    if args.num_res_blocks:
+        kwargs["num_res_blocks"] = args.num_res_blocks
+    if getattr(args, "resume", False) and args.ckpt_dir:
+        from ..training.checkpointing import read_model_config
+
+        saved = read_model_config(args.ckpt_dir)
+        if saved:
+            for k, v in kwargs.items():
+                if saved.get(k, v) != v:
+                    raise SystemExit(
+                        f"--{k} {v} contradicts the checkpoint's "
+                        f"model.json ({saved.get(k)}); drop the flag to "
+                        "resume the saved architecture")
+            merged = dict(saved)
+            merged.update(kwargs)
+            return merged
+    return kwargs
 
 
 def _pad_to_multiple_hw(arr, multiple=8):
@@ -233,7 +277,8 @@ def main(argv=None):
             sensor_size=tuple(args.sensor), num_bins=args.num_bins,
             combined_channels=args.combined_channels,
             learning_rate=args.lr, lpips_weight=args.lpips_weight,
-            mesh=mesh)
+            mesh=mesh, model_kwargs=_model_kwargs(args),
+            burn_in=args.burn_in)
         if args.resume and args.ckpt_dir:
             step = trainer.restore_checkpoint(args.ckpt_dir)
             print(f"resumed from step {step}")
@@ -247,8 +292,10 @@ def main(argv=None):
             import json
             with open(args.metrics_out, "w") as f:
                 json.dump({"losses": [round(float(x), 5) for x in losses],
-                           "psnr_curve": [[int(s), round(p, 3), round(ss, 4)]
-                                          for s, p, ss in curve],
+                           "psnr_curve": [[int(c[0])]
+                                          + [round(float(x), 4)
+                                             for x in c[1:]]
+                                          for c in curve],
                            "config": {"sensor": list(args.sensor),
                                       "num_bins": args.num_bins,
                                       "seq_len": args.seq_len,
@@ -258,7 +305,9 @@ def main(argv=None):
                                       "v_max": args.v_max,
                                       "window_t": args.window_t,
                                       "lr": args.lr,
-                                      "lpips_weight": args.lpips_weight}},
+                                      "lpips_weight": args.lpips_weight,
+                                      "model_kwargs": _model_kwargs(args),
+                                      "burn_in": args.burn_in}},
                           f)
         print(f"final loss: {np.mean(losses[-10:]):.5f} over "
               f"{len(losses)} steps"
@@ -305,7 +354,8 @@ def main(argv=None):
     trainer = ReconstructionTrainer(
         sensor_size=(Hp, Wp), num_bins=args.num_bins,
         combined_channels=args.combined_channels, learning_rate=args.lr,
-        lpips_weight=args.lpips_weight)
+        lpips_weight=args.lpips_weight, model_kwargs=_model_kwargs(args),
+        burn_in=args.burn_in)
     if args.resume and args.ckpt_dir:
         step = trainer.restore_checkpoint(args.ckpt_dir)
         print(f"resumed from step {step}")

@@ -73,6 +73,18 @@ class _Encoder(nn.Module):
         return x, skips
 
 
+class _ResBlock(nn.Module):
+    """Pre-activation residual conv block (E2VID bottleneck stack)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        h = _conv(self.features)(nn.relu(x))
+        h = _conv(self.features)(nn.relu(h))
+        return x + h
+
+
 class _Decoder(nn.Module):
     features: Sequence[int]
     out_channels: int
@@ -118,20 +130,54 @@ class E2VID(nn.Module):
 
     ``apply(params, voxel, state) -> (image (B, 1, H, W) in [0, 1], state)``.
     Pass ``state=None`` for the first window of a sequence.
+
+    ``recurrent_levels`` controls where ConvGRU state lives: 1 (default)
+    keeps a single GRU at the bottleneck (and the historical parameter
+    tree, so existing checkpoints restore unchanged); ``k > 1`` adds a GRU
+    after each of the ``k`` deepest encoder levels — the full E2VID design
+    (Rebecq et al. recur at every level), which retains fine spatial detail
+    across windows instead of re-estimating it from each window's events.
+    State is then a ``k``-tuple (shallowest-recurrent first).
+    ``num_res_blocks`` stacks pre-activation residual blocks at the
+    bottleneck (the reference architecture uses 2).
     """
 
     base_features: int = 32
     depth: int = 3
+    recurrent_levels: int = 1
+    num_res_blocks: int = 0
 
     @nn.compact
     def __call__(self, voxel, state=None):
         _check_divisible(voxel.shape[-2:], self.depth, "E2VID")
+        if not 1 <= self.recurrent_levels <= self.depth:
+            from ..errors import ConfigurationError
+            raise ConfigurationError(
+                f"E2VID: recurrent_levels={self.recurrent_levels} must be "
+                f"in [1, depth={self.depth}]")
         x = jnp.transpose(voxel, (0, 2, 3, 1))
         feats = [self.base_features * (2 ** i) for i in range(self.depth)]
-        x, skips = _Encoder(feats)(x)
-        gru = ConvGRU(feats[-1])
-        state = gru(state, x)
-        x = nn.relu(_conv(feats[-1])(state))
+        if self.recurrent_levels == 1:
+            x, skips = _Encoder(feats)(x)
+            gru = ConvGRU(feats[-1])
+            state = gru(state, x)
+            bottleneck = state
+        else:
+            first_rec = self.depth - self.recurrent_levels
+            states_in = ((None,) * self.recurrent_levels if state is None
+                         else tuple(state))
+            skips, new_states = [], []
+            for i, f in enumerate(feats):
+                x = nn.relu(_conv(f, kernel=3, stride=2)(x))
+                if i >= first_rec:
+                    x = ConvGRU(f)(states_in[i - first_rec], x)
+                    new_states.append(x)
+                skips.append(x)
+            state = tuple(new_states)
+            bottleneck = x
+        for _ in range(self.num_res_blocks):
+            bottleneck = _ResBlock(feats[-1])(bottleneck)
+        x = nn.relu(_conv(feats[-1])(bottleneck))
         img = _Decoder(list(reversed(feats[:-1])) or [self.base_features],
                        1)(x, skips)
         img = nn.sigmoid(jnp.transpose(img, (0, 3, 1, 2)))

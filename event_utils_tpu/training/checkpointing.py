@@ -19,15 +19,40 @@ def save_trainer_checkpoint(trainer, ckpt_dir: str) -> None:
 
     Saving a step that already exists is a no-op (orbax raises
     StepAlreadyExistsError otherwise — e.g. a final save landing on a step
-    an in-loop cadence already wrote)."""
+    an in-loop cadence already wrote).
+
+    Non-default model architectures (``trainer.model_kwargs``) are recorded
+    once in a ``model.json`` sidecar so inference CLIs / resumed stages can
+    rebuild the matching parameter tree (see :func:`read_model_config`)."""
     import orbax.checkpoint as ocp
 
+    kwargs = getattr(trainer, "model_kwargs", None)
+    if kwargs:
+        import json
+
+        os.makedirs(os.path.abspath(ckpt_dir), exist_ok=True)
+        path = os.path.join(os.path.abspath(ckpt_dir), "model.json")
+        if not os.path.exists(path):
+            with open(path, "w") as f:
+                json.dump({"model_kwargs": kwargs}, f)
     with ocp.CheckpointManager(os.path.abspath(ckpt_dir)) as mngr:
         if trainer.step in mngr.all_steps():
             return
         mngr.save(trainer.step, args=ocp.args.StandardSave(
             {"params": trainer.params, "opt_state": trainer.opt_state}))
         mngr.wait_until_finished()
+
+
+def read_model_config(ckpt_dir: str) -> dict:
+    """Model kwargs recorded by :func:`save_trainer_checkpoint` (``{}`` for
+    default-architecture checkpoints, which write no sidecar)."""
+    import json
+
+    path = os.path.join(os.path.abspath(ckpt_dir), "model.json")
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        return dict(json.load(f).get("model_kwargs", {}))
 
 
 def restore_trainer_checkpoint(trainer, ckpt_dir: str,

@@ -243,7 +243,9 @@ def train_reconstruction_in_the_loop(trainer, steps: int,
     reconstructions vs the exact rendered frames.
 
     Returns ``(losses, psnr_curve)`` with ``psnr_curve`` a list of
-    ``(step, psnr_db, ssim)`` tuples.
+    ``(step, psnr_db, ssim, psnr_steady_db, ssim_steady)`` tuples — the
+    last two scored only over the back half of the sequence (and past the
+    trainer's burn-in), where the GRU state has history.
 
     ``eval_seed`` pins the held-out batch independently of the training
     scene stream: resumed stages with a fresh ``seed`` (so scenes don't
@@ -291,14 +293,22 @@ def train_reconstruction_in_the_loop(trainer, steps: int,
     def eval_metrics():
         imgs, _ = trainer.reconstruct(eval_voxels)
         imgs = np.asarray(imgs)
-        ps_, ss_ = [], []
-        for t in range(imgs.shape[0]):
-            for b in range(imgs.shape[1]):
-                ps_.append(float(psnr(imgs[t, b, 0],
-                                      eval_frames_np[t, b, 0])))
-                ss_.append(float(ssim(imgs[t, b, 0],
-                                      eval_frames_np[t, b, 0])))
-        return float(np.mean(ps_)), float(np.mean(ss_))
+        T = imgs.shape[0]
+        per_t_p = np.empty(T)
+        per_t_s = np.empty(T)
+        for t in range(T):
+            per_t_p[t] = np.mean([float(psnr(imgs[t, b, 0],
+                                             eval_frames_np[t, b, 0]))
+                                  for b in range(imgs.shape[1])])
+            per_t_s[t] = np.mean([float(ssim(imgs[t, b, 0],
+                                             eval_frames_np[t, b, 0]))
+                                  for b in range(imgs.shape[1])])
+        # steady state: windows where the GRU state has history (past the
+        # trained burn-in, at least the back half) — the regime a
+        # long-running reconstruction actually operates in
+        t0 = max(int(getattr(trainer, "burn_in", 0)), T // 2)
+        return (float(per_t_p.mean()), float(per_t_s.mean()),
+                float(per_t_p[t0:].mean()), float(per_t_s[t0:].mean()))
 
     losses, psnr_curve = [], []
     pending = []
@@ -325,10 +335,11 @@ def train_reconstruction_in_the_loop(trainer, steps: int,
                        "streams are TAIL-CUT in time (late windows under-"
                        "populated vs full-window targets); raise capacity")
         if eval_every and (i + 1) % eval_every == 0:
-            p, s = eval_metrics()
-            psnr_curve.append((trainer.step, p, s))
+            p, s, p_ss, s_ss = eval_metrics()
+            psnr_curve.append((trainer.step, p, s, p_ss, s_ss))
             log_fn(f"step {trainer.step}: held-out PSNR {p:.2f} dB, "
-                   f"SSIM {s:.3f}")
+                   f"SSIM {s:.3f} (steady-state {p_ss:.2f} dB / "
+                   f"{s_ss:.3f})")
         if ckpt_dir and (i + 1) % ckpt_every == 0:
             trainer.save_checkpoint(ckpt_dir)
     losses.extend(float(x) for x in pending)

@@ -25,11 +25,22 @@ class ReconstructionTrainer:
     def __init__(self, sensor_size=(64, 64), num_bins: int = 5,
                  combined_channels: bool = False,
                  learning_rate: float = 1e-4, mesh: Optional[Mesh] = None,
-                 lpips_weight: float = 0.0, seed: int = 0):
+                 lpips_weight: float = 0.0, seed: int = 0,
+                 model_kwargs: Optional[dict] = None, burn_in: int = 0):
+        """``model_kwargs`` are forwarded to :class:`models.networks.E2VID`
+        (e.g. ``recurrent_levels``, ``num_res_blocks``, ``base_features``)
+        and recorded in the checkpoint's ``model.json`` sidecar so inference
+        can rebuild the matching parameter tree. ``burn_in`` drops the loss
+        of the first N windows of every training sequence (the GRU state is
+        still threaded through them) — the net is scored only where its
+        state has history, matching how a long-running reconstruction is
+        actually used."""
         from ..models.networks import E2VID, reconstruction_loss
 
         self.sensor_size = tuple(sensor_size)
-        self.model = E2VID()
+        self.model_kwargs = dict(model_kwargs or {})
+        self.burn_in = int(burn_in)
+        self.model = E2VID(**self.model_kwargs)
         self.num_bins = num_bins
         self.combined_channels = combined_channels
         channels = num_bins if combined_channels else 2 * num_bins
@@ -53,6 +64,13 @@ class ReconstructionTrainer:
             state0 = jax.tree.map(
                 lambda sd: jnp.zeros(sd.shape, sd.dtype), state_sd)
             _, losses = jax.lax.scan(scan_fn, state0, (voxels, frames))
+            if self.burn_in:
+                if self.burn_in >= voxels.shape[0]:
+                    from ..errors import ConfigurationError
+                    raise ConfigurationError(
+                        f"burn_in={self.burn_in} must be < seq_len="
+                        f"{voxels.shape[0]} (no supervised windows left)")
+                losses = losses[self.burn_in:]
             return jnp.mean(losses)
 
         def train_step(params, opt_state, voxels, frames):

@@ -122,6 +122,35 @@ def test_train_reconstruction_cli(h5_path, tmp_path):
           "--max_steps", "1", "--ckpt_dir", ckpt, "--resume"])
 
 
+def test_train_reconstruction_cli_arch_sidecar(h5_path, tmp_path):
+    """Non-default architecture flags flow train -> model.json sidecar ->
+    reconstruct (which must rebuild the matching tree to restore), and a
+    contradicting resume flag fails fast."""
+    import pytest
+
+    from event_utils_tpu.cli.reconstruct import main as recon
+    from event_utils_tpu.cli.train_reconstruction import main as train
+    ckpt = str(tmp_path / "e2v_arch")
+    args = [h5_path, "--seq_len", "2", "--batch_size", "1", "--epochs", "1",
+            "--max_steps", "1", "--ckpt_dir", ckpt,
+            "--recurrent_levels", "3", "--num_res_blocks", "1",
+            "--base_features", "16", "--burn_in", "1"]
+    train(args)
+    assert os.path.exists(os.path.join(ckpt, "model.json"))
+    # resume with matching (default) flags: sidecar architecture wins
+    train([h5_path, "--seq_len", "2", "--batch_size", "1", "--epochs", "1",
+           "--max_steps", "1", "--ckpt_dir", ckpt, "--resume"])
+    with pytest.raises(SystemExit, match="contradicts"):
+        train([h5_path, "--seq_len", "2", "--batch_size", "1",
+               "--epochs", "1", "--max_steps", "1", "--ckpt_dir", ckpt,
+               "--resume", "--recurrent_levels", "2"])
+    out = str(tmp_path / "recon_arch_out")
+    recon([h5_path, "--output_dir", out, "--ckpt_dir", ckpt,
+           "--method", "k_events", "--k", "800", "--max_frames", "2",
+           "--chunk", "2"])
+    assert len([f for f in os.listdir(out) if f.endswith(".png")]) == 2
+
+
 def test_train_flow_cli_h5_streaming(h5_path, tmp_path):
     """train_flow drives the H5 slab-streaming loader end-to-end (the
     memmap path is covered by the training tests)."""

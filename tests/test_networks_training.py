@@ -49,6 +49,89 @@ def test_e2vid_recurrent_forward(rng):
     assert not np.allclose(np.asarray(img1), np.asarray(img2))
 
 
+def test_e2vid_multilevel_recurrence(rng):
+    """recurrent_levels=depth + res blocks: state is a tuple (one hidden
+    per level), threading it changes the output at EVERY level's scale,
+    and the default config's parameter tree is untouched (existing
+    checkpoints must keep restoring)."""
+    from event_utils_tpu.models.networks import E2VID
+    vox, _, _ = _voxel_batch(rng)
+
+    model = E2VID(recurrent_levels=3, num_res_blocks=2)
+    params = model.init(jax.random.PRNGKey(0), vox, None)
+    img1, state = model.apply(params, vox, None)
+    assert isinstance(state, tuple) and len(state) == 3
+    # deepest-first spatial halving: level i hidden at 1/2^(i+1) resolution
+    assert [s.shape[1] for s in state] == [SENSOR[0] // 2, SENSOR[0] // 4,
+                                           SENSOR[0] // 8]
+    img2, _ = model.apply(params, vox, state)
+    assert img1.shape == (2, 1) + SENSOR
+    assert not np.allclose(np.asarray(img1), np.asarray(img2))
+
+    # perturbing ONLY the shallowest hidden changes the output (fine-scale
+    # state genuinely feeds the reconstruction)
+    bumped = (state[0] + 1.0,) + state[1:]
+    img3, _ = model.apply(params, vox, bumped)
+    assert not np.allclose(np.asarray(img2), np.asarray(img3))
+
+    # default tree unchanged: bottleneck-GRU names the historical modules
+    legacy = E2VID().init(jax.random.PRNGKey(0), vox, None)
+    names = set(legacy["params"].keys())
+    assert {"_Encoder_0", "ConvGRU_0", "Conv_0", "_Decoder_0"} <= names
+    assert not any(n.startswith("_ResBlock") for n in names)
+
+    from event_utils_tpu.errors import ConfigurationError
+    with pytest.raises(ConfigurationError):
+        E2VID(recurrent_levels=4).init(jax.random.PRNGKey(0), vox, None)
+
+
+def test_reconstruction_trainer_burn_in_and_model_sidecar(rng, tmp_path):
+    """burn_in drops early-window losses (loss becomes insensitive to a
+    corrupted first target); model.json records non-default architectures
+    and read_model_config rebuilds a restorable trainer."""
+    from event_utils_tpu.training import ReconstructionTrainer
+    from event_utils_tpu.training.checkpointing import read_model_config
+
+    kwargs = dict(sensor_size=SENSOR, num_bins=BINS, learning_rate=1e-3,
+                  model_kwargs={"recurrent_levels": 2, "num_res_blocks": 1})
+    T = 3
+    voxels = np.stack([np.asarray(_voxel_batch(rng)[0]) for _ in range(T)])
+    frames = np.clip(voxels.sum(axis=2, keepdims=True) * 0.2 + 0.5, 0, 1)
+    bad = frames.copy()
+    bad[0] = 1.0 - bad[0]  # corrupt only the burn-in window's target
+
+    tr = ReconstructionTrainer(burn_in=1, **kwargs)
+    # host snapshots: the train step donates params/opt_state buffers
+    p0 = jax.tree.map(np.asarray, tr.params)
+    o0 = jax.tree.map(np.asarray, tr.opt_state)
+    restore = lambda t: (jax.tree.map(jnp.asarray, p0),
+                         jax.tree.map(jnp.asarray, o0))
+    l_clean = tr.train_sequence(voxels, frames)
+    tr.params, tr.opt_state = restore(tr)
+    tr.step = 0
+    l_bad = tr.train_sequence(voxels, bad)
+    np.testing.assert_allclose(l_clean, l_bad, rtol=1e-6)
+
+    tr_no = ReconstructionTrainer(burn_in=0, **kwargs)
+    tr_no.params, tr_no.opt_state = restore(tr_no)
+    assert abs(tr_no.train_sequence(voxels, bad) - l_bad) > 1e-3
+
+    from event_utils_tpu.errors import ConfigurationError
+    with pytest.raises(ConfigurationError):
+        ReconstructionTrainer(burn_in=T, **kwargs).train_sequence(
+            voxels, frames)
+
+    ckpt = str(tmp_path / "ck")
+    tr.save_checkpoint(ckpt)
+    saved = read_model_config(ckpt)
+    assert saved == {"recurrent_levels": 2, "num_res_blocks": 1}
+    tr2 = ReconstructionTrainer(model_kwargs=saved, **{
+        k: v for k, v in kwargs.items() if k != "model_kwargs"})
+    assert tr2.restore_checkpoint(ckpt) == tr.step
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), tr2.params, tr.params)
+
+
 def test_contrast_flow_loss_grad(rng):
     from event_utils_tpu.models.networks import contrast_flow_loss
     _, events, mask = _voxel_batch(rng)
@@ -316,7 +399,8 @@ def test_train_reconstruction_in_the_loop_descends(tmp_path):
         ckpt_dir=str(tmp_path / "ck"), ckpt_every=10, log_fn=lambda s: None)
     assert len(losses) == 10 and np.all(np.isfinite(losses))
     assert len(curve) == 2
-    assert all(np.isfinite(p) and np.isfinite(s) for _, p, s in curve)
+    assert all(np.isfinite(p) and np.isfinite(s) and np.isfinite(p_ss)
+               and np.isfinite(s_ss) for _, p, s, p_ss, s_ss in curve)
     assert np.mean(losses[-3:]) < np.mean(losses[:3])
     assert (tmp_path / "ck").exists()
 
