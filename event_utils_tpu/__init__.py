@@ -26,7 +26,7 @@ API, with an optional validity ``mask`` everywhere so irregular event counts
 map onto XLA's static shapes (bucketed padding instead of ragged arrays).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.4.0"
 
 
 def _apply_platform_env():
