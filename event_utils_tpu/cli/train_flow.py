@@ -27,6 +27,11 @@ def main(argv=None):
                         help="per-window event capacity for --simulate")
     parser.add_argument("--v_max", type=float, default=40.0,
                         help="|velocity| bound (px/s) for --simulate scenes")
+    parser.add_argument("--window_t", type=float, default=0.1,
+                        help="seconds of events per --simulate window")
+    parser.add_argument("--num_frames", type=int, default=9,
+                        help="rendered frames per --simulate window (ESIM "
+                             "temporal resolution)")
     parser.add_argument("--metrics_out", default=None,
                         help="write {losses, aee_curve} JSON here "
                              "(--simulate mode)")
@@ -86,6 +91,7 @@ def main(argv=None):
         losses, aee = train_flow_in_the_loop(
             trainer, steps=args.steps, batch_size=args.batch_size,
             capacity=args.capacity, v_max=args.v_max, seed=args.seed,
+            window_t=args.window_t, num_frames=args.num_frames,
             omega_max=args.omega_max, s_max=args.s_max,
             eval_seed=args.eval_seed, ckpt_dir=args.ckpt_dir)
         if args.metrics_out:
@@ -100,6 +106,10 @@ def main(argv=None):
                                       "steps": args.steps,
                                       "capacity": args.capacity,
                                       "v_max": args.v_max,
+                                      "window_t": args.window_t,
+                                      "num_frames": args.num_frames,
+                                      "omega_max": args.omega_max,
+                                      "s_max": args.s_max,
                                       "lr": args.lr,
                                       "supervised_weight":
                                           args.supervised_weight}}, f)
