@@ -88,15 +88,13 @@ def main(argv=None):
         if args.resume and args.ckpt_dir:
             step = trainer.restore_checkpoint(args.ckpt_dir)
             print(f"resumed from step {step}")
-        losses, aee = train_flow_in_the_loop(
-            trainer, steps=args.steps, batch_size=args.batch_size,
-            capacity=args.capacity, v_max=args.v_max, seed=args.seed,
-            window_t=args.window_t, num_frames=args.num_frames,
-            omega_max=args.omega_max, s_max=args.s_max,
-            eval_seed=args.eval_seed, ckpt_dir=args.ckpt_dir)
-        if args.metrics_out:
+        def write_metrics(losses, aee):
+            # Rewritten after every eval (atomic) so an interrupted run —
+            # tunnel outage, timeout — keeps its curve up to the last eval.
             import json
-            with open(args.metrics_out, "w") as f:
+            import os as _os
+            tmp = args.metrics_out + ".tmp"
+            with open(tmp, "w") as f:
                 json.dump({"losses": [round(float(x), 5) for x in losses],
                            "aee_curve": [[int(s), round(float(a), 3)]
                                          for s, a in aee],
@@ -113,6 +111,17 @@ def main(argv=None):
                                       "lr": args.lr,
                                       "supervised_weight":
                                           args.supervised_weight}}, f)
+            _os.replace(tmp, args.metrics_out)
+
+        losses, aee = train_flow_in_the_loop(
+            trainer, steps=args.steps, batch_size=args.batch_size,
+            capacity=args.capacity, v_max=args.v_max, seed=args.seed,
+            window_t=args.window_t, num_frames=args.num_frames,
+            omega_max=args.omega_max, s_max=args.s_max,
+            eval_seed=args.eval_seed, ckpt_dir=args.ckpt_dir,
+            on_eval=write_metrics if args.metrics_out else None)
+        if args.metrics_out:
+            write_metrics(losses, aee)
         print(f"final loss: {np.mean(losses[-10:]):.5f} over "
               f"{len(losses)} steps"
               + (f"; final AEE {aee[-1][1]:.2f} px/s" if aee else ""))

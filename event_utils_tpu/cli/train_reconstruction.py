@@ -282,15 +282,13 @@ def main(argv=None):
         if args.resume and args.ckpt_dir:
             step = trainer.restore_checkpoint(args.ckpt_dir)
             print(f"resumed from step {step}")
-        losses, curve = train_reconstruction_in_the_loop(
-            trainer, steps=args.steps, batch_size=args.batch_size,
-            seq_len=args.seq_len, capacity=args.capacity,
-            v_max=args.v_max, window_t=args.window_t, seed=args.seed,
-            omega_max=args.omega_max, s_max=args.s_max,
-            eval_seed=args.eval_seed, ckpt_dir=args.ckpt_dir)
-        if args.metrics_out:
+        def write_metrics(losses, curve):
+            # Rewritten after every eval (atomic) so an interrupted run —
+            # tunnel outage, timeout — keeps its curve up to the last eval.
             import json
-            with open(args.metrics_out, "w") as f:
+            import os as _os
+            tmp = args.metrics_out + ".tmp"
+            with open(tmp, "w") as f:
                 json.dump({"losses": [round(float(x), 5) for x in losses],
                            "psnr_curve": [[int(c[0])]
                                           + [round(float(x), 4)
@@ -309,6 +307,17 @@ def main(argv=None):
                                       "model_kwargs": _model_kwargs(args),
                                       "burn_in": args.burn_in}},
                           f)
+            _os.replace(tmp, args.metrics_out)
+
+        losses, curve = train_reconstruction_in_the_loop(
+            trainer, steps=args.steps, batch_size=args.batch_size,
+            seq_len=args.seq_len, capacity=args.capacity,
+            v_max=args.v_max, window_t=args.window_t, seed=args.seed,
+            omega_max=args.omega_max, s_max=args.s_max,
+            eval_seed=args.eval_seed, ckpt_dir=args.ckpt_dir,
+            on_eval=write_metrics if args.metrics_out else None)
+        if args.metrics_out:
+            write_metrics(losses, curve)
         print(f"final loss: {np.mean(losses[-10:]):.5f} over "
               f"{len(losses)} steps"
               + (f"; final PSNR {curve[-1][1]:.2f} dB / "

@@ -233,7 +233,8 @@ def train_reconstruction_in_the_loop(trainer, steps: int,
                                      log_every: int = 20,
                                      eval_every: int = 100,
                                      ckpt_dir: Optional[str] = None,
-                                     ckpt_every: int = 500, log_fn=print):
+                                     ckpt_every: int = 500, log_fn=print,
+                                     on_eval=None):
     """Drive ``ReconstructionTrainer`` on device-simulated sequences.
 
     The E2VID twin of :func:`train_flow_in_the_loop`: every step simulates
@@ -251,6 +252,9 @@ def train_reconstruction_in_the_loop(trainer, steps: int,
     scene stream: resumed stages with a fresh ``seed`` (so scenes don't
     replay) keep a comparable curve by passing the first stage's seed as
     ``eval_seed``.
+
+    ``on_eval(losses, psnr_curve)``, if given, is called after every eval
+    point — callers persist partial curves so interrupted runs keep them.
     """
     import time
 
@@ -340,6 +344,8 @@ def train_reconstruction_in_the_loop(trainer, steps: int,
             log_fn(f"step {trainer.step}: held-out PSNR {p:.2f} dB, "
                    f"SSIM {s:.3f} (steady-state {p_ss:.2f} dB / "
                    f"{s_ss:.3f})")
+            if on_eval is not None:
+                on_eval(losses, psnr_curve)
         if ckpt_dir and (i + 1) % ckpt_every == 0:
             trainer.save_checkpoint(ckpt_dir)
     losses.extend(float(x) for x in pending)
@@ -356,7 +362,8 @@ def train_flow_in_the_loop(trainer, steps: int, batch_size: int = 8,
                            eval_seed: Optional[int] = None,
                            log_every: int = 20,
                            eval_every: int = 100, ckpt_dir: Optional[str] = None,
-                           ckpt_every: int = 500, log_fn=print):
+                           ckpt_every: int = 500, log_fn=print,
+                           on_eval=None):
     """Drive ``FlowTrainer`` on device-simulated batches (no files).
 
     Each step: ``simulate_flow_batch`` -> on-device voxelize -> one
@@ -366,7 +373,8 @@ def train_flow_in_the_loop(trainer, steps: int, batch_size: int = 8,
     the scene's uniform GT velocity.
 
     Returns ``(losses, aee_curve)`` where ``aee_curve`` is a list of
-    ``(step, aee)`` pairs.
+    ``(step, aee)`` pairs. ``on_eval(losses, aee_curve)``, if given, is
+    called after every eval point (partial-curve persistence).
     """
     import time
 
@@ -469,6 +477,8 @@ def train_flow_in_the_loop(trainer, steps: int, batch_size: int = 8,
             aee_curve.append((trainer.step, aee))
             log_fn(f"step {trainer.step}: held-out AEE {aee:.2f} px/s "
                    f"(zero-flow baseline {float(jnp.mean(jnp.linalg.norm(eval_gt, axis=1))):.2f})")
+            if on_eval is not None:
+                on_eval(losses, aee_curve)
         if ckpt_dir and (i + 1) % ckpt_every == 0:
             trainer.save_checkpoint(ckpt_dir)
     losses.extend(float(x) for x in pending)

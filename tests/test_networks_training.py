@@ -357,12 +357,16 @@ def test_train_flow_in_the_loop_descends(tmp_path):
 
     trainer = FlowTrainer(sensor_size=(16, 16), num_bins=2,
                           learning_rate=2e-3)
+    eval_calls = []
     losses, aee = train_flow_in_the_loop(
         trainer, steps=12, batch_size=2, capacity=1024, v_max=20.0,
         window_t=0.1, num_frames=5, log_every=6, eval_every=6,
-        ckpt_dir=str(tmp_path / "ck"), ckpt_every=12, log_fn=lambda s: None)
+        ckpt_dir=str(tmp_path / "ck"), ckpt_every=12, log_fn=lambda s: None,
+        on_eval=lambda ls, cv: eval_calls.append(len(cv)))
     assert len(losses) == 12 and np.all(np.isfinite(losses))
     assert len(aee) == 2 and all(np.isfinite(a) for _, a in aee)
+    # partial-curve persistence hook fires after every eval point
+    assert eval_calls == [1, 2]
     assert np.mean(losses[-4:]) < np.mean(losses[:4])
     assert (tmp_path / "ck").exists()
 
