@@ -72,6 +72,16 @@ def build_parser():
                         help="independent sequences per step")
     parser.add_argument("--epochs", type=int, default=1)
     parser.add_argument("--lr", type=float, default=1e-4)
+    parser.add_argument("--lr_end", type=float, default=None,
+                        help="cosine-decay the learning rate from --lr to "
+                             "this value over --steps (--simulate mode); a "
+                             "single process then covers the whole "
+                             "warmup+decay production schedule, with no "
+                             "cross-session resume to lose")
+    parser.add_argument("--params_out", default=None,
+                        help="after training, also dump the final params as "
+                             "a flat .npz (small, committable — survives "
+                             "environments that drop the orbax ckpt dir)")
     parser.add_argument("--lpips_weight", type=float, default=0.0,
                         help="random-feature perceptual loss weight")
     parser.add_argument("--combined_channels", action="store_true",
@@ -79,6 +89,10 @@ def build_parser():
                              "neg/pos stacked, 2*num_bins channels)")
     parser.add_argument("--ckpt_dir", default=None)
     parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--resume_params", default=None,
+                        help="warm-start weights from a --params_out .npz "
+                             "(optimizer state re-initialized; pass the "
+                             "matching architecture flags)")
     parser.add_argument("--max_steps", type=int, default=None)
     parser.add_argument("--data_parallel", action="store_true",
                         help="--simulate mode: shard batch + per-scene "
@@ -273,15 +287,26 @@ def main(argv=None):
             mesh = make_mesh(axis_name="batch")
             print(f"data-parallel over {mesh.devices.size} devices "
                   "(sharded in-the-loop simulation)")
+        lr = args.lr
+        if args.lr_end is not None:
+            import optax
+            lr = optax.cosine_decay_schedule(
+                args.lr, decay_steps=args.steps,
+                alpha=args.lr_end / args.lr)
         trainer = ReconstructionTrainer(
             sensor_size=tuple(args.sensor), num_bins=args.num_bins,
             combined_channels=args.combined_channels,
-            learning_rate=args.lr, lpips_weight=args.lpips_weight,
+            learning_rate=lr, lpips_weight=args.lpips_weight,
             mesh=mesh, model_kwargs=_model_kwargs(args),
             burn_in=args.burn_in)
         if args.resume and args.ckpt_dir:
             step = trainer.restore_checkpoint(args.ckpt_dir)
             print(f"resumed from step {step}")
+        elif args.resume_params:
+            from ..training.checkpointing import load_params_npz
+            step = load_params_npz(trainer, args.resume_params)
+            print(f"warm-started weights from {args.resume_params} "
+                  f"(step {step}; fresh optimizer state)")
         def write_metrics(losses, curve):
             # Rewritten after every eval (atomic) so an interrupted run —
             # tunnel outage, timeout — keeps its curve up to the last eval.
@@ -303,11 +328,18 @@ def main(argv=None):
                                       "v_max": args.v_max,
                                       "window_t": args.window_t,
                                       "lr": args.lr,
+                                      "lr_end": args.lr_end,
                                       "lpips_weight": args.lpips_weight,
                                       "model_kwargs": _model_kwargs(args),
                                       "burn_in": args.burn_in}},
                           f)
             _os.replace(tmp, args.metrics_out)
+            if args.params_out:
+                # refresh the committable weights at every eval point so an
+                # interrupted run keeps them (the orbax dir is a bulk
+                # artifact this environment can drop)
+                from ..training.checkpointing import save_params_npz
+                save_params_npz(trainer, args.params_out)
 
         losses, curve = train_reconstruction_in_the_loop(
             trainer, steps=args.steps, batch_size=args.batch_size,
@@ -318,6 +350,10 @@ def main(argv=None):
             on_eval=write_metrics if args.metrics_out else None)
         if args.metrics_out:
             write_metrics(losses, curve)
+        if args.params_out:
+            from ..training.checkpointing import save_params_npz
+            save_params_npz(trainer, args.params_out)
+            print(f"final params saved to {args.params_out}")
         print(f"final loss: {np.mean(losses[-10:]):.5f} over "
               f"{len(losses)} steps"
               + (f"; final PSNR {curve[-1][1]:.2f} dB / "

@@ -43,6 +43,71 @@ def save_trainer_checkpoint(trainer, ckpt_dir: str) -> None:
         mngr.wait_until_finished()
 
 
+def save_params_npz(trainer, path: str) -> None:
+    """Dump ``trainer.params`` (weights only, no optimizer state) as one
+    flat ``.npz`` keyed by tree path, plus ``__step__`` and a
+    ``__model_json__`` sidecar entry.
+
+    Rationale: the orbax directory is a bulk artifact (gitignored, lost on
+    container resets); a production run's *final weights* are small enough
+    to commit, which is what makes a multi-session training schedule
+    actually resumable in this environment."""
+    import json
+
+    import jax
+    import numpy as np
+
+    leaves_with_paths, _ = jax.tree_util.tree_flatten_with_path(
+        trainer.params)
+    arrays = {jax.tree_util.keystr(kp): np.asarray(leaf)
+              for kp, leaf in leaves_with_paths}
+    arrays["__step__"] = np.asarray(int(trainer.step), np.int64)
+    arrays["__model_json__"] = np.frombuffer(
+        json.dumps(getattr(trainer, "model_kwargs", {}) or {})
+        .encode(), np.uint8)
+    tmp = path + ".tmp.npz"
+    np.savez_compressed(tmp, **arrays)
+    os.replace(tmp, path)
+
+
+def load_params_npz(trainer, path: str) -> int:
+    """Restore weights saved by :func:`save_params_npz` into
+    ``trainer.params`` (optimizer state is re-initialized — use the orbax
+    checkpoint when bitwise resume matters). Returns the saved step."""
+    import json
+
+    import jax
+    import numpy as np
+
+    from ..errors import DataFormatError
+
+    z = np.load(path)
+    saved_kwargs = json.loads(bytes(z["__model_json__"]).decode())
+    have = dict(getattr(trainer, "model_kwargs", {}) or {})
+    if saved_kwargs != have:
+        raise DataFormatError(
+            f"params file was saved for model_kwargs={saved_kwargs}, "
+            f"trainer has {have}")
+    leaves_with_paths, treedef = jax.tree_util.tree_flatten_with_path(
+        trainer.params)
+    new_leaves = []
+    for kp, leaf in leaves_with_paths:
+        key = jax.tree_util.keystr(kp)
+        if key not in z:
+            raise DataFormatError(f"params file missing leaf {key}")
+        arr = z[key]
+        if arr.shape != leaf.shape:
+            raise DataFormatError(
+                f"leaf {key}: saved shape {arr.shape} != trainer "
+                f"{leaf.shape}")
+        new_leaves.append(arr.astype(leaf.dtype))
+    trainer.params = jax.tree_util.tree_unflatten(treedef, new_leaves)
+    if hasattr(trainer, "tx"):
+        trainer.opt_state = trainer.tx.init(trainer.params)
+    trainer.step = int(z["__step__"])
+    return trainer.step
+
+
 def read_model_config(ckpt_dir: str) -> dict:
     """Model kwargs recorded by :func:`save_trainer_checkpoint` (``{}`` for
     default-architecture checkpoints, which write no sidecar)."""
