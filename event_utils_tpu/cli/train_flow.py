@@ -60,8 +60,20 @@ def main(argv=None):
     parser.add_argument("--batch_size", type=int, default=8)
     parser.add_argument("--epochs", type=int, default=1)
     parser.add_argument("--lr", type=float, default=1e-4)
+    parser.add_argument("--lr_end", type=float, default=None,
+                        help="cosine-decay the learning rate from --lr to "
+                             "this value over --steps (--simulate mode); a "
+                             "single process then covers the whole "
+                             "warmup+decay production schedule")
+    parser.add_argument("--params_out", default=None,
+                        help="after training, also dump the final params as "
+                             "a flat .npz (small, committable — survives "
+                             "environments that drop the orbax ckpt dir)")
     parser.add_argument("--ckpt_dir", default=None)
     parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--resume_params", default=None,
+                        help="warm-start weights from a --params_out .npz "
+                             "(optimizer state re-initialized)")
     parser.add_argument("--data_parallel", action="store_true",
                         help="shard the batch over all devices")
     args = parser.parse_args(argv)
@@ -81,13 +93,24 @@ def main(argv=None):
             mesh = make_mesh(axis_name="batch")
             print(f"data-parallel over {mesh.devices.size} devices "
                   "(sharded in-the-loop simulation)")
+        lr = args.lr
+        if args.lr_end is not None:
+            import optax
+            lr = optax.cosine_decay_schedule(
+                args.lr, decay_steps=args.steps,
+                alpha=args.lr_end / args.lr)
         trainer = FlowTrainer(sensor_size=tuple(args.sensor),
                               num_bins=args.num_bins,
-                              learning_rate=args.lr, mesh=mesh,
+                              learning_rate=lr, mesh=mesh,
                               supervised_weight=args.supervised_weight)
         if args.resume and args.ckpt_dir:
             step = trainer.restore_checkpoint(args.ckpt_dir)
             print(f"resumed from step {step}")
+        elif args.resume_params:
+            from ..training.checkpointing import load_params_npz
+            step = load_params_npz(trainer, args.resume_params)
+            print(f"warm-started weights from {args.resume_params} "
+                  f"(step {step}; fresh optimizer state)")
         def write_metrics(losses, aee):
             # Rewritten after every eval (atomic) so an interrupted run —
             # tunnel outage, timeout — keeps its curve up to the last eval.
@@ -109,9 +132,15 @@ def main(argv=None):
                                       "omega_max": args.omega_max,
                                       "s_max": args.s_max,
                                       "lr": args.lr,
+                                      "lr_end": args.lr_end,
                                       "supervised_weight":
                                           args.supervised_weight}}, f)
             _os.replace(tmp, args.metrics_out)
+            if args.params_out:
+                # refresh the committable weights at every eval point so an
+                # interrupted run keeps them
+                from ..training.checkpointing import save_params_npz
+                save_params_npz(trainer, args.params_out)
 
         losses, aee = train_flow_in_the_loop(
             trainer, steps=args.steps, batch_size=args.batch_size,
@@ -122,6 +151,10 @@ def main(argv=None):
             on_eval=write_metrics if args.metrics_out else None)
         if args.metrics_out:
             write_metrics(losses, aee)
+        if args.params_out:
+            from ..training.checkpointing import save_params_npz
+            save_params_npz(trainer, args.params_out)
+            print(f"final params saved to {args.params_out}")
         print(f"final loss: {np.mean(losses[-10:]):.5f} over "
               f"{len(losses)} steps"
               + (f"; final AEE {aee[-1][1]:.2f} px/s" if aee else ""))

@@ -1,5 +1,6 @@
 """CLI entry-point smoke tests (in-process, headless)."""
 
+import json
 import os
 
 import matplotlib
@@ -379,3 +380,25 @@ def test_reconstruct_window_cache(h5_path, tmp_path):
     assert os.stat(cache).st_mtime_ns != stat1  # rebuilt
     m3 = json.load(open(os.path.join(out3, "metrics.json")))
     assert m3 == m1  # same data -> same result
+
+
+def test_train_flow_cli_simulate_schedule_and_params(tmp_path):
+    """--simulate with --lr_end (single-process cosine schedule),
+    --params_out, then --resume_params warm start (train_flow side of the
+    production-run plumbing)."""
+    from event_utils_tpu.cli.train_flow import main
+    metrics = str(tmp_path / "m.json")
+    params = str(tmp_path / "p.npz")
+    main(["--simulate", "--sensor", "16", "16", "--steps", "3",
+          "--batch_size", "2", "--capacity", "512", "--v_max", "10",
+          "--window_t", "0.05", "--num_frames", "5",
+          "--supervised_weight", "1.0", "--lr", "1e-3", "--lr_end", "1e-4",
+          "--metrics_out", metrics, "--params_out", params])
+    assert os.path.exists(params)
+    with open(metrics) as f:
+        cfg = json.load(f)["config"]
+    assert cfg["lr_end"] == 1e-4
+    main(["--simulate", "--sensor", "16", "16", "--steps", "1",
+          "--batch_size", "2", "--capacity", "512", "--v_max", "10",
+          "--window_t", "0.05", "--num_frames", "5",
+          "--supervised_weight", "1.0", "--resume_params", params])

@@ -493,3 +493,40 @@ def test_sharded_in_the_loop_training():
     with pytest.raises(ValueError):
         train_flow_in_the_loop(tr, steps=1, batch_size=len(devs) + 1,
                                capacity=512, log_fn=lambda s: None)
+
+
+def test_params_npz_roundtrip(rng, tmp_path):
+    """save_params_npz/load_params_npz: weights + step survive the flat-npz
+    round trip for both trainer families; mismatched architectures are a
+    DataFormatError (the npz embeds model_kwargs as a sidecar entry)."""
+    from event_utils_tpu.errors import DataFormatError
+    from event_utils_tpu.training import FlowTrainer, ReconstructionTrainer
+    from event_utils_tpu.training.checkpointing import (load_params_npz,
+                                                        save_params_npz)
+
+    tr = FlowTrainer(sensor_size=SENSOR, num_bins=BINS, learning_rate=1e-3)
+    vox, events, mask = _voxel_batch(rng, batch=2)
+    for _ in range(3):
+        tr.train_batch(vox, events, mask)
+    path = str(tmp_path / "flow.npz")
+    save_params_npz(tr, path)
+    p_saved = jax.tree.map(np.asarray, tr.params)
+    tr.train_batch(vox, events, mask)  # diverge from the snapshot
+    tr2 = FlowTrainer(sensor_size=SENSOR, num_bins=BINS, learning_rate=1e-3)
+    assert load_params_npz(tr2, path) == 3
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), b), tr2.params, p_saved)
+
+    kwargs = dict(sensor_size=SENSOR, num_bins=BINS, learning_rate=1e-3)
+    rt = ReconstructionTrainer(
+        model_kwargs={"recurrent_levels": 2}, **kwargs)
+    rpath = str(tmp_path / "recon.npz")
+    save_params_npz(rt, rpath)
+    rt2 = ReconstructionTrainer(
+        model_kwargs={"recurrent_levels": 2}, **kwargs)
+    assert load_params_npz(rt2, rpath) == 0
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), rt2.params, rt.params)
+
+    with pytest.raises(DataFormatError):
+        load_params_npz(ReconstructionTrainer(**kwargs), rpath)
