@@ -126,20 +126,33 @@ def _model_kwargs(args):
         kwargs["recurrent_levels"] = args.recurrent_levels
     if args.num_res_blocks:
         kwargs["num_res_blocks"] = args.num_res_blocks
+    saved = None
+    source = None
     if getattr(args, "resume", False) and args.ckpt_dir:
         from ..training.checkpointing import read_model_config
 
         saved = read_model_config(args.ckpt_dir)
-        if saved:
-            for k, v in kwargs.items():
-                if saved.get(k, v) != v:
-                    raise SystemExit(
-                        f"--{k} {v} contradicts the checkpoint's "
-                        f"model.json ({saved.get(k)}); drop the flag to "
-                        "resume the saved architecture")
-            merged = dict(saved)
-            merged.update(kwargs)
-            return merged
+        source = "the checkpoint's model.json"
+    elif getattr(args, "resume_params", None):
+        # The .npz snapshot embeds its architecture (__model_json__); use
+        # it so warm-starting never needs the arch flags re-passed.
+        import json
+
+        import numpy as np
+
+        with np.load(args.resume_params) as z:
+            if "__model_json__" in z:
+                saved = json.loads(bytes(z["__model_json__"]).decode())
+        source = f"{args.resume_params}'s __model_json__"
+    if saved:
+        for k, v in kwargs.items():
+            if saved.get(k, v) != v:
+                raise SystemExit(
+                    f"--{k} {v} contradicts {source} ({saved.get(k)}); "
+                    "drop the flag to resume the saved architecture")
+        merged = dict(saved)
+        merged.update(kwargs)
+        return merged
     return kwargs
 
 

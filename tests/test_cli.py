@@ -152,6 +152,26 @@ def test_train_reconstruction_cli_arch_sidecar(h5_path, tmp_path):
     assert len([f for f in os.listdir(out) if f.endswith(".png")]) == 2
 
 
+def test_train_reconstruction_resume_params_arch_from_npz(tmp_path):
+    """--resume_params restores the snapshot's architecture from its
+    embedded __model_json__ — no arch flags needed on the warm-start
+    command — and a contradicting explicit flag fails fast."""
+    import pytest
+
+    from event_utils_tpu.cli.train_reconstruction import main as train
+    params = str(tmp_path / "p.npz")
+    base = ["--simulate", "--sensor", "16", "16", "--steps", "1",
+            "--seq_len", "2", "--batch_size", "1", "--capacity", "512",
+            "--v_max", "10", "--window_t", "0.05"]
+    train(base + ["--recurrent_levels", "2", "--base_features", "16",
+                  "--params_out", params])
+    assert os.path.exists(params)
+    # no arch flags: the npz's __model_json__ supplies them
+    train(base + ["--resume_params", params])
+    with pytest.raises(SystemExit, match="contradicts"):
+        train(base + ["--resume_params", params, "--recurrent_levels", "3"])
+
+
 def test_train_flow_cli_h5_streaming(h5_path, tmp_path):
     """train_flow drives the H5 slab-streaming loader end-to-end (the
     memmap path is covered by the training tests)."""
