@@ -215,8 +215,17 @@ def main(argv=None):
     if args.resume and args.ckpt_dir:
         step = trainer.restore_checkpoint(args.ckpt_dir)
         print(f"resumed from step {step}")
+    elif args.resume_params:
+        from ..training.checkpointing import load_params_npz
+        step = load_params_npz(trainer, args.resume_params)
+        print(f"warm-started weights from {args.resume_params} "
+              f"(step {step}; fresh optimizer state)")
 
     losses = trainer.fit(loader, epochs=args.epochs, ckpt_dir=args.ckpt_dir)
+    if args.params_out:
+        from ..training.checkpointing import save_params_npz
+        save_params_npz(trainer, args.params_out)
+        print(f"final params saved to {args.params_out}")
     print(f"final loss: {np.mean(losses[-10:]):.5f} over {len(losses)} steps")
 
 

@@ -146,9 +146,14 @@ def _model_kwargs(args):
         source = f"{args.resume_params}'s __model_json__"
     if saved:
         for k, v in kwargs.items():
-            if saved.get(k, v) != v:
+            # kwargs holds only explicit non-default flags, and the sidecar
+            # stores only the snapshot's non-default kwargs — so a key
+            # missing from `saved` means the snapshot was built at the
+            # default, which the explicit flag contradicts too.
+            if saved.get(k) != v:
                 raise SystemExit(
-                    f"--{k} {v} contradicts {source} ({saved.get(k)}); "
+                    f"--{k} {v} contradicts {source} "
+                    f"({saved.get(k, 'default')}); "
                     "drop the flag to resume the saved architecture")
         merged = dict(saved)
         merged.update(kwargs)
@@ -306,11 +311,13 @@ def main(argv=None):
             lr = optax.cosine_decay_schedule(
                 args.lr, decay_steps=args.steps,
                 alpha=args.lr_end / args.lr)
+        # resolved once: _model_kwargs re-opens --resume_params each call
+        model_kwargs = _model_kwargs(args)
         trainer = ReconstructionTrainer(
             sensor_size=tuple(args.sensor), num_bins=args.num_bins,
             combined_channels=args.combined_channels,
             learning_rate=lr, lpips_weight=args.lpips_weight,
-            mesh=mesh, model_kwargs=_model_kwargs(args),
+            mesh=mesh, model_kwargs=model_kwargs,
             burn_in=args.burn_in)
         if args.resume and args.ckpt_dir:
             step = trainer.restore_checkpoint(args.ckpt_dir)
@@ -343,7 +350,7 @@ def main(argv=None):
                                       "lr": args.lr,
                                       "lr_end": args.lr_end,
                                       "lpips_weight": args.lpips_weight,
-                                      "model_kwargs": _model_kwargs(args),
+                                      "model_kwargs": model_kwargs,
                                       "burn_in": args.burn_in}},
                           f)
             _os.replace(tmp, args.metrics_out)
@@ -417,6 +424,11 @@ def main(argv=None):
     if args.resume and args.ckpt_dir:
         step = trainer.restore_checkpoint(args.ckpt_dir)
         print(f"resumed from step {step}")
+    elif args.resume_params:
+        from ..training.checkpointing import load_params_npz
+        step = load_params_npz(trainer, args.resume_params)
+        print(f"warm-started weights from {args.resume_params} "
+              f"(step {step}; fresh optimizer state)")
 
     if args.shuffle and not args.cache_windows:
         raise SystemExit("--shuffle needs --cache_windows")
@@ -457,6 +469,10 @@ def main(argv=None):
     if args.ckpt_dir:
         trainer.save_checkpoint(args.ckpt_dir)
         print(f"checkpoint saved to {args.ckpt_dir} at step {trainer.step}")
+    if args.params_out:
+        from ..training.checkpointing import save_params_npz
+        save_params_npz(trainer, args.params_out)
+        print(f"final params saved to {args.params_out}")
 
 
 if __name__ == "__main__":

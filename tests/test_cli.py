@@ -170,6 +170,28 @@ def test_train_reconstruction_resume_params_arch_from_npz(tmp_path):
     train(base + ["--resume_params", params])
     with pytest.raises(SystemExit, match="contradicts"):
         train(base + ["--resume_params", params, "--recurrent_levels", "3"])
+    # snapshot-at-default vs explicit non-default is also a contradiction
+    # (num_res_blocks was default=0 when the snapshot was written, so it is
+    # absent from __model_json__ — the check must still catch it rather
+    # than fail later inside load_params_npz)
+    with pytest.raises(SystemExit, match="contradicts"):
+        train(base + ["--resume_params", params, "--num_res_blocks", "1"])
+
+
+def test_train_reconstruction_resume_params_file_mode(h5_path, tmp_path,
+                                                      capsys):
+    """--resume_params warm-starts file-based (non --simulate) training
+    too — previously the flag was silently ignored there and the run
+    trained from random init while looking like a warm start."""
+    from event_utils_tpu.cli.train_reconstruction import main as train
+    params = str(tmp_path / "warm.npz")
+    base = [h5_path, "--seq_len", "2", "--batch_size", "1", "--epochs", "1",
+            "--max_steps", "1", "--base_features", "16"]
+    train(base + ["--params_out", params])
+    assert os.path.exists(params)
+    capsys.readouterr()
+    train(base + ["--resume_params", params])
+    assert "warm-started weights" in capsys.readouterr().out
 
 
 def test_train_flow_cli_h5_streaming(h5_path, tmp_path):
