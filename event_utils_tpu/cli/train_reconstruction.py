@@ -84,6 +84,16 @@ def build_parser():
                              "environments that drop the orbax ckpt dir)")
     parser.add_argument("--lpips_weight", type=float, default=0.0,
                         help="random-feature perceptual loss weight")
+    parser.add_argument("--mse_weight", type=float, default=0.0,
+                        help="squared-error loss weight on top of L1 "
+                             "(PSNR is log-MSE; ~4.0 makes the two terms "
+                             "comparable on [0,1] images — the PSNR-"
+                             "targeted fine-tune lever)")
+    parser.add_argument("--ema_decay", type=float, default=0.0,
+                        help="maintain an exponential moving average of "
+                             "the weights (e.g. 0.999); evals and "
+                             "--params_out then use the EMA — the "
+                             "standard late-training variance killer")
     parser.add_argument("--combined_channels", action="store_true",
                         help="single polarity-summed voxel (default: "
                              "neg/pos stacked, 2*num_bins channels)")
@@ -318,7 +328,8 @@ def main(argv=None):
             combined_channels=args.combined_channels,
             learning_rate=lr, lpips_weight=args.lpips_weight,
             mesh=mesh, model_kwargs=model_kwargs,
-            burn_in=args.burn_in)
+            burn_in=args.burn_in, mse_weight=args.mse_weight,
+            ema_decay=args.ema_decay)
         if args.resume and args.ckpt_dir:
             step = trainer.restore_checkpoint(args.ckpt_dir)
             print(f"resumed from step {step}")
@@ -350,6 +361,8 @@ def main(argv=None):
                                       "lr": args.lr,
                                       "lr_end": args.lr_end,
                                       "lpips_weight": args.lpips_weight,
+                                      "mse_weight": args.mse_weight,
+                                      "ema_decay": args.ema_decay,
                                       "model_kwargs": model_kwargs,
                                       "burn_in": args.burn_in}},
                           f)
@@ -420,7 +433,8 @@ def main(argv=None):
         sensor_size=(Hp, Wp), num_bins=args.num_bins,
         combined_channels=args.combined_channels, learning_rate=args.lr,
         lpips_weight=args.lpips_weight, model_kwargs=_model_kwargs(args),
-        burn_in=args.burn_in)
+        burn_in=args.burn_in, mse_weight=args.mse_weight,
+        ema_decay=args.ema_decay)
     if args.resume and args.ckpt_dir:
         step = trainer.restore_checkpoint(args.ckpt_dir)
         print(f"resumed from step {step}")

@@ -264,11 +264,18 @@ def perceptual_distance(pred, target, levels: int = 3, features: int = 16,
     return sum(jnp.mean((a - b) ** 2) for a, b in zip(fp, ft)) / len(fp)
 
 
-def reconstruction_loss(pred, target, lpips_weight: float = 0.0):
+def reconstruction_loss(pred, target, lpips_weight: float = 0.0,
+                        mse_weight: float = 0.0):
     """E2VID supervision: L1 + optional random-feature perceptual term
     (the reference repo trains its networks elsewhere; this is the
-    framework-native equivalent of the L1+LPIPS loss those repos use)."""
+    framework-native equivalent of the L1+LPIPS loss those repos use).
+    ``mse_weight`` adds a squared-error term — PSNR is a log-MSE metric,
+    so a PSNR-targeted fine-tune stage weights it in (typical ~4.0: MSE
+    gradients on [0,1] images are ~0.1x L1's, so 4.0 makes the two terms
+    comparable)."""
     loss = jnp.mean(jnp.abs(pred - target))
+    if mse_weight:
+        loss = loss + mse_weight * jnp.mean(jnp.square(pred - target))
     if lpips_weight:
         loss = loss + lpips_weight * perceptual_distance(pred, target)
     return loss

@@ -57,8 +57,10 @@ def save_params_npz(trainer, path: str) -> None:
     import jax
     import numpy as np
 
-    leaves_with_paths, _ = jax.tree_util.tree_flatten_with_path(
-        trainer.params)
+    # The deliverable weights: the EMA when the trainer maintains one
+    # (it is what evals/inference use), else the raw params.
+    params = getattr(trainer, "inference_params", trainer.params)
+    leaves_with_paths, _ = jax.tree_util.tree_flatten_with_path(params)
     arrays = {jax.tree_util.keystr(kp): np.asarray(leaf)
               for kp, leaf in leaves_with_paths}
     arrays["__step__"] = np.asarray(int(trainer.step), np.int64)
@@ -104,6 +106,11 @@ def load_params_npz(trainer, path: str) -> int:
     trainer.params = jax.tree_util.tree_unflatten(treedef, new_leaves)
     if hasattr(trainer, "tx"):
         trainer.opt_state = trainer.tx.init(trainer.params)
+    if getattr(trainer, "ema_params", None) is not None:
+        # Re-seed the EMA from the loaded weights — the construction-time
+        # copy tracks the *random init*, which would poison every eval
+        # until the decay horizon washes it out.
+        trainer.ema_params = jax.tree.map(np.copy, trainer.params)
     trainer.step = int(z["__step__"])
     return trainer.step
 
@@ -136,5 +143,9 @@ def restore_trainer_checkpoint(trainer, ckpt_dir: str,
             {"params": trainer.params, "opt_state": trainer.opt_state}))
     trainer.params = restored["params"]
     trainer.opt_state = restored["opt_state"]
+    if getattr(trainer, "ema_params", None) is not None:
+        import jax
+        import numpy as np
+        trainer.ema_params = jax.tree.map(np.copy, trainer.params)
     trainer.step = step
     return step

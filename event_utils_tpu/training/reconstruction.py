@@ -26,7 +26,8 @@ class ReconstructionTrainer:
                  combined_channels: bool = False,
                  learning_rate: float = 1e-4, mesh: Optional[Mesh] = None,
                  lpips_weight: float = 0.0, seed: int = 0,
-                 model_kwargs: Optional[dict] = None, burn_in: int = 0):
+                 model_kwargs: Optional[dict] = None, burn_in: int = 0,
+                 mse_weight: float = 0.0, ema_decay: float = 0.0):
         """``model_kwargs`` are forwarded to :class:`models.networks.E2VID`
         (e.g. ``recurrent_levels``, ``num_res_blocks``, ``base_features``)
         and recorded in the checkpoint's ``model.json`` sidecar so inference
@@ -34,7 +35,11 @@ class ReconstructionTrainer:
         of the first N windows of every training sequence (the GRU state is
         still threaded through them) — the net is scored only where its
         state has history, matching how a long-running reconstruction is
-        actually used."""
+        actually used. ``ema_decay`` > 0 maintains an exponential moving
+        average of the weights updated inside the train step;
+        :meth:`reconstruct` (and therefore evals and the committable
+        snapshot) then uses the EMA — the standard late-training variance
+        killer."""
         from ..models.networks import E2VID, reconstruction_loss
 
         self.sensor_size = tuple(sensor_size)
@@ -48,6 +53,9 @@ class ReconstructionTrainer:
         self.params = self.model.init(jax.random.PRNGKey(seed), dummy, None)
         self.tx = optax.adam(learning_rate)
         self.opt_state = self.tx.init(self.params)
+        self.ema_decay = float(ema_decay)
+        self.ema_params = (jax.tree.map(jnp.copy, self.params)
+                           if self.ema_decay else None)
         self.step = 0
 
         def seq_loss(params, voxels, frames):
@@ -55,7 +63,8 @@ class ReconstructionTrainer:
                 vox, frame = inp
                 pred, state = self.model.apply(params, vox, state)
                 return state, reconstruction_loss(pred, frame,
-                                                  lpips_weight=lpips_weight)
+                                                  lpips_weight=lpips_weight,
+                                                  mse_weight=mse_weight)
 
             # zero init state, shaped abstractly (eval_shape traces without
             # executing — no throwaway forward pass)
@@ -73,11 +82,15 @@ class ReconstructionTrainer:
                 losses = losses[self.burn_in:]
             return jnp.mean(losses)
 
-        def train_step(params, opt_state, voxels, frames):
+        def train_step(params, opt_state, ema, voxels, frames):
             loss, grads = jax.value_and_grad(seq_loss)(params, voxels, frames)
             updates, opt_state = self.tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return params, opt_state, loss
+            if self.ema_decay:
+                d = self.ema_decay
+                ema = jax.tree.map(lambda e, p: e * d + (1.0 - d) * p,
+                                   ema, params)
+            return params, opt_state, ema, loss
 
         if mesh is not None:
             axis = mesh.axis_names[0]
@@ -85,13 +98,15 @@ class ReconstructionTrainer:
             repl = NamedSharding(mesh, P())
             self.params = jax.device_put(self.params, repl)
             self.opt_state = jax.device_put(self.opt_state, repl)
+            if self.ema_params is not None:
+                self.ema_params = jax.device_put(self.ema_params, repl)
             self._train_step = jax.jit(
                 train_step,
-                in_shardings=(repl, repl, batch_sh, batch_sh),
-                out_shardings=(repl, repl, repl),
-                donate_argnums=(0, 1))
+                in_shardings=(repl, repl, repl, batch_sh, batch_sh),
+                out_shardings=(repl, repl, repl, repl),
+                donate_argnums=(0, 1, 2))
         else:
-            self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
+            self._train_step = jax.jit(train_step, donate_argnums=(0, 1, 2))
 
     def train_sequence_async(self, voxels, frames):
         """One truncated-BPTT step; returns the loss as a device scalar
@@ -101,9 +116,11 @@ class ReconstructionTrainer:
         @param voxels ``(T, B, C, H, W)`` voxel-grid sequence
         @param frames ``(T, B, 1, H, W)`` target frames in [0, 1]
         """
-        self.params, self.opt_state, loss = self._train_step(
-            self.params, self.opt_state, jnp.asarray(voxels, jnp.float32),
-            jnp.asarray(frames, jnp.float32))
+        self.params, self.opt_state, self.ema_params, loss = \
+            self._train_step(
+                self.params, self.opt_state, self.ema_params,
+                jnp.asarray(voxels, jnp.float32),
+                jnp.asarray(frames, jnp.float32))
         self.step += 1
         return loss
 
@@ -111,19 +128,28 @@ class ReconstructionTrainer:
         """Synchronous :meth:`train_sequence_async` (returns a float)."""
         return float(self.train_sequence_async(voxels, frames))
 
+    @property
+    def inference_params(self):
+        """The deliverable weights: the EMA when enabled, else the raw
+        params — what evals, snapshots and inference consume."""
+        return (self.ema_params if self.ema_params is not None
+                else self.params)
+
     def reconstruct(self, voxels, state=None):
         """Run inference over a ``(T, B, C, H, W)`` sequence; returns
-        ``(images (T, B, 1, H, W), final_state)``."""
+        ``(images (T, B, 1, H, W), final_state)``. Uses the EMA weights
+        when ``ema_decay`` is enabled."""
         voxels = jnp.asarray(voxels, jnp.float32)
+        params = self.inference_params
 
         def scan_fn(state, vox):
-            pred, state = self.model.apply(self.params, vox, state)
+            pred, state = self.model.apply(params, vox, state)
             return state, pred
 
         if state is None:
             _, state_sd = jax.eval_shape(
                 lambda p, v: self.model.apply(p, v, None),
-                self.params, voxels[0])
+                params, voxels[0])
             state = jax.tree.map(
                 lambda sd: jnp.zeros(sd.shape, sd.dtype), state_sd)
         state, preds = jax.lax.scan(scan_fn, state, voxels)
