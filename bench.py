@@ -313,7 +313,18 @@ def main():
     best_prec = max(results, key=lambda k: robust_best(results[k]))
     mevs = robust_best(results[best_prec])
     med_mevs = float(np.median(results[best_prec]))
-    log(f"headline: {best_prec} at {mevs:.0f} Mev/s (median {med_mevs:.0f})")
+    # Roofline fraction: the invariant to read cross-round numbers against
+    # (tunnel/session noise moves Mev/s; the kernel's FLOP bound doesn't).
+    # hilo = 3 matmuls/chunk -> ~700 Mev/s on v5e; bf16 = 2 -> ~1050; int8's
+    # paper bound is ~2100 (2 int8 matmuls at 2x rate) but its achievable
+    # ceiling is operand-pack-bound at ~hilo's level (NOTES_NEXT.md roofline
+    # study), so it is normalized against 700 too.
+    roofline_mevs = {"hilo": 700.0, "int8": 700.0, "bf16": 1050.0}
+    roofline_frac = mevs / roofline_mevs[best_prec]
+    roofline_frac_median = med_mevs / roofline_mevs[best_prec]
+    log(f"headline: {best_prec} at {mevs:.0f} Mev/s (median {med_mevs:.0f}; "
+        f"{roofline_frac:.0%} of the {roofline_mevs[best_prec]:.0f} Mev/s "
+        f"roofline, median {roofline_frac_median:.0%})")
 
     # ---- large sensors: the multi-tile kernel -----------------------------
     try:
@@ -361,6 +372,9 @@ def main():
         "value_median": round(med_mevs, 1),
         "vs_baseline_median": round(med_mevs / torch_mevs, 2),
         "voxel_kernel": best_prec,
+        "roofline_mevs": roofline_mevs[best_prec],
+        "roofline_frac": round(roofline_frac, 3),
+        "roofline_frac_median": round(roofline_frac_median, 3),
         **tiled_fields,
         **cmax_fields,
         **secondary_fields,

@@ -40,10 +40,13 @@ def build_parser():
                         choices=["median"],
                         help="Neighbor-median flow smoothing (helps "
                              "textured scenes; see grid_cmax_batched)")
-    parser.add_argument("--pyramid", type=int, default=1,
+    parser.add_argument("--pyramid", default="1",
                         help="Coarse-to-fine pyramid levels: level k solves "
                              "at roi_size*2^k and seeds the finer level's "
-                             "warm-started refine (textured scenes)")
+                             "warm-started refine (textured scenes); "
+                             "'auto' selects per ROI between the plain "
+                             "solve and the pyramid field by local field "
+                             "coherence (no scene foreknowledge needed)")
     parser.add_argument("--output", default=None,
                         help="Optional metrics.json path")
     return parser
@@ -80,7 +83,9 @@ def _eval(dataset, args):
         raise SystemExit(f"{args.path} has flow but no frame timestamps to "
                          "pair windows with")
 
-    if args.pyramid > 1 and args.warm_start:
+    args.pyramid = ("auto" if args.pyramid == "auto"
+                    else int(args.pyramid))
+    if args.pyramid != 1 and args.warm_start:
         print("note: --pyramid runs on the FIRST window only — a warm "
               "start (x0) suppresses the coarse-to-fine cascade on "
               "subsequent windows (see grid_cmax_batched)")

