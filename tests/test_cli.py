@@ -65,6 +65,7 @@ def test_add_attribute_cli(h5_path):
         assert f.attrs["myattr"] == 42
 
 
+@pytest.mark.slow
 def test_cmax_demo_cli(h5_path, capsys):
     from event_utils_tpu.cli.cmax_demo import main
     main([h5_path, "--start_idx", "0", "--num_events", "1500",
@@ -110,6 +111,7 @@ def test_augment_demo_cli(h5_path, tmp_path):
         assert any(n.startswith(stem) for n in names), (stem, names)
 
 
+@pytest.mark.slow
 def test_train_reconstruction_cli(h5_path, tmp_path):
     """End-to-end E2VID reconstruction training drive: between_frames
     dataset -> voxel/frame sequences -> recurrent train step -> checkpoint."""
@@ -123,6 +125,7 @@ def test_train_reconstruction_cli(h5_path, tmp_path):
           "--max_steps", "1", "--ckpt_dir", ckpt, "--resume"])
 
 
+@pytest.mark.slow
 def test_train_reconstruction_cli_arch_sidecar(h5_path, tmp_path):
     """Non-default architecture flags flow train -> model.json sidecar ->
     reconstruct (which must rebuild the matching tree to restore), and a
@@ -152,6 +155,7 @@ def test_train_reconstruction_cli_arch_sidecar(h5_path, tmp_path):
     assert len([f for f in os.listdir(out) if f.endswith(".png")]) == 2
 
 
+@pytest.mark.slow
 def test_train_reconstruction_resume_params_arch_from_npz(tmp_path):
     """--resume_params restores the snapshot's architecture from its
     embedded __model_json__ — no arch flags needed on the warm-start
@@ -178,6 +182,7 @@ def test_train_reconstruction_resume_params_arch_from_npz(tmp_path):
         train(base + ["--resume_params", params, "--num_res_blocks", "1"])
 
 
+@pytest.mark.slow
 def test_train_reconstruction_resume_params_file_mode(h5_path, tmp_path,
                                                       capsys):
     """--resume_params warm-starts file-based (non --simulate) training
@@ -194,6 +199,7 @@ def test_train_reconstruction_resume_params_file_mode(h5_path, tmp_path,
     assert "warm-started weights" in capsys.readouterr().out
 
 
+@pytest.mark.slow
 def test_train_flow_cli_h5_streaming(h5_path, tmp_path):
     """train_flow drives the H5 slab-streaming loader end-to-end (the
     memmap path is covered by the training tests)."""
@@ -204,6 +210,7 @@ def test_train_flow_cli_h5_streaming(h5_path, tmp_path):
     assert os.path.isdir(ckpt) and len(os.listdir(ckpt)) > 0
 
 
+@pytest.mark.slow
 def test_infer_flow_cli(h5_path, tmp_path):
     """train_flow -> infer_flow chain; output dir is directly consumable by
     visualize_flow (flow_NNNN.npy + timestamps.txt layout)."""
@@ -231,6 +238,7 @@ def test_infer_flow_cli(h5_path, tmp_path):
     assert len(os.listdir(viz_out)) >= 1
 
 
+@pytest.mark.slow
 def test_reconstruct_cli(h5_path, tmp_path):
     """train_reconstruction -> reconstruct chain: recurrent state threads
     across device chunks and frames land in [0, 1]."""
@@ -283,6 +291,7 @@ def test_visualize_events_sliding_stride_default(h5_path, tmp_path):
     assert len(os.listdir(out)) >= 3
 
 
+@pytest.mark.slow
 def test_simulate_factory_and_multifile_training(tmp_path):
     """cli.simulate --num_sequences writes a directory of randomized
     ground-truth recordings, and train_reconstruction trains over the whole
@@ -337,6 +346,7 @@ def test_eval_cmax_cli(tmp_path, capsys):
     assert m["num_rois"] > 0 and np.isfinite(m["median_aee_px_s"])
 
 
+@pytest.mark.slow
 def test_stream_flow_cli(tmp_path):
     """simulate -> stream_flow: streaming ingest + warm-started grid_cmax
     -> dense flow fields in the visualize_flow layout, with sustained-
@@ -373,6 +383,7 @@ def test_stream_flow_cli(tmp_path):
     assert np.hypot(med2[0] - 25, med2[1] - 12) < 10.0, med2
 
 
+@pytest.mark.slow
 def test_train_flow_simulate_in_the_loop(tmp_path):
     """train_flow --simulate: zero-file training-in-the-loop with metrics
     JSON (losses + AEE curve) and an orbax checkpoint."""
@@ -424,6 +435,7 @@ def test_reconstruct_window_cache(h5_path, tmp_path):
     assert m3 == m1  # same data -> same result
 
 
+@pytest.mark.slow
 def test_train_flow_cli_simulate_schedule_and_params(tmp_path):
     """--simulate with --lr_end (single-process cosine schedule),
     --params_out, then --resume_params warm start (train_flow side of the

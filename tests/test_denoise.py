@@ -112,6 +112,7 @@ def test_baf_validation():
         background_activity_filter([0.0], [0.0], [0.0], 0.1, support=0)
 
 
+@pytest.mark.slow
 def test_baf_scores_against_simulator_labels():
     """End-to-end denoising loop: simulate a SPARSE scene with labelled
     background activity, filter, and score with the exact labels. Noise in

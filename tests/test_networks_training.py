@@ -85,6 +85,7 @@ def test_e2vid_multilevel_recurrence(rng):
         E2VID(recurrent_levels=4).init(jax.random.PRNGKey(0), vox, None)
 
 
+@pytest.mark.slow
 def test_reconstruction_trainer_burn_in_and_model_sidecar(rng, tmp_path):
     """burn_in drops early-window losses (loss becomes insensitive to a
     corrupted first target); model.json records non-default architectures
@@ -132,6 +133,7 @@ def test_reconstruction_trainer_burn_in_and_model_sidecar(rng, tmp_path):
         np.asarray(a), np.asarray(b)), tr2.params, tr.params)
 
 
+@pytest.mark.slow
 def test_contrast_flow_loss_grad(rng):
     from event_utils_tpu.models.networks import contrast_flow_loss
     _, events, mask = _voxel_batch(rng)
@@ -162,6 +164,7 @@ def test_flow_trainer_descends(rng, tmp_path):
         trainer.params, p_before)
 
 
+@pytest.mark.slow
 def test_flow_trainer_sharded(rng):
     from event_utils_tpu.parallel import make_mesh
     from event_utils_tpu.training import FlowTrainer
@@ -176,6 +179,7 @@ def test_flow_trainer_sharded(rng):
     np.testing.assert_allclose(loss, loss_solo, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_reconstruction_trainer_descends(rng):
     from event_utils_tpu.training import ReconstructionTrainer
     trainer = ReconstructionTrainer(sensor_size=SENSOR, num_bins=BINS,
@@ -191,6 +195,7 @@ def test_reconstruction_trainer_descends(rng):
     assert state is not None
 
 
+@pytest.mark.slow
 def test_perceptual_distance_properties(rng):
     """Random-feature perceptual loss: zero at identity, positive and
     differentiable for different images, larger for structural change than
@@ -262,6 +267,7 @@ def test_flow_trainer_combined_channels_fit(rng, tmp_path):
     assert trainer.restore_checkpoint(ckpt) == 4
 
 
+@pytest.mark.slow
 def test_contrast_flow_loss_sign_convention():
     """The loss must be minimized by the TRUE forward flow, not its
     negation (pre-fix, loss(-gt) beat loss(+gt): EVFlowNet trained to emit
@@ -328,6 +334,7 @@ def test_average_endpoint_error(rng):
     assert float(average_endpoint_error(gt, gt)) == 0.0
 
 
+@pytest.mark.slow
 def test_simulate_flow_batch_contract():
     """Device-generated supervised batch: padded contract, sorted valid
     times, events consistent with the planted velocity's sign."""
@@ -350,6 +357,7 @@ def test_simulate_flow_batch_contract():
     assert np.all(np.abs(np.asarray(gt)) <= 30.0)
 
 
+@pytest.mark.slow
 def test_train_flow_in_the_loop_descends(tmp_path):
     """Zero-file training loop: losses finite and decreasing on average,
     AEE curve recorded, checkpoint written."""
@@ -389,6 +397,7 @@ def test_simulate_recon_batch_contract():
     assert not np.allclose(f[0], f[-1])
 
 
+@pytest.mark.slow
 def test_train_reconstruction_in_the_loop_descends(tmp_path):
     """Zero-file E2VID loop: losses descend, PSNR/SSIM curve recorded,
     checkpoint written."""
@@ -409,6 +418,7 @@ def test_train_reconstruction_in_the_loop_descends(tmp_path):
     assert (tmp_path / "ck").exists()
 
 
+@pytest.mark.slow
 def test_simulate_recon_batch_similarity_motion():
     """omega_max/s_max widen the motion family; defaults preserve the
     translation-only RNG stream bit-for-bit (pinned eval batches across
@@ -434,6 +444,7 @@ def test_simulate_recon_batch_similarity_motion():
     assert not np.allclose(f[0], f[-1])
 
 
+@pytest.mark.slow
 def test_simulate_flow_batch_similarity_dense_gt():
     """Nonzero omega_max/s_max: dense (B, 2, H, W) similarity-field GT,
     spatially varying; defaults keep the (B, 2) uniform contract and the
@@ -458,6 +469,7 @@ def test_simulate_flow_batch_similarity_dense_gt():
     assert gt.std(axis=(2, 3)).max() > 0.1  # genuinely spatially varying
 
 
+@pytest.mark.slow
 def test_sharded_in_the_loop_training():
     """In-the-loop training with a mesh: scene simulation + voxelize run
     sharded over the batch axis (virtual 8-device mesh), losses finite."""
@@ -495,6 +507,7 @@ def test_sharded_in_the_loop_training():
                                capacity=512, log_fn=lambda s: None)
 
 
+@pytest.mark.slow
 def test_params_npz_roundtrip(rng, tmp_path):
     """save_params_npz/load_params_npz: weights + step survive the flat-npz
     round trip for both trainer families; mismatched architectures are a

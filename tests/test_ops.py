@@ -146,6 +146,7 @@ def test_gather_is_adjoint_of_scatter(rng):
 # Differentiability
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_scatter_gradient_finite_difference(rng):
     """d/dvx of a variance-of-IWE style loss matches finite differences.
 

@@ -166,6 +166,7 @@ def test_bilinear_matmul_mask(rng):
     assert rel < 1e-4, rel
 
 
+@pytest.mark.slow
 def test_large_sensor_vmem_fallback(rng):
     """Oversized sensors must never hit a Mosaic compile OOM: concrete
     inputs auto-upgrade to the spatially-tiled MXU builder (silently);

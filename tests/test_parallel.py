@@ -46,6 +46,7 @@ def test_sharded_iwe_matches_single_device(rng, mesh):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-3)
 
 
+@pytest.mark.slow
 def test_sharded_train_step_descends(rng, mesh):
     from test_cmax import synthetic_flow_events
     xs, ys, ts, ps = synthetic_flow_events(rng, vx=15.0, vy=-8.0,
@@ -78,6 +79,7 @@ def test_sharded_train_step_matches_single_device(rng, mesh):
     np.testing.assert_allclose(float(l8), float(l1), rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_sharded_grid_cmax(rng, mesh):
     from test_cmax import synthetic_flow_events
     xs, ys, ts, ps = synthetic_flow_events(rng, vx=12.0, vy=6.0,

@@ -58,6 +58,7 @@ def test_bilinear_scatter_mass_conservation(rng, H, W, n, float_coords):
 
 
 @pytest.mark.parametrize("H,W,n,float_coords", CASES)
+@pytest.mark.slow
 def test_scatter_impl_parity_sweep(rng, H, W, n, float_coords):
     """Every scatter impl agrees with the exact XLA path at its documented
     tolerance (matmul paths run the Pallas interpreter on CPU)."""
@@ -158,6 +159,7 @@ def test_voxel_single_and_duplicate_timestamps(rng):
     np.testing.assert_allclose(g2.sum(), n, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_property_simulator_randomized_configs(rng):
     """Randomized-config simulator sweep: for every config, event count
     equals total crossings minus drops, streams are time-sorted and
@@ -203,6 +205,7 @@ def test_property_simulator_randomized_configs(rng):
         np.testing.assert_array_equal(ev.xs, ev2.xs)
 
 
+@pytest.mark.slow
 def test_property_device_sim_matches_host_randomized(rng):
     """simulate_events_device == host compaction across random configs."""
     import jax

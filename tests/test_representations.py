@@ -242,6 +242,7 @@ def test_events_to_voxel_tiled_negative_coords_and_capacity_guard(rng):
                               impl=None, capacity=8)
 
 
+@pytest.mark.slow
 def test_voxel_spatial_bilinear_no_bin_crossing(rng):
     """Fractional-y taps must stay inside their temporal bin: the flat
     (B*H, W) trick let a y0+1 tap at fy in (H-1, H) cross into the next

@@ -119,6 +119,7 @@ def _err(params):
                         - np.asarray(GT)).max())
 
 
+@pytest.mark.slow
 def test_reference_optimizer_runs_on_simulated(recording, ref_cmax,
                                                ref_objectives, ref_warps):
     """The actual reference optimize_contrast (scipy fmin_bfgs, SOFAS grid
@@ -152,6 +153,7 @@ def test_reference_optimizer_runs_on_simulated(recording, ref_cmax,
     assert abs(params[0] - GT[0]) < 3.0, params  # vx component recovered
 
 
+@pytest.mark.slow
 def test_ours_matches_or_beats_reference_on_simulated(recording, ref_cmax,
                                                       ref_objectives,
                                                       ref_warps):
@@ -188,6 +190,7 @@ def test_ours_matches_or_beats_reference_on_simulated(recording, ref_cmax,
     assert e_jit <= e_ref + 1.0, (np.asarray(ours_jit), ref_params)
 
 
+@pytest.mark.slow
 def test_reference_grid_cmax_vs_ours_on_simulated(recording, ref_cmax,
                                                   ref_objectives,
                                                   ref_warps):

@@ -86,6 +86,7 @@ def test_capacity_overflow_is_counted():
     assert len(ev) == 4 and ev.stats["dropped"] == 16
 
 
+@pytest.mark.slow
 def test_stream_contract_on_scene(rng):
     key = jax.random.PRNGKey(3)
     tex = smooth_texture(key, (48, 64))
@@ -126,6 +127,7 @@ def test_validation_errors():
         simulate_events(frames[:1], [0.0])           # single frame
 
 
+@pytest.mark.slow
 def test_cmax_recovers_planted_translation():
     """The end-to-end ground-truth loop: simulate a drifting texture, run
     the jitted contrast-max solver, require the recovered velocity to match
@@ -163,6 +165,7 @@ def test_rotating_scene_flow_field():
     assert len(ev) > 50
 
 
+@pytest.mark.slow
 def test_simulated_h5_feeds_dataset_stack(tmp_path):
     """CLI -> H5 -> DynamicH5Dataset -> voxels: the full consumer chain."""
     from event_utils_tpu.cli.simulate import main
@@ -199,6 +202,7 @@ def test_simulate_cli_memmap(tmp_path):
     assert os.path.exists(os.path.join(out, "gt.json"))
 
 
+@pytest.mark.slow
 def test_train_reconstruction_on_simulated(tmp_path):
     """The supervised simulate->train loop the reference cannot offer:
     E2VID trained against the simulator's *true* intensity frames (not a
@@ -227,6 +231,7 @@ def test_train_reconstruction_on_simulated(tmp_path):
     assert np.mean(losses[-3:]) < 0.7 * np.mean(losses[:3]), losses
 
 
+@pytest.mark.slow
 def test_rotation_warp_ground_truth_on_simulated():
     """pure_rotation_warp (a stub in the reference, implemented here) is
     consistent with the simulator's rotating scene: contrast at the true
@@ -317,6 +322,7 @@ def test_affine_scene_matches_rotating_scene_when_pure_rotation():
                                np.asarray(r.flow(0.0)), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_xyztheta_warp_ground_truth_on_simulated():
     """xyztheta_warp (the reference's other stub, implemented here) against
     a simulated contracting+rotating scene: contrast peaks at the true
@@ -400,6 +406,7 @@ def test_simulate_events_device_matches_host_compaction():
                                atol=1e-5)
 
 
+@pytest.mark.slow
 def test_device_simulated_batch_feeds_flow_trainer():
     """simulate_events_device output plugs straight into FlowTrainer (the
     training-in-the-loop contract: (B, capacity, 4) + mask, pads
@@ -428,6 +435,7 @@ def test_device_simulated_batch_feeds_flow_trainer():
     assert np.isfinite(loss)
 
 
+@pytest.mark.slow
 def test_leak_events_poisson_statistics():
     """A static scene emits ONLY background activity: per-pixel ON leak
     events at leak_rate_hz (Poisson), uniformly in time."""
@@ -499,6 +507,7 @@ def test_shot_noise_is_random_polarity():
     assert 0.4 < frac_on < 0.6  # 50/50 within binomial noise
 
 
+@pytest.mark.slow
 def test_noise_events_device_host_parity():
     """simulate_events_device includes the same noise events as the host
     path for the same key (shared absolute-interval fold_in scheme)."""
