@@ -711,7 +711,8 @@ def grid_cmax(xs, ys, ts, ps, roi_size=(20, 20), step=None, warp=None,
 def bucket_events_by_roi(xs, ys, ts, ps, resolution, roi_size,
                          capacity: Optional[int] = None,
                          capacity_cap: Optional[int] = 2048,
-                         rng: Optional[np.random.Generator] = None):
+                         rng: Optional[np.random.Generator] = None,
+                         return_counts: bool = False):
     """Bucket events into fixed-capacity per-ROI batches (host side).
 
     Returns ``(bx, by, bt, bp, bmask, roi_origins, overflow)`` where each
@@ -721,6 +722,8 @@ def bucket_events_by_roi(xs, ys, ts, ps, resolution, roi_size,
     statistically unchanged while the solve cost stays bounded; ``overflow``
     counts the subsampled-away events. Default capacity is the max ROI count
     rounded up to a power of two, clipped to ``capacity_cap``.
+    ``return_counts=True`` appends the true (pre-subsampling) per-ROI event
+    counts ``(R,)`` to the tuple.
     """
     H, W = resolution
     rh, rw = roi_size
@@ -751,9 +754,10 @@ def bucket_events_by_roi(xs, ys, ts, ps, resolution, roi_size,
             bx, by, bt, bp, bmask, _ = packed
             oy, ox = np.divmod(np.arange(R), nx)
             roi_origins = np.stack([oy * rh, ox * rw], axis=-1)
-            return (jnp.asarray(bx), jnp.asarray(by), jnp.asarray(bt),
-                    jnp.asarray(bp), jnp.asarray(bmask),
-                    jnp.asarray(roi_origins), 0)
+            out = (jnp.asarray(bx), jnp.asarray(by), jnp.asarray(bt),
+                   jnp.asarray(bp), jnp.asarray(bmask),
+                   jnp.asarray(roi_origins), 0)
+            return out + (counts,) if return_counts else out
         rid_sorted = rid[order]
         pos = np.arange(len(order)) - starts[rid_sorted]
         flat = rid_sorted.astype(np.int64) * capacity + pos
@@ -793,9 +797,82 @@ def bucket_events_by_roi(xs, ys, ts, ps, resolution, roi_size,
     oy, ox = np.divmod(np.arange(R), nx)
     roi_origins = np.stack([oy * rh, ox * rw], axis=-1)
     overflow = int(np.maximum(counts - capacity, 0).sum())
-    return (jnp.asarray(bx), jnp.asarray(by), jnp.asarray(bt),
-            jnp.asarray(bp), jnp.asarray(bmask),
-            jnp.asarray(roi_origins), overflow)
+    out = (jnp.asarray(bx), jnp.asarray(by), jnp.asarray(bt),
+           jnp.asarray(bp), jnp.asarray(bmask),
+           jnp.asarray(roi_origins), overflow)
+    return out + (counts,) if return_counts else out
+
+
+# Hard memory bound on the overflow-refine tier's per-ROI capacity: beyond
+# this, tier-2 itself subsamples (and grid_cmax_batched warns honestly).
+OVERFLOW_CAP_MAX = 1 << 17
+
+
+def _pack_roi_subset(xs, ys, ts, ps, resolution, roi_size, roi_ids,
+                     capacity, total_rows,
+                     rng: Optional[np.random.Generator] = None):
+    """Pack the events of the given global ROI ids into a fixed
+    ``(total_rows, capacity)`` batch (rows beyond ``len(roi_ids)`` are
+    zero-mask padding so the vmapped solver shape stays stable across
+    scenes). The overflow-refine second tier of ``grid_cmax_batched``:
+    unlike the tier-1 bucketing this packs only the over-capacity ROIs, at
+    a capacity sized to their true counts — matching the reference's exact
+    per-ROI event subsets (reference events_cmax.py:53-62) without paying
+    max-count capacity for every ROI. ROIs still above ``capacity`` (the
+    ``OVERFLOW_CAP_MAX`` bound) are uniformly subsampled; ``overflow``
+    counts those events. Returns ``(bx, by, bt, bp, bmask, origins,
+    overflow)``.
+    """
+    H, W = resolution
+    rh, rw = roi_size
+    ny = (H + rh - 1) // rh
+    nx = (W + rw - 1) // rw
+    R = ny * nx
+    roi_ids = np.asarray(roi_ids, np.int64)
+    xs, ys, ts, ps = map(np.asarray, (xs, ys, ts, ps))
+    rid = (np.clip(ys.astype(np.int64) // rh, 0, ny - 1) * nx
+           + np.clip(xs.astype(np.int64) // rw, 0, nx - 1))
+    local = np.full(R, -1, np.int64)
+    local[roi_ids] = np.arange(len(roi_ids))
+    keep = np.nonzero(local[rid] >= 0)[0]
+    loc = local[rid[keep]]
+    sort = np.argsort(loc, kind="stable")  # time order preserved per ROI
+    order, loc = keep[sort], loc[sort]
+    counts = np.bincount(loc, minlength=len(roi_ids))
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    overflow = int(np.maximum(counts - capacity, 0).sum())
+    if overflow:
+        rng = np.random.default_rng(0) if rng is None else rng
+        sel = []
+        for r in range(len(roi_ids)):
+            src = order[starts[r]:starts[r] + counts[r]]
+            if len(src) > capacity:
+                src = src[np.sort(rng.choice(len(src), capacity,
+                                             replace=False))]
+            sel.append(src)
+        order = (np.concatenate(sel) if sel
+                 else np.empty(0, order.dtype))
+        counts = np.minimum(counts, capacity)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        loc = np.repeat(np.arange(len(roi_ids)), counts)
+    pos = np.arange(len(order)) - starts[loc]
+    flat = loc * capacity + pos
+
+    def pack(arr):
+        out = np.zeros(total_rows * capacity, dtype=np.float32)
+        out[flat] = arr[order]
+        return out.reshape(total_rows, capacity)
+
+    bmask = np.zeros(total_rows * capacity, np.float32)
+    bmask[flat] = 1.0
+    oy, ox = np.divmod(roi_ids, nx)
+    origins = np.zeros((total_rows, 2), np.float32)
+    origins[:len(roi_ids), 0] = oy * rh
+    origins[:len(roi_ids), 1] = ox * rw
+    return (jnp.asarray(pack(xs)), jnp.asarray(pack(ys)),
+            jnp.asarray(pack(ts)), jnp.asarray(pack(ps)),
+            jnp.asarray(bmask.reshape(total_rows, capacity)),
+            jnp.asarray(origins), overflow)
 
 
 _global_motion_cache: dict = {}
@@ -902,7 +979,8 @@ def grid_cmax_batched(xs, ys, ts, ps, roi_size=(20, 20), warp=None,
                       capacity: Optional[int] = None,
                       solver: str = "gd", gd_lr: float = 4.0,
                       smooth: Optional[str] = None, x0=None,
-                      pyramid=1, trust_radius: Optional[float] = None):
+                      pyramid=1, trust_radius: Optional[float] = None,
+                      overflow_refine: bool = True):
     """All-ROIs-at-once contrast maximisation: one vmapped, jitted solve.
 
     TPU-first replacement for the reference's Python ROI loop
@@ -936,6 +1014,18 @@ def grid_cmax_batched(xs, ys, ts, ps, roi_size=(20, 20), warp=None,
     ~2.2x the plain solve's cost. A caller ``smooth`` re-smooths the
     mixed field.
 
+    ``overflow_refine`` (default True): ROIs holding more events than the
+    bucket capacity are first solved on a uniform subsample (tier 1 —
+    measured accuracy-neutral for contrast objectives, r2 capacity sweep),
+    then re-solved on their FULL event set in a second, smaller batch sized
+    to the true max count (warm-started from tier 1, grid search skipped).
+    Every event therefore participates in the final answer — matching the
+    reference's exact per-ROI subsets (events_cmax.py:53-62) — at ~0.4x of
+    tier-1's cost for the overflow rows only, instead of paying max-count
+    capacity across all ROIs. The subsampling warning only fires if the
+    refine itself hits ``OVERFLOW_CAP_MAX`` (or with
+    ``overflow_refine=False``).
+
     @param solver ``'gd'`` (default): fixed-``maxiter`` normalized-gradient
         descent with momentum — every ROI takes exactly the same compiled
         step count, which maps far better onto lockstep vmapping than
@@ -964,7 +1054,8 @@ def grid_cmax_batched(xs, ys, ts, ps, roi_size=(20, 20), warp=None,
                           min_events=min_events,
                           img_size=tuple(int(v) for v in resolution),
                           blur_sigma=blur_sigma, maxiter=maxiter,
-                          capacity=capacity, solver=solver, gd_lr=gd_lr)
+                          capacity=capacity, solver=solver, gd_lr=gd_lr,
+                          overflow_refine=overflow_refine)
             p_plain, rois, f_plain, valid = grid_cmax_batched(
                 xs, ys, ts, ps, **common)
             p_pyr, _, f_pyr, _ = grid_cmax_batched(
@@ -1020,7 +1111,8 @@ def grid_cmax_batched(xs, ys, ts, ps, roi_size=(20, 20), warp=None,
             min_events=min_events, img_size=tuple(resolution),
             blur_sigma=blur_sigma, maxiter=maxiter, capacity=capacity,
             solver=solver, gd_lr=gd_lr, smooth="median",
-            pyramid=pyramid - 1, **coarse_kw)
+            pyramid=pyramid - 1, overflow_refine=overflow_refine,
+            **coarse_kw)
         ny = (resolution[0] + rh - 1) // rh
         nx = (resolution[1] + rw - 1) // rw
         nyc = (resolution[0] + 2 * rh - 1) // (2 * rh)
@@ -1052,8 +1144,8 @@ def grid_cmax_batched(xs, ys, ts, ps, roi_size=(20, 20), warp=None,
             trust_vec = jnp.full((ny * nx,), float(trust_radius),
                                  jnp.float32)
 
-    bx, by, bt, bp, bmask, origins, overflow = bucket_events_by_roi(
-        xs, ys, ts, ps, resolution, roi_size, capacity)
+    bx, by, bt, bp, bmask, origins, overflow, counts = bucket_events_by_roi(
+        xs, ys, ts, ps, resolution, roi_size, capacity, return_counts=True)
 
     solver_key = (type(warp).__name__, obj.name,
                   getattr(obj, "thresh", None), getattr(obj, "p", None),
@@ -1094,6 +1186,48 @@ def grid_cmax_batched(xs, ys, ts, ps, roi_size=(20, 20), warp=None,
                                 jnp.asarray(origins, jnp.float32))
     valid = jnp.sum(bmask, axis=1) > min_events
 
+    if overflow and overflow_refine:
+        # Tier 2: re-solve the over-capacity ROIs on their FULL event sets.
+        # One (R2, cap2) batch sized to the true max count; R2 is padded to
+        # a multiple of 8 so the executable shape is stable across video
+        # windows with drifting overflow patterns. Reuses the cached warm
+        # solver (with_x0 + traced trust) — the grid search is skipped:
+        # tier 1's subsampled answer already found the basin (subsampling
+        # is measured accuracy-neutral), the refine polishes it against
+        # every event.
+        cap_used = int(bx.shape[1])
+        counts = np.asarray(counts)
+        over = np.nonzero(counts > cap_used)[0]
+        cap2 = min(-(-int(counts[over].max()) // 512) * 512,
+                   OVERFLOW_CAP_MAX)
+        R2 = -(-len(over) // 8) * 8
+        bx2, by2, bt2, bp2, bm2, org2, overflow = _pack_roi_subset(
+            xs, ys, ts, ps, resolution, roi_size, over, cap2, R2)
+        warm_key = solver_key + ("warm-traced",)
+        solve2 = _roi_solver_cache.get(warm_key)
+        if solve2 is None:
+            solve2 = jax.jit(jax.vmap(make_roi_solve_one(
+                warp, obj, tuple(resolution), roi_size, blur_sigma,
+                maxiter, solver, gd_lr, with_x0=True,
+                trust_radius="traced")))
+            _roi_solver_cache[warm_key] = solve2
+        dims = int(jnp.shape(params)[-1])
+        x0_2 = np.zeros((R2, dims), np.float32)
+        trust2 = np.full((R2,), np.inf, np.float32)
+        if x0 is not None:
+            # tier 1 was itself a warm solve: replay it exactly on the
+            # full window (same seed, same trust ball)
+            x0_2[:len(over)] = np.asarray(x0, np.float32)[over]
+            trust2[:len(over)] = np.asarray(trust_vec, np.float32)[over]
+        else:
+            x0_2[:len(over)] = np.asarray(params, np.float32)[over]
+        p2, f2 = solve2(bx2, by2, bt2, bp2, bm2, org2,
+                        jnp.asarray(x0_2), jnp.asarray(trust2))
+        params = jnp.asarray(params).at[over].set(p2[:len(over)])
+        f_evals = jnp.asarray(f_evals).at[over].set(f2[:len(over)])
+        # `overflow` is now only what tier 2 itself had to drop (ROIs past
+        # OVERFLOW_CAP_MAX) — the warning below fires only for that.
+
     if smooth is not None:
         if smooth != "median":
             raise ConfigurationError(f"unknown smooth mode {smooth!r}")
@@ -1115,16 +1249,21 @@ def grid_cmax_batched(xs, ys, ts, ps, roi_size=(20, 20), warp=None,
         [origins, jnp.tile(jnp.asarray([[rh, rw]]), (origins.shape[0], 1))],
         axis=-1)
     if overflow:
-        # No silent caps: per-ROI uniform subsampling above capacity_cap is
-        # measured-safe for cmax accuracy (bucket_events_by_roi docstring)
-        # but callers deserve to know it happened. warnings dedups by call
-        # site, so video loops see this once, not per window.
+        # No silent caps: per-ROI uniform subsampling is measured-safe for
+        # cmax accuracy (bucket_events_by_roi docstring) but callers
+        # deserve to know it happened. With overflow_refine (default) this
+        # only fires for ROIs past OVERFLOW_CAP_MAX. warnings dedups by
+        # call site, so video loops see this once, not per window.
         import warnings
 
         warnings.warn(
             f"grid_cmax_batched: {overflow} events beyond the per-ROI "
-            f"capacity were uniformly subsampled (raise capacity= to keep "
-            "them)", RuntimeWarning, stacklevel=2)
+            f"capacity were uniformly subsampled"
+            + (" in the overflow-refine tier (an ROI holds more than "
+               f"OVERFLOW_CAP_MAX={OVERFLOW_CAP_MAX} events)"
+               if overflow_refine else
+               " (raise capacity= or leave overflow_refine on to keep "
+               "them)"), RuntimeWarning, stacklevel=2)
     return params, rois, f_evals, valid
 
 
