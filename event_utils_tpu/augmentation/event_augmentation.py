@@ -298,7 +298,7 @@ def jitter_events_jax(key, xs, ys, ts, xy_std: float = 1.5,
 def add_correlated_events_jax(key, xs, ys, ts, ps, mask=None,
                               xy_std: float = 1.5, ts_std: float = 0.001,
                               sensor_resolution=(180, 240),
-                              sort: bool = True):
+                              sort: bool = True, sort_block="auto"):
     """Full on-device densify (2x): every valid event spawns one jittered
     copy (the device analogue of ``add_correlated_events`` with
     ``to_add = N``); the doubled stream is re-sorted by time on device.
@@ -307,10 +307,22 @@ def add_correlated_events_jax(key, xs, ys, ts, ps, mask=None,
     ``2N`` with pad slots (mask 0) sorted to the tail — ready for the
     masked voxel/IWE kernels.
 
-    ``sort=False`` skips the device argsort (the dominant cost, ~18 Mev/s
-    with vs ~6700 Mev/s without on v5e-1): every masked scatter/IWE path is
-    order-independent — only the Pallas ``voxel_matmul`` kernel requires
-    time-sorted input.
+    ``sort=False`` skips the time sort entirely: every masked scatter/IWE
+    path is order-independent — only the Pallas ``voxel_matmul`` kernel
+    requires time-sorted input.
+
+    ``sort_block`` picks the sort strategy. The doubled stream is NEARLY
+    sorted (each copy is a bounded ``ts_std`` jitter from a sorted source
+    event), so the default ``'auto'`` computes the exact rank-displacement
+    bound from the data (``ops.sort.sort_block_for``; needs a sorted
+    time-ordered input and one scalar host sync — eager calls only) and
+    sorts with two vectorized block-sort passes instead of one global
+    argsort (``ops.sort.nearly_sorted_argsort``), 10-30x faster at bench
+    densities; an on-device monotonicity check falls back to the global
+    argsort if the bound is ever violated. Pass an int to pin the block
+    statically (jit-safe), or ``None`` for the global argsort (always
+    jit-safe; also the automatic fallback under tracing or when the
+    stream is too dense for blocking to pay).
     """
     H, W = sensor_resolution
     # Work in relative float32 time (see _f32_time_offset): jitter, merge
@@ -328,16 +340,38 @@ def add_correlated_events_jax(key, xs, ys, ts, ps, mask=None,
                                    ts_std=ts_std)
     nx = jnp.clip(nx, 0, W - 1)
     ny = jnp.clip(ny, 0, H - 1)
-    cx = jnp.concatenate([xs, nx])
-    cy = jnp.concatenate([ys, ny])
-    ct = jnp.concatenate([ts, nt])
-    cp = jnp.concatenate([ps, ps])
-    cm = jnp.concatenate([mask, mask])
+    if sort and sort_block == "auto" and not isinstance(ts, jax.core.Tracer):
+        # jitter_events_jax draws from N(0, ts_std); use a 6-sigma bound
+        # with the exact max as backstop (both one cheap device reduction)
+        from ..ops.sort import sort_block_for
+
+        delta = float(jnp.maximum(jnp.max(jnp.abs(nt - ts)), 6 * ts_std))
+        sort_block = sort_block_for(ts, delta, copies=2)
     if sort:
-        # pad slots sort to the tail (+inf keys), valid events by time
-        order = jnp.argsort(jnp.where(cm != 0, ct, jnp.inf), stable=True)
+        # interleave [orig_i, copy_i] pairs so the combined stream keeps
+        # the source's time order up to the jitter bound (a concatenation
+        # would put every copy N ranks away from its slot)
+        interleave = lambda a, b: jnp.stack([a, b], axis=1).reshape(-1)
+        cx = interleave(xs, nx)
+        cy = interleave(ys, ny)
+        ct = interleave(ts, nt)
+        cp = interleave(ps, ps)
+        cm = interleave(mask, mask)
+        keys = jnp.where(cm != 0, ct, jnp.inf)
+        if isinstance(sort_block, int):
+            from ..ops.sort import nearly_sorted_argsort
+
+            order = nearly_sorted_argsort(keys, sort_block)
+        else:
+            order = jnp.argsort(keys, stable=True)
         cx, cy, ct, cp, cm = (cx[order], cy[order], ct[order], cp[order],
                               cm[order])
+    else:
+        cx = jnp.concatenate([xs, nx])
+        cy = jnp.concatenate([ys, ny])
+        ct = jnp.concatenate([ts, nt])
+        cp = jnp.concatenate([ps, ps])
+        cm = jnp.concatenate([mask, mask])
     return cx, cy, _restore_time_origin(ct, t0), cp, cm
 
 
