@@ -27,6 +27,10 @@ def build_parser():
                              "random init — pipeline smoke only)")
     parser.add_argument("--ckpt_step", type=int, default=None,
                         help="restore this step instead of the latest")
+    parser.add_argument("--params", default=None,
+                        help="committable .npz weights snapshot from "
+                             "train_flow --params_out — alternative to "
+                             "--ckpt_dir")
     parser.add_argument("--method", default="k_events",
                         choices=["k_events", "t_seconds", "between_frames"])
     parser.add_argument("--k", type=int, default=20000)
@@ -77,12 +81,20 @@ def main(argv=None):
     Hp, Wp = H + (-H) % 8, W + (-W) % 8
     trainer = FlowTrainer(sensor_size=(Hp, Wp), num_bins=args.num_bins,
                           combined_channels=args.combined_channels)
+    if args.params and args.ckpt_dir:
+        raise SystemExit("--params and --ckpt_dir are alternatives; "
+                         "pass one")
     if args.ckpt_dir:
         step = trainer.restore_checkpoint(args.ckpt_dir,
                                           step=args.ckpt_step)
         print(f"restored checkpoint step {step}")
+    elif args.params:
+        from ..training.checkpointing import load_params_npz
+        step = load_params_npz(trainer, args.params)
+        print(f"loaded weights snapshot {args.params} (step {step})")
     else:
-        print("WARNING: no --ckpt_dir; predicting with random weights")
+        print("WARNING: no --ckpt_dir/--params; predicting with random "
+              "weights")
 
     if args.eval_gt and not dataset.has_flow:
         raise SystemExit("--eval_gt: recording has no ground-truth flow")

@@ -28,6 +28,12 @@ def build_parser():
     parser.add_argument("--ckpt_step", type=int, default=None,
                         help="restore this step instead of the latest "
                              "(re-evaluate any point of a run)")
+    parser.add_argument("--params", default=None,
+                        help="committable .npz weights snapshot from "
+                             "train_reconstruction --params_out (the EMA "
+                             "weights when the run used --ema_decay); the "
+                             "architecture comes from its embedded "
+                             "__model_json__ — alternative to --ckpt_dir")
     parser.add_argument("--method", default="between_frames",
                         choices=["between_frames", "k_events", "t_seconds"])
     parser.add_argument("--k", type=int, default=20000,
@@ -209,12 +215,23 @@ def main(argv=None):
 
     H, W = dataset.sensor_resolution
     Hp, Wp = H + (-H) % 8, W + (-W) % 8
+    if args.params and args.ckpt_dir:
+        raise SystemExit("--params and --ckpt_dir are alternatives; "
+                         "pass one")
     model_kwargs = {}
     if args.ckpt_dir:
         from ..training.checkpointing import read_model_config
         model_kwargs = read_model_config(args.ckpt_dir)
         if model_kwargs:
             print(f"model architecture from checkpoint: {model_kwargs}")
+    elif args.params:
+        import json
+
+        with np.load(args.params) as z:
+            if "__model_json__" in z:
+                model_kwargs = json.loads(bytes(z["__model_json__"]).decode())
+        if model_kwargs:
+            print(f"model architecture from {args.params}: {model_kwargs}")
     trainer = ReconstructionTrainer(
         sensor_size=(Hp, Wp), num_bins=args.num_bins,
         combined_channels=args.combined_channels,
@@ -223,8 +240,13 @@ def main(argv=None):
         step = trainer.restore_checkpoint(args.ckpt_dir,
                                           step=args.ckpt_step)
         print(f"restored checkpoint step {step}")
+    elif args.params:
+        from ..training.checkpointing import load_params_npz
+        step = load_params_npz(trainer, args.params)
+        print(f"loaded weights snapshot {args.params} (step {step})")
     else:
-        print("WARNING: no --ckpt_dir; reconstructing with random weights")
+        print("WARNING: no --ckpt_dir/--params; reconstructing with random "
+              "weights")
 
     os.makedirs(args.output_dir, exist_ok=True)
     n = len(dataset) if args.max_frames is None \
@@ -266,13 +288,23 @@ def main(argv=None):
     dataset.close()
     if psnrs:
         import json
+
+        # steady state = back half of the recording, where the ConvGRU
+        # state has history — same split as the training eval
+        # (training/in_the_loop.py eval_metrics), so file-based numbers
+        # compare directly against a run's psnr_curve
+        t0 = len(psnrs) // 2
         metrics = {"psnr_db": round(float(np.mean(psnrs)), 3),
                    "ssim": round(float(np.mean(ssims)), 4),
+                   "psnr_steady_db": round(float(np.mean(psnrs[t0:])), 3),
+                   "ssim_steady": round(float(np.mean(ssims[t0:])), 4),
+                   "psnr_per_frame": [round(p, 2) for p in psnrs],
                    "num_frames": len(psnrs)}
         with open(os.path.join(args.output_dir, "metrics.json"), "w") as f:
             json.dump(metrics, f)
         print(f"vs ground-truth frames: PSNR {metrics['psnr_db']} dB, "
-              f"SSIM {metrics['ssim']}")
+              f"SSIM {metrics['ssim']} (steady-state "
+              f"{metrics['psnr_steady_db']} dB / {metrics['ssim_steady']})")
 
 
 if __name__ == "__main__":

@@ -51,6 +51,12 @@ def build_parser():
                         help="pin the --simulate held-out batch to this "
                              "seed (keep curves comparable across resumed "
                              "stages that vary --seed)")
+    parser.add_argument("--carry_segments", type=int, default=1,
+                        help="--simulate: consecutive seq_len segments per "
+                             "scene, GRU state carried across them (trains "
+                             "the long-horizon regime; BPTT memory "
+                             "unchanged). --capacity bounds events per "
+                             "FULL scene — scale it accordingly")
     parser.add_argument("--num_bins", type=int, default=5)
     parser.add_argument("--base_features", type=int, default=32,
                         help="E2VID encoder width at the first level")
@@ -364,6 +370,7 @@ def main(argv=None):
                                       "mse_weight": args.mse_weight,
                                       "ema_decay": args.ema_decay,
                                       "model_kwargs": model_kwargs,
+                                      "carry_segments": args.carry_segments,
                                       "burn_in": args.burn_in}},
                           f)
             _os.replace(tmp, args.metrics_out)
@@ -379,6 +386,7 @@ def main(argv=None):
             seq_len=args.seq_len, capacity=args.capacity,
             v_max=args.v_max, window_t=args.window_t, seed=args.seed,
             omega_max=args.omega_max, s_max=args.s_max,
+            carry_segments=args.carry_segments,
             eval_seed=args.eval_seed, ckpt_dir=args.ckpt_dir,
             on_eval=write_metrics if args.metrics_out else None)
         if args.metrics_out:

@@ -58,7 +58,15 @@ class ReconstructionTrainer:
                            if self.ema_decay else None)
         self.step = 0
 
-        def seq_loss(params, voxels, frames):
+        def zero_state(params, vox0):
+            # zero init state, shaped abstractly (eval_shape traces without
+            # executing — no throwaway forward pass)
+            _, state_sd = jax.eval_shape(
+                lambda p, v: self.model.apply(p, v, None), params, vox0)
+            return jax.tree.map(
+                lambda sd: jnp.zeros(sd.shape, sd.dtype), state_sd)
+
+        def seq_loss(params, voxels, frames, state0, burn_in):
             def scan_fn(state, inp):
                 vox, frame = inp
                 pred, state = self.model.apply(params, vox, state)
@@ -66,67 +74,103 @@ class ReconstructionTrainer:
                                                   lpips_weight=lpips_weight,
                                                   mse_weight=mse_weight)
 
-            # zero init state, shaped abstractly (eval_shape traces without
-            # executing — no throwaway forward pass)
-            _, state_sd = jax.eval_shape(
-                lambda p, v: self.model.apply(p, v, None), params, voxels[0])
-            state0 = jax.tree.map(
-                lambda sd: jnp.zeros(sd.shape, sd.dtype), state_sd)
-            _, losses = jax.lax.scan(scan_fn, state0, (voxels, frames))
-            if self.burn_in:
-                if self.burn_in >= voxels.shape[0]:
+            state_f, losses = jax.lax.scan(scan_fn, state0, (voxels, frames))
+            if burn_in:
+                if burn_in >= voxels.shape[0]:
                     from ..errors import ConfigurationError
                     raise ConfigurationError(
-                        f"burn_in={self.burn_in} must be < seq_len="
+                        f"burn_in={burn_in} must be < seq_len="
                         f"{voxels.shape[0]} (no supervised windows left)")
-                losses = losses[self.burn_in:]
-            return jnp.mean(losses)
+                losses = losses[burn_in:]
+            return jnp.mean(losses), state_f
 
-        def train_step(params, opt_state, ema, voxels, frames):
-            loss, grads = jax.value_and_grad(seq_loss)(params, voxels, frames)
-            updates, opt_state = self.tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            if self.ema_decay:
-                d = self.ema_decay
-                ema = jax.tree.map(lambda e, p: e * d + (1.0 - d) * p,
-                                   ema, params)
-            return params, opt_state, ema, loss
+        def make_train_step(burn_in, warm):
+            """``warm=False``: zero initial GRU state, ``burn_in`` applied.
+            ``warm=True``: the caller passes the previous segment's final
+            state (same continuing scene) — no burn-in, the state already
+            has history. BPTT stays truncated at the segment boundary
+            (the carried state is a constant to this step's gradient)."""
+
+            def train_step(params, opt_state, ema, voxels, frames, state0):
+                if not warm:
+                    state0 = zero_state(params, voxels[0])
+                (loss, state_f), grads = jax.value_and_grad(
+                    seq_loss, has_aux=True)(
+                        params, voxels, frames, state0,
+                        0 if warm else burn_in)
+                updates, opt_state = self.tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                if self.ema_decay:
+                    d = self.ema_decay
+                    ema = jax.tree.map(lambda e, p: e * d + (1.0 - d) * p,
+                                       ema, params)
+                return (params, opt_state, ema, loss,
+                        jax.lax.stop_gradient(state_f))
+
+            return train_step
 
         if mesh is not None:
             axis = mesh.axis_names[0]
             batch_sh = NamedSharding(mesh, P(None, axis))  # (seq, batch, ...)
+            state_sh = NamedSharding(mesh, P(axis))        # (batch, ...)
             repl = NamedSharding(mesh, P())
             self.params = jax.device_put(self.params, repl)
             self.opt_state = jax.device_put(self.opt_state, repl)
             if self.ema_params is not None:
                 self.ema_params = jax.device_put(self.ema_params, repl)
-            self._train_step = jax.jit(
-                train_step,
-                in_shardings=(repl, repl, repl, batch_sh, batch_sh),
-                out_shardings=(repl, repl, repl, repl),
-                donate_argnums=(0, 1, 2))
-        else:
-            self._train_step = jax.jit(train_step, donate_argnums=(0, 1, 2))
 
-    def train_sequence_async(self, voxels, frames):
+            def jit_step(warm):
+                return jax.jit(
+                    make_train_step(self.burn_in, warm),
+                    in_shardings=(repl, repl, repl, batch_sh, batch_sh,
+                                  state_sh if warm else None),
+                    out_shardings=(repl, repl, repl, repl, state_sh),
+                    donate_argnums=(0, 1, 2) + ((5,) if warm else ()))
+        else:
+            def jit_step(warm):
+                return jax.jit(
+                    make_train_step(self.burn_in, warm),
+                    donate_argnums=(0, 1, 2) + ((5,) if warm else ()))
+
+        self._train_step = jit_step(warm=False)
+        self._jit_step = jit_step
+        self._train_step_warm = None  # compiled on first warm call
+        #: final ConvGRU state of the last train step (stop-gradient,
+        #: batch-leading pytree) — pass back as ``state0`` to continue the
+        #: same scenes in the next segment (truncated-BPTT state carry)
+        self.final_state = None
+
+    def train_sequence_async(self, voxels, frames, state0=None):
         """One truncated-BPTT step; returns the loss as a device scalar
         WITHOUT synchronizing (convert with float() at log points so the
         host keeps dispatching ahead of the device).
 
+        ``state0``: optional initial ConvGRU state — the previous
+        segment's :attr:`final_state` when ``voxels`` continues the same
+        scenes (no burn-in is applied then; the state already has
+        history). Default starts from zero state with the configured
+        ``burn_in``. Either way :attr:`final_state` is refreshed.
+
         @param voxels ``(T, B, C, H, W)`` voxel-grid sequence
         @param frames ``(T, B, 1, H, W)`` target frames in [0, 1]
         """
-        self.params, self.opt_state, self.ema_params, loss = \
-            self._train_step(
-                self.params, self.opt_state, self.ema_params,
-                jnp.asarray(voxels, jnp.float32),
-                jnp.asarray(frames, jnp.float32))
+        if state0 is None:
+            step_fn, extra = self._train_step, (0,)
+        else:
+            if self._train_step_warm is None:
+                self._train_step_warm = self._jit_step(warm=True)
+            step_fn, extra = self._train_step_warm, (state0,)
+        (self.params, self.opt_state, self.ema_params, loss,
+         self.final_state) = step_fn(
+            self.params, self.opt_state, self.ema_params,
+            jnp.asarray(voxels, jnp.float32),
+            jnp.asarray(frames, jnp.float32), *extra)
         self.step += 1
         return loss
 
-    def train_sequence(self, voxels, frames) -> float:
+    def train_sequence(self, voxels, frames, state0=None) -> float:
         """Synchronous :meth:`train_sequence_async` (returns a float)."""
-        return float(self.train_sequence_async(voxels, frames))
+        return float(self.train_sequence_async(voxels, frames, state0))
 
     @property
     def inference_params(self):

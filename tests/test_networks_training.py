@@ -592,3 +592,88 @@ def test_reconstruction_trainer_ema_and_mse(rng, tmp_path):
     tr2.params = jax.tree.map(lambda p: p + 1.0, tr2.params)
     out2, _ = tr2.reconstruct(voxels)
     np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+
+def test_reconstruction_state_carry(rng):
+    """State-carry training (long-horizon regime): a warm segment started
+    from the previous segment's final_state must match training one long
+    sequence in its forward statistics — specifically, the warm segment's
+    loss equals the back half of a double-length cold sequence's per-window
+    losses (same params, no optimizer coupling), and no burn-in is applied
+    on warm segments."""
+    from event_utils_tpu.training.reconstruction import ReconstructionTrainer
+
+    kwargs = dict(sensor_size=SENSOR, num_bins=BINS, learning_rate=1e-3,
+                  model_kwargs={"recurrent_levels": 2})
+    T = 3
+    voxels = np.stack([np.asarray(_voxel_batch(rng)[0]) for _ in range(2 * T)])
+    frames = np.clip(voxels.sum(axis=2, keepdims=True) * 0.2 + 0.5, 0, 1)
+
+    tr = ReconstructionTrainer(burn_in=1, **kwargs)
+    p0 = jax.tree.map(np.asarray, tr.params)
+    o0 = jax.tree.map(np.asarray, tr.opt_state)
+
+    # reference: per-window losses of the full 2T unroll at the init params
+    def scan_losses(vox, frm, state):
+        losses = []
+        for t in range(vox.shape[0]):
+            pred, state = tr.model.apply(
+                jax.tree.map(jnp.asarray, p0), vox[t], state)
+            from event_utils_tpu.models.networks import reconstruction_loss
+            losses.append(float(reconstruction_loss(pred, frm[t])))
+        return losses, state
+
+    ref_losses, _ = scan_losses(jnp.asarray(voxels), jnp.asarray(frames),
+                                None)
+
+    # segment 1 (cold, burn_in=1): mean of windows 1..T-1
+    l1 = tr.train_sequence(voxels[:T], frames[:T])
+    np.testing.assert_allclose(l1, np.mean(ref_losses[1:T]), rtol=1e-4)
+    assert tr.final_state is not None
+
+    # segment 2 (warm): loss mean over ALL T windows (no burn-in), at the
+    # post-step-1 params — recompute the reference at those params
+    p1 = jax.tree.map(np.asarray, tr.params)
+    state_c = jax.tree.map(np.asarray, tr.final_state)
+
+    def scan_losses_at(params, vox, frm, state):
+        from event_utils_tpu.models.networks import reconstruction_loss
+        losses = []
+        state = jax.tree.map(jnp.asarray, state)
+        params = jax.tree.map(jnp.asarray, params)
+        for t in range(vox.shape[0]):
+            pred, state = tr.model.apply(params, vox[t], state)
+            losses.append(float(reconstruction_loss(pred, frm[t])))
+        return losses
+
+    # final_state after a cold step must equal the forward scan's state at
+    # the PRE-step params (the step's own forward pass)
+    _, ref_state = scan_losses(jnp.asarray(voxels[:T]),
+                               jnp.asarray(frames[:T]), None)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5),
+        state_c, ref_state)
+
+    ref2 = scan_losses_at(p1, jnp.asarray(voxels[T:]), jnp.asarray(frames[T:]),
+                          state_c)
+    l2 = tr.train_sequence(voxels[T:], frames[T:], state0=tr.final_state)
+    np.testing.assert_allclose(l2, np.mean(ref2), rtol=1e-4)
+    assert tr.step == 2
+
+
+def test_in_the_loop_carry_segments_runs(rng):
+    """carry_segments>1 drives warm segments through the loop on the CPU
+    backend; losses stay finite and the curve has the long eval."""
+    from event_utils_tpu.training.in_the_loop import (
+        train_reconstruction_in_the_loop)
+    from event_utils_tpu.training.reconstruction import ReconstructionTrainer
+
+    tr = ReconstructionTrainer(sensor_size=(32, 32), num_bins=3,
+                               learning_rate=1e-3, burn_in=1)
+    losses, curve = train_reconstruction_in_the_loop(
+        tr, steps=4, batch_size=1, seq_len=2, capacity=4096,
+        carry_segments=2, window_t=0.02, eval_every=4, log_every=2,
+        log_fn=lambda *a: None)
+    assert len(losses) == 4 and np.isfinite(losses).all()
+    assert tr.step == 4
+    assert len(curve) == 1
