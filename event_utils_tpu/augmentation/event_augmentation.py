@@ -317,12 +317,14 @@ def add_correlated_events_jax(key, xs, ys, ts, ps, mask=None,
     bound from the data (``ops.sort.sort_block_for``; needs a sorted
     time-ordered input and one scalar host sync — eager calls only) and
     sorts with two vectorized block-sort passes instead of one global
-    argsort (``ops.sort.nearly_sorted_argsort``), 10-30x faster at bench
-    densities; an on-device monotonicity check falls back to the global
-    argsort if the bound is ever violated. Pass an int to pin the block
-    statically (jit-safe), or ``None`` for the global argsort (always
-    jit-safe; also the automatic fallback under tracing or when the
-    stream is too dense for blocking to pay).
+    sort (``ops.sort.nearly_sorted_sort``); an on-device monotonicity
+    check falls back to the global sort if the bound is ever violated.
+    Pass an int to pin the block statically (jit-safe), or ``None`` for
+    the global sort (always jit-safe; also the automatic fallback under
+    tracing or when the stream is too dense for blocking to pay). Every
+    path carries all five event fields as ``lax.sort`` payloads — never
+    argsort + gathers, whose five gathers are the measured TPU cliff
+    (~18 Mev/s vs ~150 for the payload global sort on v5e-1).
     """
     H, W = sensor_resolution
     # Work in relative float32 time (see _f32_time_offset): jitter, merge
@@ -358,14 +360,15 @@ def add_correlated_events_jax(key, xs, ys, ts, ps, mask=None,
         cp = interleave(ps, ps)
         cm = interleave(mask, mask)
         keys = jnp.where(cm != 0, ct, jnp.inf)
-        if isinstance(sort_block, int):
-            from ..ops.sort import nearly_sorted_argsort
+        # payload-carrying lax.sort, NOT argsort + gathers: on TPU the five
+        # gathers dominate (measured ~18 Mev/s with vs ~150 without)
+        from ..ops.sort import nearly_sorted_sort, time_sort
 
-            order = nearly_sorted_argsort(keys, sort_block)
+        if isinstance(sort_block, int):
+            _, cx, cy, ct, cp, cm = nearly_sorted_sort(
+                keys, cx, cy, ct, cp, cm, block=sort_block)
         else:
-            order = jnp.argsort(keys, stable=True)
-        cx, cy, ct, cp, cm = (cx[order], cy[order], ct[order], cp[order],
-                              cm[order])
+            _, cx, cy, ct, cp, cm = time_sort(keys, cx, cy, ct, cp, cm)
     else:
         cx = jnp.concatenate([xs, nx])
         cy = jnp.concatenate([ys, ny])

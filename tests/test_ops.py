@@ -395,6 +395,45 @@ def test_nearly_sorted_argsort_fallback_on_bad_bound(rng):
     np.testing.assert_array_equal(got, np.argsort(keys, kind="stable"))
 
 
+def test_payload_sorts_match_argsort_gather(rng):
+    """time_sort and nearly_sorted_sort permute payloads exactly like
+    stable-argsort + gather (including the lax.cond fallback branch), in
+    and out of jit."""
+    import jax
+
+    from event_utils_tpu.ops.sort import nearly_sorted_sort, time_sort
+
+    n = 3000
+    base = np.sort(rng.uniform(0, 1, n)).astype(np.float32)
+    keys = base + rng.uniform(-1, 1, n).astype(np.float32) * 16 * \
+        np.median(np.diff(base))
+    pay_i = rng.integers(0, 240, n).astype(np.int32)
+    pay_f = rng.normal(size=n).astype(np.float32)
+    want = np.argsort(keys, kind="stable")
+
+    for fn in (time_sort, jax.jit(time_sort)):
+        k, a, b = fn(jnp.asarray(keys), jnp.asarray(pay_i),
+                     jnp.asarray(pay_f))
+        np.testing.assert_array_equal(np.asarray(k), keys[want])
+        np.testing.assert_array_equal(np.asarray(a), pay_i[want])
+        np.testing.assert_array_equal(np.asarray(b), pay_f[want])
+
+    for block in (64, 128):  # 64 honors the bound above; both must be exact
+        k, a, b = nearly_sorted_sort(jnp.asarray(keys), jnp.asarray(pay_i),
+                                     jnp.asarray(pay_f), block=block)
+        np.testing.assert_array_equal(np.asarray(k), keys[want])
+        np.testing.assert_array_equal(np.asarray(a), pay_i[want])
+        np.testing.assert_array_equal(np.asarray(b), pay_f[want])
+
+    # violated bound -> on-device fallback, still exact
+    rnd = rng.uniform(0, 1, 2048).astype(np.float32)
+    w2 = np.argsort(rnd, kind="stable")
+    k, a = nearly_sorted_sort(jnp.asarray(rnd),
+                              jnp.asarray(np.arange(2048, dtype=np.int32)),
+                              block=32)
+    np.testing.assert_array_equal(np.asarray(a), w2)
+
+
 def test_displacement_bound_and_block_pick(rng):
     """displacement_bound over-counts but bounds the true rank displacement
     of an interleaved jittered stream; sort_block_for yields a block the
