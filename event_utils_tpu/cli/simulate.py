@@ -26,15 +26,23 @@ def build_parser():
         description="Simulate an event-camera sequence with ground truth")
     parser.add_argument("output_path",
                         help="Output .h5 file or memmap directory")
-    parser.add_argument("--scene", choices=("translate", "rotate"),
-                        default="translate")
+    parser.add_argument("--scene",
+                        choices=("translate", "rotate", "similarity"),
+                        default="translate",
+                        help="similarity = rotation + divergence about the "
+                             "sensor center (the training family of "
+                             "train_flow --simulate --omega_max/--s_max; "
+                             "spatially-varying dense GT flow)")
     parser.add_argument("--sensor", type=int, nargs=2, default=(180, 240),
                         metavar=("H", "W"))
     parser.add_argument("--velocity", type=float, nargs=2, default=(30.0, -20.0),
                         metavar=("VX", "VY"),
                         help="Texture velocity in px/s (translate scene)")
     parser.add_argument("--omega", type=float, default=1.5,
-                        help="Angular velocity in rad/s (rotate scene)")
+                        help="Angular velocity in rad/s (rotate/similarity "
+                             "scenes)")
+    parser.add_argument("--divergence", type=float, default=0.0,
+                        help="Expansion rate in 1/s (similarity scene)")
     parser.add_argument("--duration", type=float, default=0.5,
                         help="Sequence length in seconds")
     parser.add_argument("--fps", type=float, default=200.0,
@@ -91,32 +99,37 @@ def main(argv=None):
         rng = np.random.default_rng(args.seed)
         for i in range(args.num_sequences):
             seq = os.path.join(args.output_path, f"seq_{i:03d}.h5")
+            velocity, omega, div = (tuple(args.velocity), args.omega,
+                                    args.divergence)
             if args.scene == "translate":
                 speed = float(np.hypot(*args.velocity))
                 mag = speed * rng.uniform(0.5, 1.5)
                 ang = rng.uniform(0, 2 * np.pi)
                 velocity = (mag * np.cos(ang), mag * np.sin(ang))
-                omega = args.omega
             else:
-                velocity = tuple(args.velocity)
                 omega = float(args.omega * rng.uniform(0.5, 1.5)
                               * rng.choice([-1.0, 1.0]))
+                if args.scene == "similarity":
+                    div = float(args.divergence * rng.uniform(0.5, 1.5)
+                                * rng.choice([-1.0, 1.0]))
             _run_one(args, seed=args.seed + i, output_path=seq, fmt="h5",
-                     velocity=velocity, omega=omega)
+                     velocity=velocity, omega=omega, divergence=div)
         return
     fmt = args.format or ("h5" if args.output_path.endswith(".h5") else
                           "memmap")
     _run_one(args, seed=args.seed, output_path=args.output_path, fmt=fmt,
-             velocity=tuple(args.velocity), omega=args.omega)
+             velocity=tuple(args.velocity), omega=args.omega,
+             divergence=args.divergence)
 
 
-def _run_one(args, seed, output_path, fmt, velocity, omega):
+def _run_one(args, seed, output_path, fmt, velocity, omega,
+             divergence=0.0):
     import jax
 
     from ..data_formats.event_packagers import hdf5_packager, memmap_packager
-    from ..simulation.esim import (SimulatorConfig, rotating_scene,
-                                   simulate_scene, smooth_texture,
-                                   translating_scene)
+    from ..simulation.esim import (SimulatorConfig, affine_scene,
+                                   rotating_scene, simulate_scene,
+                                   smooth_texture, translating_scene)
 
     # Independent streams for scene texture and sensor noise.
     tex_key, sim_key = jax.random.split(jax.random.PRNGKey(seed))
@@ -124,6 +137,8 @@ def _run_one(args, seed, output_path, fmt, velocity, omega):
     texture = smooth_texture(tex_key, (H, W), octaves=args.octaves)
     if args.scene == "translate":
         scene = translating_scene(texture, velocity)
+    elif args.scene == "similarity":
+        scene = affine_scene(texture, divergence=divergence, omega=omega)
     else:
         scene = rotating_scene(texture, omega)
 

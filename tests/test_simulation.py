@@ -202,6 +202,33 @@ def test_simulate_cli_memmap(tmp_path):
     assert os.path.exists(os.path.join(out, "gt.json"))
 
 
+def test_simulate_cli_similarity_scene(tmp_path):
+    """--scene similarity writes a recording whose dense GT flow matches
+    the analytic similarity field s*(x-c) + omega*J(x-c) and whose
+    gt.json params are the xyztheta ground truth."""
+    import json
+
+    import h5py
+
+    from event_utils_tpu.cli.simulate import main
+
+    out = str(tmp_path / "sim.h5")
+    main([out, "--scene", "similarity", "--sensor", "32", "32",
+          "--omega", "3.0", "--divergence", "0.5", "--duration", "0.15",
+          "--fps", "100", "--frame_fps", "20"])
+    gt = json.load(open(out + ".gt.json"))
+    assert gt["scene"] == "similarity"
+    vx, vy, s, w = gt["params"]
+    assert (s, w) == (0.5, 3.0)
+    with h5py.File(out, "r") as f:
+        flow = f["flow/flow000000000"][:]
+    cy, cx = (32 - 1) / 2.0, (32 - 1) / 2.0
+    yy, xx = np.meshgrid(np.arange(32.0), np.arange(32.0), indexing="ij")
+    want = np.stack([s * (xx - cx) - w * (yy - cy),
+                     s * (yy - cy) + w * (xx - cx)])
+    np.testing.assert_allclose(flow, want, atol=1e-4)
+
+
 @pytest.mark.slow
 def test_train_reconstruction_on_simulated(tmp_path):
     """The supervised simulate->train loop the reference cannot offer:
