@@ -111,6 +111,7 @@ def main(argv=None):
         gt_channels=2, cache_suffix=".flowcache.npz")
     stamps = []
     aees = []
+    base_aees = []
     written = 0
     for s0 in range(0, n, args.batch_size):
         hi = min(s0 + args.batch_size, n)
@@ -132,8 +133,18 @@ def main(argv=None):
             if args.eval_gt:
                 from ..utils.metrics import average_endpoint_error
 
-                aees.append(float(average_endpoint_error(
-                    flow, gt_flows[i - s0])))
+                gt = gt_flows[i - s0]
+                aees.append(float(average_endpoint_error(flow, gt)))
+                base_aees.append(float(average_endpoint_error(
+                    np.zeros_like(gt), gt)))
+                if args.render:
+                    import matplotlib.pyplot as plt
+
+                    from ..utils.util import flow2bgr_np
+
+                    rgb = flow2bgr_np(gt[0], gt[1])[..., ::-1]
+                    plt.imsave(os.path.join(
+                        args.output_dir, f"flow_gt_{written:04d}.png"), rgb)
             written += 1
     dataset.close()
     np.savetxt(os.path.join(args.output_dir, "timestamps.txt"),
@@ -143,11 +154,13 @@ def main(argv=None):
         import json
 
         metrics = {"aee_px_s": round(float(np.mean(aees)), 3),
+                   "zero_flow_aee_px_s": round(float(np.mean(base_aees)), 3),
                    "num_fields": len(aees)}
         with open(os.path.join(args.output_dir, "metrics.json"), "w") as f:
             json.dump(metrics, f)
         print(f"vs ground-truth flow: AEE {metrics['aee_px_s']} px/s "
-              f"over {len(aees)} fields")
+              f"over {len(aees)} fields "
+              f"(zero-flow baseline {metrics['zero_flow_aee_px_s']})")
 
 
 if __name__ == "__main__":
