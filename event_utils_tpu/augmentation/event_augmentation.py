@@ -344,11 +344,23 @@ def add_correlated_events_jax(key, xs, ys, ts, ps, mask=None,
     ny = jnp.clip(ny, 0, H - 1)
     if sort and sort_block == "auto" and not isinstance(ts, jax.core.Tracer):
         # jitter_events_jax draws from N(0, ts_std); use a 6-sigma bound
-        # with the exact max as backstop (both one cheap device reduction)
+        # with the exact max as backstop (both one cheap device reduction).
+        # The bound is computed over the SAME masked keys the sort uses
+        # (pads -> +inf): raw pad-slot timestamps are arbitrary and would
+        # otherwise make the searchsorted bound garbage. Interior mask
+        # holes make the masked key stream unsorted — the displacement
+        # analysis doesn't apply, so fall back to the global sort.
         from ..ops.sort import sort_block_for
 
-        delta = float(jnp.maximum(jnp.max(jnp.abs(nt - ts)), 6 * ts_std))
-        sort_block = sort_block_for(ts, delta, copies=2)
+        src_keys = jnp.where(mask != 0, ts, jnp.inf)
+        src_sorted = bool(jnp.all(src_keys[1:] >= src_keys[:-1])) \
+            if src_keys.shape[0] > 1 else True
+        if src_sorted:
+            valid_jit = jnp.abs(nt - ts) * (mask != 0)
+            delta = float(jnp.maximum(jnp.max(valid_jit), 6 * ts_std))
+            sort_block = sort_block_for(src_keys, delta, copies=2)
+        else:
+            sort_block = None
     if sort:
         # interleave [orig_i, copy_i] pairs so the combined stream keeps
         # the source's time order up to the jitter bound (a concatenation

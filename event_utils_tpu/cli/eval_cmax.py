@@ -17,6 +17,18 @@ from __future__ import annotations
 import argparse
 
 
+def _pyramid_arg(v):
+    """argparse type for --pyramid: an int level count or 'auto' — reject
+    anything else at parse time, before any dataset work."""
+    if v == "auto":
+        return v
+    try:
+        return int(v)
+    except ValueError:
+        raise argparse.ArgumentTypeError(
+            f"--pyramid must be an integer or 'auto', got {v!r}")
+
+
 def build_parser():
     parser = argparse.ArgumentParser(
         description="Evaluate grid_cmax flow against ground-truth flow")
@@ -40,7 +52,7 @@ def build_parser():
                         choices=["median"],
                         help="Neighbor-median flow smoothing (helps "
                              "textured scenes; see grid_cmax_batched)")
-    parser.add_argument("--pyramid", default="1",
+    parser.add_argument("--pyramid", default=1, type=_pyramid_arg,
                         help="Coarse-to-fine pyramid levels: level k solves "
                              "at roi_size*2^k and seeds the finer level's "
                              "warm-started refine (textured scenes); "
@@ -83,8 +95,6 @@ def _eval(dataset, args):
         raise SystemExit(f"{args.path} has flow but no frame timestamps to "
                          "pair windows with")
 
-    args.pyramid = ("auto" if args.pyramid == "auto"
-                    else int(args.pyramid))
     if args.pyramid != 1 and args.warm_start:
         print("note: --pyramid runs on the FIRST window only — a warm "
               "start (x0) suppresses the coarse-to-fine cascade on "

@@ -225,11 +225,9 @@ def main(argv=None):
         if model_kwargs:
             print(f"model architecture from checkpoint: {model_kwargs}")
     elif args.params:
-        import json
+        from ..training.checkpointing import read_model_json_npz
 
-        with np.load(args.params) as z:
-            if "__model_json__" in z:
-                model_kwargs = json.loads(bytes(z["__model_json__"]).decode())
+        model_kwargs = read_model_json_npz(args.params) or model_kwargs
         if model_kwargs:
             print(f"model architecture from {args.params}: {model_kwargs}")
     trainer = ReconstructionTrainer(

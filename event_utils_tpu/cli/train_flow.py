@@ -43,6 +43,14 @@ def main(argv=None):
     parser.add_argument("--omega_max", type=float, default=0.0,
                         help="max |rotation rate| rad/s for --simulate "
                              "scenes (nonzero: dense similarity-field GT)")
+    parser.add_argument("--burn_in", type=int, default=0,
+                        help="extra simulated windows BEFORE the trained one "
+                             "(--simulate mode): train on steady-state "
+                             "sensor statistics instead of fresh-sensor "
+                             "warm-up (continuous recordings are steady-"
+                             "state; see training.in_the_loop."
+                             "simulate_flow_batch). Size --capacity for "
+                             "burn_in+1 windows.")
     parser.add_argument("--s_max", type=float, default=0.0,
                         help="max |divergence rate| 1/s for --simulate "
                              "scenes (nonzero: dense similarity-field GT)")
@@ -77,6 +85,9 @@ def main(argv=None):
     parser.add_argument("--data_parallel", action="store_true",
                         help="shard the batch over all devices")
     args = parser.parse_args(argv)
+    if args.resume and args.resume_params:
+        raise SystemExit("--resume (orbax ckpt) and --resume_params (npz "
+                         "snapshot) are alternatives; pass one")
 
     import os
 
@@ -131,6 +142,7 @@ def main(argv=None):
                                       "num_frames": args.num_frames,
                                       "omega_max": args.omega_max,
                                       "s_max": args.s_max,
+                                      "burn_in": args.burn_in,
                                       "lr": args.lr,
                                       "lr_end": args.lr_end,
                                       "supervised_weight":
@@ -147,6 +159,7 @@ def main(argv=None):
             capacity=args.capacity, v_max=args.v_max, seed=args.seed,
             window_t=args.window_t, num_frames=args.num_frames,
             omega_max=args.omega_max, s_max=args.s_max,
+            burn_in=args.burn_in,
             eval_seed=args.eval_seed, ckpt_dir=args.ckpt_dir,
             on_eval=write_metrics if args.metrics_out else None)
         if args.metrics_out:

@@ -152,13 +152,9 @@ def _model_kwargs(args):
     elif getattr(args, "resume_params", None):
         # The .npz snapshot embeds its architecture (__model_json__); use
         # it so warm-starting never needs the arch flags re-passed.
-        import json
+        from ..training.checkpointing import read_model_json_npz
 
-        import numpy as np
-
-        with np.load(args.resume_params) as z:
-            if "__model_json__" in z:
-                saved = json.loads(bytes(z["__model_json__"]).decode())
+        saved = read_model_json_npz(args.resume_params)
         source = f"{args.resume_params}'s __model_json__"
     if saved:
         for k, v in kwargs.items():
@@ -305,6 +301,9 @@ def iter_sequences_cached(voxels, frames, seq_len, batch_size, rng=None):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.resume and args.resume_params:
+        raise SystemExit("--resume (orbax ckpt) and --resume_params (npz "
+                         "snapshot) are alternatives; pass one")
 
     import os
 

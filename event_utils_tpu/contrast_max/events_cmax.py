@@ -1055,7 +1055,8 @@ def grid_cmax_batched(xs, ys, ts, ps, roi_size=(20, 20), warp=None,
                           img_size=tuple(int(v) for v in resolution),
                           blur_sigma=blur_sigma, maxiter=maxiter,
                           capacity=capacity, solver=solver, gd_lr=gd_lr,
-                          overflow_refine=overflow_refine)
+                          overflow_refine=overflow_refine,
+                          trust_radius=trust_radius)
             p_plain, rois, f_plain, valid = grid_cmax_batched(
                 xs, ys, ts, ps, **common)
             p_pyr, _, f_pyr, _ = grid_cmax_batched(
@@ -1165,14 +1166,9 @@ def grid_cmax_batched(xs, ys, ts, ps, roi_size=(20, 20), warp=None,
             trust_vec = jnp.full((origins.shape[0],),
                                  jnp.inf if trust_radius is None
                                  else float(trust_radius), jnp.float32)
-        warm_key = solver_key + ("warm-traced",)
-        solve = _roi_solver_cache.get(warm_key)
-        if solve is None:
-            solve = jax.jit(jax.vmap(make_roi_solve_one(
-                warp, obj, tuple(resolution), roi_size, blur_sigma,
-                maxiter, solver, gd_lr, with_x0=True,
-                trust_radius="traced")))
-            _roi_solver_cache[warm_key] = solve
+        solve = _warm_roi_solver(solver_key, warp, obj, resolution,
+                                 roi_size, blur_sigma, maxiter, solver,
+                                 gd_lr)
         params, f_evals = solve(bx, by, bt, bp, bmask,
                                 jnp.asarray(origins, jnp.float32),
                                 jnp.asarray(x0, jnp.float32), trust_vec)
@@ -1200,33 +1196,36 @@ def grid_cmax_batched(xs, ys, ts, ps, roi_size=(20, 20), warp=None,
         over = np.nonzero(counts > cap_used)[0]
         cap2 = min(-(-int(counts[over].max()) // 512) * 512,
                    OVERFLOW_CAP_MAX)
-        R2 = -(-len(over) // 8) * 8
-        bx2, by2, bt2, bp2, bm2, org2, overflow = _pack_roi_subset(
-            xs, ys, ts, ps, resolution, roi_size, over, cap2, R2)
-        warm_key = solver_key + ("warm-traced",)
-        solve2 = _roi_solver_cache.get(warm_key)
-        if solve2 is None:
-            solve2 = jax.jit(jax.vmap(make_roi_solve_one(
-                warp, obj, tuple(resolution), roi_size, blur_sigma,
-                maxiter, solver, gd_lr, with_x0=True,
-                trust_radius="traced")))
-            _roi_solver_cache[warm_key] = solve2
-        dims = int(jnp.shape(params)[-1])
-        x0_2 = np.zeros((R2, dims), np.float32)
-        trust2 = np.full((R2,), np.inf, np.float32)
-        if x0 is not None:
-            # tier 1 was itself a warm solve: replay it exactly on the
-            # full window (same seed, same trust ball)
-            x0_2[:len(over)] = np.asarray(x0, np.float32)[over]
-            trust2[:len(over)] = np.asarray(trust_vec, np.float32)[over]
+        if cap2 < cap_used:
+            # Caller capacity already exceeds OVERFLOW_CAP_MAX: every
+            # overflow row would re-solve on a SMALLER subsample than tier
+            # 1 already used — strictly worse. Keep tier 1's answer; the
+            # subsampling warning below still fires for these ROIs.
+            pass
         else:
-            x0_2[:len(over)] = np.asarray(params, np.float32)[over]
-        p2, f2 = solve2(bx2, by2, bt2, bp2, bm2, org2,
-                        jnp.asarray(x0_2), jnp.asarray(trust2))
-        params = jnp.asarray(params).at[over].set(p2[:len(over)])
-        f_evals = jnp.asarray(f_evals).at[over].set(f2[:len(over)])
-        # `overflow` is now only what tier 2 itself had to drop (ROIs past
-        # OVERFLOW_CAP_MAX) — the warning below fires only for that.
+            R2 = -(-len(over) // 8) * 8
+            bx2, by2, bt2, bp2, bm2, org2, overflow = _pack_roi_subset(
+                xs, ys, ts, ps, resolution, roi_size, over, cap2, R2)
+            solve2 = _warm_roi_solver(solver_key, warp, obj, resolution,
+                                      roi_size, blur_sigma, maxiter, solver,
+                                      gd_lr)
+            dims = int(jnp.shape(params)[-1])
+            x0_2 = np.zeros((R2, dims), np.float32)
+            trust2 = np.full((R2,), np.inf, np.float32)
+            if x0 is not None:
+                # tier 1 was itself a warm solve: replay it exactly on the
+                # full window (same seed, same trust ball)
+                x0_2[:len(over)] = np.asarray(x0, np.float32)[over]
+                trust2[:len(over)] = np.asarray(trust_vec, np.float32)[over]
+            else:
+                x0_2[:len(over)] = np.asarray(params, np.float32)[over]
+            p2, f2 = solve2(bx2, by2, bt2, bp2, bm2, org2,
+                            jnp.asarray(x0_2), jnp.asarray(trust2))
+            params = jnp.asarray(params).at[over].set(p2[:len(over)])
+            f_evals = jnp.asarray(f_evals).at[over].set(f2[:len(over)])
+            # `overflow` is now only what tier 2 itself had to drop (ROIs
+            # past OVERFLOW_CAP_MAX) — the warning below fires only for
+            # that.
 
     if smooth is not None:
         if smooth != "median":
@@ -1293,6 +1292,21 @@ def _build_roi_solver(warp, obj, resolution, roi_size, blur_sigma, maxiter,
     return jax.jit(jax.vmap(make_roi_solve_one(
         warp, obj, resolution, roi_size, blur_sigma, maxiter, solver,
         gd_lr)))
+
+
+def _warm_roi_solver(solver_key, warp, obj, resolution, roi_size, blur_sigma,
+                     maxiter, solver, gd_lr):
+    """Cached warm-start refine solver (``with_x0`` + traced per-ROI trust
+    radius) — shared by the temporal/pyramid warm path and the tier-2
+    overflow refine, so both always run the same executable."""
+    warm_key = solver_key + ("warm-traced",)
+    solve = _roi_solver_cache.get(warm_key)
+    if solve is None:
+        solve = jax.jit(jax.vmap(make_roi_solve_one(
+            warp, obj, tuple(resolution), roi_size, blur_sigma,
+            maxiter, solver, gd_lr, with_x0=True, trust_radius="traced")))
+        _roi_solver_cache[warm_key] = solve
+    return solve
 
 
 def make_roi_solve_one(warp, obj, resolution, roi_size, blur_sigma, maxiter,

@@ -152,12 +152,19 @@ def displacement_bound(ts_sorted, delta, copies: int = 2) -> jnp.ndarray:
     One vectorized double-searchsorted — O(N log N) gathers, device-side;
     returns a scalar (int32) array so eager callers can pick a static
     block size with one host sync.
+
+    Non-finite entries (``+inf`` pad-slot sentinels, the masked-stream key
+    convention) are excluded from the max: tail pads are already in their
+    final positions and must not inflate the bound. The FINITE prefix must
+    still be sorted — callers with interior mask holes fall back to the
+    global sort instead (see ``add_correlated_events_jax``).
     """
     ts_sorted = jnp.asarray(ts_sorted)
     w = 2.0 * delta
     hi = jnp.searchsorted(ts_sorted, ts_sorted + w, side="right")
     lo = jnp.searchsorted(ts_sorted, ts_sorted - w, side="left")
-    return (jnp.max(hi - lo) * copies).astype(jnp.int32)
+    span = jnp.where(jnp.isfinite(ts_sorted), hi - lo, 0)
+    return (jnp.max(span) * copies).astype(jnp.int32)
 
 
 def sort_block_for(ts_sorted, delta, copies: int = 2,

@@ -72,6 +72,21 @@ def save_params_npz(trainer, path: str) -> None:
     os.replace(tmp, path)
 
 
+def read_model_json_npz(path: str) -> dict:
+    """Read a :func:`save_params_npz` snapshot's ``__model_json__``
+    architecture sidecar (``{}`` for snapshots that predate it). The
+    format is owned here — every CLI that needs the snapshot's
+    architecture goes through this helper."""
+    import json
+
+    import numpy as np
+
+    with np.load(path) as z:
+        if "__model_json__" not in z:
+            return {}
+        return json.loads(bytes(z["__model_json__"]).decode())
+
+
 def load_params_npz(trainer, path: str) -> int:
     """Restore weights saved by :func:`save_params_npz` into
     ``trainer.params`` (optimizer state is re-initialized — use the orbax

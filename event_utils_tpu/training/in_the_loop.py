@@ -62,14 +62,15 @@ def _render_similarity(texture: Array, v: Array, omega: Array, s: Array,
 
 @partial(jax.jit, static_argnames=("batch_size", "sensor_size", "capacity",
                                    "num_frames", "octaves", "omega_max",
-                                   "s_max", "return_saturation"))
+                                   "s_max", "return_saturation", "burn_in"))
 def simulate_flow_batch(key: Array, batch_size: int,
                         sensor_size: Tuple[int, int], capacity: int,
                         v_max: float = 40.0, window_t: float = 0.1,
                         num_frames: int = 9, octaves: int = 3,
                         c_pos: float = 0.15, c_neg: float = 0.15,
                         omega_max: float = 0.0, s_max: float = 0.0,
-                        return_saturation: bool = False):
+                        return_saturation: bool = False,
+                        burn_in: int = 0):
     """One fresh supervised flow batch, generated entirely on device.
 
     Per element: random smooth texture + uniform random velocity in
@@ -87,13 +88,28 @@ def simulate_flow_batch(key: Array, batch_size: int,
     ``v + omega x r + s r`` — spatially-varying supervision the uniform
     family can never provide.
 
+    ``burn_in`` (N extra windows): simulate ``(burn_in+1) * window_t``
+    seconds of the scene but mask everything before the LAST window, so
+    training sees STEADY-STATE sensor statistics instead of fresh-sensor
+    warm-up. MEASURED (r4): a freshly-initialized ESIM sensor emits ~half
+    the events of a steady-state window with a strong temporal ramp
+    (first/last-bin mass 234/947 on the probe scene vs uniform ~1200 in
+    steady state); a net trained only on fresh windows overshoots flow
+    magnitude ~1.7x on every continuous recording window past the first
+    (``infer_flow --eval_gt``). Size ``capacity`` for the TOTAL simulated
+    duration — the returned mask keeps only the final window's events
+    (the similarity field is time-invariant, so ``gt`` is unchanged).
+
     With ``return_saturation``, a fourth ``(B,)`` bool output flags
     elements whose event stream genuinely overflowed ``capacity`` (events
-    tail-cut in time); an exactly-full untruncated stream is NOT flagged.
+    tail-cut in time — with ``burn_in`` that cut lands in the LAST,
+    trained window, so saturated elements matter more); an exactly-full
+    untruncated stream is NOT flagged.
     """
     H, W = sensor_size
     cfg = SimulatorConfig(c_pos=c_pos, c_neg=c_neg)
-    fts = jnp.linspace(0.0, window_t, num_frames)
+    n_total = burn_in * (num_frames - 1) + num_frames
+    fts = jnp.linspace(0.0, (burn_in + 1) * window_t, n_total)
     similarity = bool(omega_max or s_max)
 
     def one(k):
@@ -110,6 +126,9 @@ def simulate_flow_batch(key: Array, batch_size: int,
             lambda t: _render_similarity(tex, v, ws[0], ws[1], t))(fts)
         ev, mask, overflow = simulate_events_device(
             frames, fts, capacity, cfg, key=k_sim, return_overflow=True)
+        if burn_in:
+            # steady-state training: drop the warm-up windows' events
+            mask = mask * (ev[:, 2] >= burn_in * window_t).astype(mask.dtype)
         if not similarity:
             gt = v
         else:
@@ -383,7 +402,7 @@ def train_flow_in_the_loop(trainer, steps: int, batch_size: int = 8,
                            capacity: int = 16384, v_max: float = 40.0,
                            window_t: float = 0.1, num_frames: int = 9,
                            omega_max: float = 0.0, s_max: float = 0.0,
-                           seed: int = 0,
+                           burn_in: int = 0, seed: int = 0,
                            eval_seed: Optional[int] = None,
                            log_every: int = 20,
                            eval_every: int = 100, ckpt_dir: Optional[str] = None,
@@ -426,6 +445,7 @@ def train_flow_in_the_loop(trainer, steps: int, batch_size: int = 8,
                                    v_max=v_max, window_t=window_t,
                                    num_frames=num_frames,
                                    omega_max=omega_max, s_max=s_max,
+                                   burn_in=burn_in,
                                    return_saturation=True)
 
     mesh = getattr(trainer, "mesh", None)

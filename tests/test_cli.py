@@ -456,3 +456,43 @@ def test_train_flow_cli_simulate_schedule_and_params(tmp_path):
           "--batch_size", "2", "--capacity", "512", "--v_max", "10",
           "--window_t", "0.05", "--num_frames", "5",
           "--supervised_weight", "1.0", "--resume_params", params])
+    # steady-state curriculum: burn_in windows precede the trained one
+    main(["--simulate", "--sensor", "16", "16", "--steps", "1",
+          "--batch_size", "2", "--capacity", "1024", "--v_max", "10",
+          "--window_t", "0.05", "--num_frames", "5", "--burn_in", "1",
+          "--supervised_weight", "1.0", "--resume_params", params,
+          "--metrics_out", metrics])
+    with open(metrics) as f:
+        assert json.load(f)["config"]["burn_in"] == 1
+
+
+def test_train_cli_resume_flag_conflicts():
+    """--resume (orbax) + --resume_params (npz) are alternatives in BOTH
+    training CLIs: passing both must fail fast, not silently prefer the
+    checkpoint (r4 review finding)."""
+    from event_utils_tpu.cli.train_flow import main as flow_main
+    from event_utils_tpu.cli.train_reconstruction import main as recon_main
+
+    with pytest.raises(SystemExit, match="alternatives"):
+        flow_main(["--simulate", "--steps", "1", "--resume",
+                   "--ckpt_dir", "/tmp/x", "--resume_params", "/tmp/p.npz"])
+    with pytest.raises(SystemExit, match="alternatives"):
+        recon_main(["--simulate", "--steps", "1", "--resume",
+                    "--ckpt_dir", "/tmp/x", "--resume_params",
+                    "/tmp/p.npz"])
+
+
+def test_eval_cmax_pyramid_arg_validated_at_parse_time():
+    """A malformed --pyramid value dies in argparse, before any dataset
+    is opened (r4 review finding)."""
+    from event_utils_tpu.cli.eval_cmax import build_parser
+
+    with pytest.raises(SystemExit):
+        build_parser().parse_args(["/nonexistent.h5", "--pyramid", "1.5"])
+    with pytest.raises(SystemExit):
+        build_parser().parse_args(["/nonexistent.h5", "--pyramid", "aut"])
+    args = build_parser().parse_args(["/nonexistent.h5", "--pyramid",
+                                      "auto"])
+    assert args.pyramid == "auto"
+    assert build_parser().parse_args(["/x.h5", "--pyramid", "2"]).pyramid \
+        == 2

@@ -470,6 +470,41 @@ def test_simulate_flow_batch_similarity_dense_gt():
 
 
 @pytest.mark.slow
+def test_simulate_flow_batch_burn_in_steady_state():
+    """burn_in=1: every valid event lies in the LAST window
+    [window_t, 2*window_t) and the temporal event-mass ramp of a fresh
+    sensor (first bin starved) is gone; GT keeps its contract. MEASURED
+    motivation: fresh-sensor-trained nets overshoot flow ~1.7x on
+    continuous recordings (see simulate_flow_batch docstring)."""
+    from event_utils_tpu.training import simulate_flow_batch
+
+    wt = 0.12
+    ev, mask, gt = simulate_flow_batch(
+        jax.random.PRNGKey(2), 2, (32, 32), 8192, v_max=25.0,
+        window_t=wt, num_frames=7, omega_max=4.0, s_max=0.4, burn_in=1)
+    ev, mask = np.asarray(ev), np.asarray(mask)
+    assert np.asarray(gt).shape == (2, 2, 32, 32)
+    fresh_first, steady_first = [], []
+    for b in range(2):
+        t = ev[b, :, 2][mask[b] > 0]
+        assert t.size > 100
+        assert t.min() >= wt - 1e-6 and t.max() <= 2 * wt + 1e-6
+        h, _ = np.histogram((t - wt) / wt, bins=5, range=(0, 1))
+        steady_first.append(h[0] / max(h.mean(), 1))
+    ev0, mask0, _ = simulate_flow_batch(
+        jax.random.PRNGKey(2), 2, (32, 32), 8192, v_max=25.0,
+        window_t=wt, num_frames=7, omega_max=4.0, s_max=0.4)
+    ev0, mask0 = np.asarray(ev0), np.asarray(mask0)
+    for b in range(2):
+        t = ev0[b, :, 2][mask0[b] > 0]
+        h, _ = np.histogram(t / wt, bins=5, range=(0, 1))
+        fresh_first.append(h[0] / max(h.mean(), 1))
+    # fresh sensor: first-bin mass well below average; steady state: not
+    assert np.mean(fresh_first) < 0.75
+    assert np.mean(steady_first) > 0.8
+
+
+@pytest.mark.slow
 def test_sharded_in_the_loop_training():
     """In-the-loop training with a mesh: scene simulation + voxelize run
     sharded over the batch axis (virtual 8-device mesh), losses finite."""

@@ -462,3 +462,72 @@ def test_displacement_bound_and_block_pick(rng):
     srt = inter[got]
     assert np.all(np.diff(srt) >= 0)
     np.testing.assert_array_equal(inter[got], inter[want])
+
+
+def test_displacement_bound_ignores_inf_pad_tail(rng):
+    """+inf pad sentinels (the masked-stream key convention) must not
+    inflate the displacement bound: tail pads are already in place. The
+    bound over [valid_ts, inf...] equals the bound over valid_ts alone."""
+    from event_utils_tpu.ops.sort import displacement_bound, sort_block_for
+
+    n = 4096
+    ts = np.sort(rng.uniform(0, 0.5, n)).astype(np.float32)
+    delta = 0.002
+    d_clean = int(displacement_bound(jnp.asarray(ts), delta, copies=2))
+    padded = np.concatenate([ts, np.full(n, np.inf, np.float32)])
+    d_padded = int(displacement_bound(jnp.asarray(padded), delta, copies=2))
+    assert d_padded == d_clean
+    assert sort_block_for(jnp.asarray(padded), delta, copies=2) == \
+        sort_block_for(jnp.asarray(ts), delta, copies=2)
+
+
+def test_densify_auto_block_with_padded_mask(rng):
+    """add_correlated_events_jax(sort_block='auto') on a padded stream
+    (pad slots carry ts=0 at the tail — unsorted RAW timestamps): the
+    bound must be computed on the masked keys, the output stays correctly
+    time-sorted with pads at the tail."""
+    from event_utils_tpu.augmentation.event_augmentation import \
+        add_correlated_events_jax
+
+    n_valid, cap = 3000, 4096
+    ts = np.zeros(cap, np.float32)
+    ts[:n_valid] = np.sort(rng.uniform(0, 0.3, n_valid)).astype(np.float32)
+    xs = rng.uniform(0, 239, cap).astype(np.float32)
+    ys = rng.uniform(0, 179, cap).astype(np.float32)
+    ps = np.where(rng.uniform(size=cap) < 0.5, -1, 1).astype(np.float32)
+    mask = (np.arange(cap) < n_valid).astype(np.float32)
+    cx, cy, ct, cp, cm = add_correlated_events_jax(
+        jax.random.PRNGKey(3), xs, ys, ts, ps, mask=mask,
+        ts_std=0.0005, sort_block="auto")
+    cm = np.asarray(cm)
+    ct = np.asarray(ct)
+    valid = cm != 0
+    assert valid.sum() == 2 * n_valid
+    # valid events sorted, pads at the tail
+    assert np.all(np.diff(ct[valid]) >= 0)
+    assert not valid[2 * n_valid:].any()
+
+
+def test_densify_auto_block_interior_hole_falls_back(rng):
+    """An interior mask hole makes the masked key stream unsorted — 'auto'
+    must fall back to the global sort and still return a correct
+    ordering."""
+    from event_utils_tpu.augmentation.event_augmentation import \
+        add_correlated_events_jax
+
+    n = 2048
+    ts = np.sort(rng.uniform(0, 0.3, n)).astype(np.float32)
+    xs = rng.uniform(0, 239, n).astype(np.float32)
+    ys = rng.uniform(0, 179, n).astype(np.float32)
+    ps = np.ones(n, np.float32)
+    mask = np.ones(n, np.float32)
+    mask[100:200] = 0.0  # interior hole
+    cx, cy, ct, cp, cm = add_correlated_events_jax(
+        jax.random.PRNGKey(4), xs, ys, ts, ps, mask=mask,
+        ts_std=0.0005, sort_block="auto")
+    cm, ct = np.asarray(cm), np.asarray(ct)
+    valid = cm != 0
+    assert valid.sum() == 2 * (n - 100)
+    assert np.all(np.diff(ct[valid]) >= 0)
+    # pads (the hole's slots) sorted to the tail
+    assert not valid[int(valid.sum()):].any()
