@@ -112,6 +112,7 @@ def main(argv=None):
     stamps = []
     aees = []
     base_aees = []
+    vox_mass = []
     written = 0
     for s0 in range(0, n, args.batch_size):
         hi = min(s0 + args.batch_size, n)
@@ -122,6 +123,11 @@ def main(argv=None):
             np.save(os.path.join(args.output_dir, f"flow_{written:04d}.npy"),
                     flow.astype(np.float32))
             stamps.append(float(all_stamps[i]))
+            if args.eval_gt:
+                # voxel mass ~ event count: flags (near-)empty windows —
+                # e.g. the slice before the recording's first frame —
+                # which carry no motion information to predict from
+                vox_mass.append(float(np.abs(voxels[i - s0]).sum()))
             if args.render:
                 import matplotlib.pyplot as plt
 
@@ -153,14 +159,35 @@ def main(argv=None):
     if aees:
         import json
 
-        metrics = {"aee_px_s": round(float(np.mean(aees)), 3),
-                   "zero_flow_aee_px_s": round(float(np.mean(base_aees)), 3),
-                   "num_fields": len(aees)}
+        # Headline over INFORMATIVE windows only: a window holding <1% of
+        # the median voxel mass (e.g. the empty slice before the first
+        # frame of a between_frames recording) has nothing to predict
+        # from; scoring its necessarily-zero output against the full GT
+        # field would just add one baseline-sized error per empty window.
+        # Per-window numbers (all windows) stay in metrics.json.
+        mass = np.asarray(vox_mass)
+        informative = mass >= 0.01 * max(float(np.median(mass)), 1e-9)
+        aees_np = np.asarray(aees)
+        base_np = np.asarray(base_aees)
+        n_inf = int(informative.sum())
+        metrics = {"aee_px_s": round(float(aees_np[informative].mean()), 3),
+                   "zero_flow_aee_px_s":
+                       round(float(base_np[informative].mean()), 3),
+                   "num_fields": n_inf,
+                   "num_fields_total": len(aees),
+                   "aee_per_window": [round(float(a), 3) for a in aees],
+                   "zero_flow_aee_per_window":
+                       [round(float(a), 3) for a in base_np],
+                   "voxel_mass_per_window":
+                       [round(float(m), 1) for m in mass]}
         with open(os.path.join(args.output_dir, "metrics.json"), "w") as f:
             json.dump(metrics, f)
+        skipped = len(aees) - n_inf
         print(f"vs ground-truth flow: AEE {metrics['aee_px_s']} px/s "
-              f"over {len(aees)} fields "
-              f"(zero-flow baseline {metrics['zero_flow_aee_px_s']})")
+              f"over {n_inf} fields "
+              f"(zero-flow baseline {metrics['zero_flow_aee_px_s']}"
+              + (f"; {skipped} near-empty window(s) excluded" if skipped
+                 else "") + ")")
 
 
 if __name__ == "__main__":
