@@ -403,6 +403,7 @@ def test_train_flow_simulate_in_the_loop(tmp_path):
     assert (tmp_path / "ck").exists()
 
 
+@pytest.mark.slow
 def test_reconstruct_window_cache(h5_path, tmp_path):
     """Sidecar window cache: repeat runs reuse it byte-identically, and a
     source-file touch (mtime change) invalidates it."""

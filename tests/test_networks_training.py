@@ -144,6 +144,7 @@ def test_contrast_flow_loss_grad(rng):
     assert np.isfinite(np.asarray(g)).all()
 
 
+@pytest.mark.slow
 def test_flow_trainer_descends(rng, tmp_path):
     from event_utils_tpu.training import FlowTrainer
     trainer = FlowTrainer(sensor_size=SENSOR, num_bins=BINS,
@@ -237,6 +238,7 @@ def test_contrast_flow_loss_empty_window_finite(rng):
     assert np.isfinite(loss)
 
 
+@pytest.mark.slow
 def test_flow_trainer_combined_channels_fit(rng, tmp_path):
     """fit() voxelizes with the trainer's own num_bins/combined_channels:
     combined_channels=True used to crash with a param-shape mismatch, and
@@ -580,6 +582,7 @@ def test_params_npz_roundtrip(rng, tmp_path):
         load_params_npz(ReconstructionTrainer(**kwargs), rpath)
 
 
+@pytest.mark.slow
 def test_reconstruction_trainer_ema_and_mse(rng, tmp_path):
     """The PSNR-targeted fine-tune levers: ``mse_weight`` changes the loss
     (and still descends), ``ema_decay`` maintains a weight average that
@@ -629,6 +632,7 @@ def test_reconstruction_trainer_ema_and_mse(rng, tmp_path):
     np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
 
 
+@pytest.mark.slow
 def test_reconstruction_state_carry(rng):
     """State-carry training (long-horizon regime): a warm segment started
     from the previous segment's final_state must match training one long
@@ -696,6 +700,7 @@ def test_reconstruction_state_carry(rng):
     assert tr.step == 2
 
 
+@pytest.mark.slow
 def test_in_the_loop_carry_segments_runs(rng):
     """carry_segments>1 drives warm segments through the loop on the CPU
     backend; losses stay finite and the curve has the long eval."""

@@ -486,6 +486,7 @@ def test_leak_events_poisson_statistics():
     assert len(ev_c) != len(ev) or not np.array_equal(ev.ts, ev_c.ts)
 
 
+@pytest.mark.slow
 def test_hot_pixels_found_by_remove_hot_pixels():
     """Planted hot pixels dominate per-pixel counts on a moving scene, so
     utils.event_util.remove_hot_pixels recovers exactly the planted set
