@@ -179,7 +179,10 @@ def main(argv=None):
                    "zero_flow_aee_per_window":
                        [round(float(a), 3) for a in base_np],
                    "voxel_mass_per_window":
-                       [round(float(m), 1) for m in mass]}
+                       [round(float(m), 1) for m in mass],
+                   # provenance: which weights and recording produced this
+                   "params": args.params or args.ckpt_dir,
+                   "recording": args.path}
         with open(os.path.join(args.output_dir, "metrics.json"), "w") as f:
             json.dump(metrics, f)
         skipped = len(aees) - n_inf

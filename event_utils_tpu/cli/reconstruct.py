@@ -297,7 +297,11 @@ def main(argv=None):
                    "psnr_steady_db": round(float(np.mean(psnrs[t0:])), 3),
                    "ssim_steady": round(float(np.mean(ssims[t0:])), 4),
                    "psnr_per_frame": [round(p, 2) for p in psnrs],
-                   "num_frames": len(psnrs)}
+                   "num_frames": len(psnrs),
+                   # provenance: which weights and recording produced this
+                   "params": getattr(args, "params", None)
+                       or getattr(args, "ckpt_dir", None),
+                   "recording": args.path}
         with open(os.path.join(args.output_dir, "metrics.json"), "w") as f:
             json.dump(metrics, f)
         print(f"vs ground-truth frames: PSNR {metrics['psnr_db']} dB, "

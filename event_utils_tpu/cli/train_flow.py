@@ -146,7 +146,13 @@ def main(argv=None):
                                       "lr": args.lr,
                                       "lr_end": args.lr_end,
                                       "supervised_weight":
-                                          args.supervised_weight}}, f)
+                                          args.supervised_weight,
+                                      # provenance: which scenes this stage
+                                      # saw and what it resumed from
+                                      "seed": args.seed,
+                                      "eval_seed": args.eval_seed,
+                                      "resume_params":
+                                          args.resume_params}}, f)
             _os.replace(tmp, args.metrics_out)
             if args.params_out:
                 # refresh the committable weights at every eval point so an

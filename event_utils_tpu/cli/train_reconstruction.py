@@ -370,7 +370,14 @@ def main(argv=None):
                                       "ema_decay": args.ema_decay,
                                       "model_kwargs": model_kwargs,
                                       "carry_segments": args.carry_segments,
-                                      "burn_in": args.burn_in}},
+                                      "burn_in": args.burn_in,
+                                      # provenance: which scenes this stage
+                                      # saw and what it resumed from
+                                      "seed": args.seed,
+                                      "eval_seed": args.eval_seed,
+                                      "resume_params":
+                                          getattr(args, "resume_params",
+                                                  None)}},
                           f)
             _os.replace(tmp, args.metrics_out)
             if args.params_out:
