@@ -119,11 +119,15 @@ def bench_grid_cmax():
     log(f"reference CPU: {ref_per_roi:.2f} s/ROI -> {ref_total:.1f} s for "
         f"{total_rois} ROIs (extrapolated from {n_sample})")
 
-    # compile on a perturbed same-shape copy; the timed call then reuses the
-    # executable but cannot hit the runtime's input-keyed execution cache
+    # Compile on a perturbed same-shape copy; the timed call then reuses the
+    # executable but cannot hit the runtime's input-keyed execution cache.
+    # The shift is a whole ROI width so per-ROI event counts are merely
+    # PERMUTED across ROIs: the overflow-refine tier's batch shape depends
+    # on the count distribution, and a +1 shift changed it enough to make
+    # the timed call recompile (measured 10.7 s vs the true 0.28 s).
     cap = 2048
-    np.asarray(grid_cmax_batched((xs + 1) % CW, ys, ts, ps, roi_size=ROI,
-                                 img_size=(CH, CW), maxiter=30,
+    np.asarray(grid_cmax_batched((xs + ROI[1]) % CW, ys, ts, ps,
+                                 roi_size=ROI, img_size=(CH, CW), maxiter=30,
                                  capacity=cap)[0])
     t0 = time.perf_counter()
     params, rois, f_evals, valid = grid_cmax_batched(
@@ -292,9 +296,16 @@ def main():
     # timed data-generation loop, and a tunnel hiccup during that base
     # measurement can make one run read absurdly fast (observed 2600 Mev/s
     # once); cap accepted runs at 2x the median before taking the max.
-    def robust_best(runs):
+    # Physical ceilings per precision (see the roofline block below): a run
+    # reading above its kernel's FLOP bound is a harness artifact by
+    # definition (observed: 940 Mev/s "best" against a 700 Mev/s roofline
+    # when a tunnel hiccup inflated one run within the 2x-median cap).
+    _ceiling = {"hilo": 700.0, "int8": 700.0, "bf16": 1050.0}
+
+    def robust_best(runs, prec):
         med = float(np.median(runs))
-        plausible = [r for r in runs if r <= 2.0 * med]
+        cap = min(2.0 * med, 1.05 * _ceiling[prec])
+        plausible = [r for r in runs if r <= cap]
         return max(plausible) if plausible else med
 
     results = {}
@@ -308,10 +319,10 @@ def main():
                                             precision=prec),
             N, (H, W), iters=ITERS, seed=base + s * 31)
             for s in range(VOXEL_RUNS)]
-        log(f"pallas voxel_matmul ({prec}): best {robust_best(results[prec]):.0f} "
+        log(f"pallas voxel_matmul ({prec}): best {robust_best(results[prec], prec):.0f} "
             f"Mev/s (runs: {[round(r) for r in results[prec]]})")
-    best_prec = max(results, key=lambda k: robust_best(results[k]))
-    mevs = robust_best(results[best_prec])
+    best_prec = max(results, key=lambda k: robust_best(results[k], k))
+    mevs = robust_best(results[best_prec], best_prec)
     med_mevs = float(np.median(results[best_prec]))
     # Roofline fraction: the invariant to read cross-round numbers against
     # (tunnel/session noise moves Mev/s; the kernel's FLOP bound doesn't).

@@ -808,6 +808,34 @@ def bucket_events_by_roi(xs, ys, ts, ps, resolution, roi_size,
 OVERFLOW_CAP_MAX = 1 << 17
 
 
+def _tier2_shapes(max_count: int, n_over: int):
+    """Quantize the overflow-refine tier's batch shape to powers of two.
+
+    The tier-2 executable is shape-specialized by jit, and both the
+    over-capacity ROI count and the max per-ROI count drift from video
+    window to video window (and between a benchmark's warmup scene and its
+    timed scene). Fine-grained sizing (multiple-of-512 capacity,
+    multiple-of-8 rows — the original scheme) recompiles on nearly every
+    such drift, and a recompile through a remote-device link costs seconds
+    vs the ~0.05 s refine itself (measured: the r4 bench read 10.7 s
+    instead of 0.28 s for exactly this reason). Power-of-two rounding keeps
+    one executable live while the true sizes stay within a 2x band, at a
+    bounded <=2x padding cost on a tier that is already small.
+
+    Returns ``(cap2, R2)``: per-ROI capacity (a power-of-two multiple of
+    512, clamped to ``OVERFLOW_CAP_MAX``) and the padded row count (a power
+    of two, min 8).
+    """
+    cap2 = 512
+    while cap2 < max_count:
+        cap2 <<= 1
+    cap2 = min(cap2, OVERFLOW_CAP_MAX)
+    R2 = 8
+    while R2 < n_over:
+        R2 <<= 1
+    return cap2, R2
+
+
 def _pack_roi_subset(xs, ys, ts, ps, resolution, roi_size, roi_ids,
                      capacity, total_rows,
                      rng: Optional[np.random.Generator] = None):
@@ -1184,8 +1212,8 @@ def grid_cmax_batched(xs, ys, ts, ps, roi_size=(20, 20), warp=None,
 
     if overflow and overflow_refine:
         # Tier 2: re-solve the over-capacity ROIs on their FULL event sets.
-        # One (R2, cap2) batch sized to the true max count; R2 is padded to
-        # a multiple of 8 so the executable shape is stable across video
+        # One (R2, cap2) batch, both sizes quantized to powers of two
+        # (_tier2_shapes) so the executable stays stable across video
         # windows with drifting overflow patterns. Reuses the cached warm
         # solver (with_x0 + traced trust) — the grid search is skipped:
         # tier 1's subsampled answer already found the basin (subsampling
@@ -1194,8 +1222,7 @@ def grid_cmax_batched(xs, ys, ts, ps, roi_size=(20, 20), warp=None,
         cap_used = int(bx.shape[1])
         counts = np.asarray(counts)
         over = np.nonzero(counts > cap_used)[0]
-        cap2 = min(-(-int(counts[over].max()) // 512) * 512,
-                   OVERFLOW_CAP_MAX)
+        cap2, R2 = _tier2_shapes(int(counts[over].max()), len(over))
         if cap2 < cap_used:
             # Caller capacity already exceeds OVERFLOW_CAP_MAX: every
             # overflow row would re-solve on a SMALLER subsample than tier
@@ -1203,7 +1230,6 @@ def grid_cmax_batched(xs, ys, ts, ps, roi_size=(20, 20), warp=None,
             # subsampling warning below still fires for these ROIs.
             pass
         else:
-            R2 = -(-len(over) // 8) * 8
             bx2, by2, bt2, bp2, bm2, org2, overflow = _pack_roi_subset(
                 xs, ys, ts, ps, resolution, roi_size, over, cap2, R2)
             solve2 = _warm_roi_solver(solver_key, warp, obj, resolution,
