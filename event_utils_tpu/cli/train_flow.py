@@ -51,6 +51,14 @@ def main(argv=None):
                              "state; see training.in_the_loop."
                              "simulate_flow_batch). Size --capacity for "
                              "burn_in+1 windows.")
+    parser.add_argument("--fresh_prob", type=float, default=0.0,
+                        help="with --burn_in: probability each batch "
+                             "element trains on the FRESH first window "
+                             "instead of the steady-state last one — "
+                             "mixed-regime training (single-regime diets "
+                             "trade fresh vs steady accuracy; see "
+                             "runs/flow128_similarity). Eval stays pinned "
+                             "steady-state.")
     parser.add_argument("--s_max", type=float, default=0.0,
                         help="max |divergence rate| 1/s for --simulate "
                              "scenes (nonzero: dense similarity-field GT)")
@@ -143,6 +151,7 @@ def main(argv=None):
                                       "omega_max": args.omega_max,
                                       "s_max": args.s_max,
                                       "burn_in": args.burn_in,
+                                      "fresh_prob": args.fresh_prob,
                                       "lr": args.lr,
                                       "lr_end": args.lr_end,
                                       "supervised_weight":
@@ -165,7 +174,7 @@ def main(argv=None):
             capacity=args.capacity, v_max=args.v_max, seed=args.seed,
             window_t=args.window_t, num_frames=args.num_frames,
             omega_max=args.omega_max, s_max=args.s_max,
-            burn_in=args.burn_in,
+            burn_in=args.burn_in, fresh_prob=args.fresh_prob,
             eval_seed=args.eval_seed, ckpt_dir=args.ckpt_dir,
             on_eval=write_metrics if args.metrics_out else None)
         if args.metrics_out:

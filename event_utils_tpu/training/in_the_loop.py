@@ -62,7 +62,8 @@ def _render_similarity(texture: Array, v: Array, omega: Array, s: Array,
 
 @partial(jax.jit, static_argnames=("batch_size", "sensor_size", "capacity",
                                    "num_frames", "octaves", "omega_max",
-                                   "s_max", "return_saturation", "burn_in"))
+                                   "s_max", "return_saturation", "burn_in",
+                                   "fresh_prob"))
 def simulate_flow_batch(key: Array, batch_size: int,
                         sensor_size: Tuple[int, int], capacity: int,
                         v_max: float = 40.0, window_t: float = 0.1,
@@ -70,7 +71,7 @@ def simulate_flow_batch(key: Array, batch_size: int,
                         c_pos: float = 0.15, c_neg: float = 0.15,
                         omega_max: float = 0.0, s_max: float = 0.0,
                         return_saturation: bool = False,
-                        burn_in: int = 0):
+                        burn_in: int = 0, fresh_prob: float = 0.0):
     """One fresh supervised flow batch, generated entirely on device.
 
     Per element: random smooth texture + uniform random velocity in
@@ -100,6 +101,15 @@ def simulate_flow_batch(key: Array, batch_size: int,
     duration — the returned mask keeps only the final window's events
     (the similarity field is time-invariant, so ``gt`` is unchanged).
 
+    ``fresh_prob`` (needs ``burn_in`` >= 1): MIXED-regime training — each
+    batch element independently keeps the FIRST (fresh-sensor) window with
+    this probability instead of the last (steady-state) one. MEASURED (r4):
+    a steady-only diet (stage 4) regressed the recording's fresh first
+    window 61 -> 103 px/s while a fresh-only diet (stage 2) overshoots
+    every steady window ~1.7x — single-regime diets trade one regime for
+    the other; mixing trains both in one set of weights. ``fresh_prob=0``
+    keeps the historical RNG stream bit-for-bit.
+
     With ``return_saturation``, a fourth ``(B,)`` bool output flags
     elements whose event stream genuinely overflowed ``capacity`` (events
     tail-cut in time — with ``burn_in`` that cut lands in the LAST,
@@ -127,8 +137,19 @@ def simulate_flow_batch(key: Array, batch_size: int,
         ev, mask, overflow = simulate_events_device(
             frames, fts, capacity, cfg, key=k_sim, return_overflow=True)
         if burn_in:
-            # steady-state training: drop the warm-up windows' events
-            mask = mask * (ev[:, 2] >= burn_in * window_t).astype(mask.dtype)
+            in_steady = ev[:, 2] >= burn_in * window_t
+            if fresh_prob:
+                # mixed diet: this element keeps the fresh first window
+                # with prob fresh_prob, else the steady last window.
+                # fold_in (not split) so the texture/velocity/sensor keys
+                # are untouched vs the fresh_prob=0 stream.
+                fresh = jax.random.uniform(
+                    jax.random.fold_in(k, 17)) < fresh_prob
+                keep = jnp.where(fresh, ev[:, 2] < window_t, in_steady)
+            else:
+                # steady-state training: drop the warm-up windows' events
+                keep = in_steady
+            mask = mask * keep.astype(mask.dtype)
         if not similarity:
             gt = v
         else:
@@ -402,7 +423,8 @@ def train_flow_in_the_loop(trainer, steps: int, batch_size: int = 8,
                            capacity: int = 16384, v_max: float = 40.0,
                            window_t: float = 0.1, num_frames: int = 9,
                            omega_max: float = 0.0, s_max: float = 0.0,
-                           burn_in: int = 0, seed: int = 0,
+                           burn_in: int = 0, fresh_prob: float = 0.0,
+                           seed: int = 0,
                            eval_seed: Optional[int] = None,
                            log_every: int = 20,
                            eval_every: int = 100, ckpt_dir: Optional[str] = None,
@@ -419,6 +441,11 @@ def train_flow_in_the_loop(trainer, steps: int, batch_size: int = 8,
     Returns ``(losses, aee_curve)`` where ``aee_curve`` is a list of
     ``(step, aee)`` pairs. ``on_eval(losses, aee_curve)``, if given, is
     called after every eval point (partial-curve persistence).
+
+    ``fresh_prob`` mixes fresh-sensor windows into a ``burn_in`` diet (see
+    :func:`simulate_flow_batch`). The held-out eval batch is ALWAYS drawn
+    with ``fresh_prob=0`` (pure steady-state), so mixed-diet AEE curves
+    stay comparable with steady-only stages.
     """
     import time
 
@@ -440,13 +467,16 @@ def train_flow_in_the_loop(trainer, steps: int, batch_size: int = 8,
 
         return jax.vmap(one)(events, mask)
 
-    def _gen(k):
+    def _gen(k, fp=fresh_prob):
         return simulate_flow_batch(k, batch_size, (H, W), capacity,
                                    v_max=v_max, window_t=window_t,
                                    num_frames=num_frames,
                                    omega_max=omega_max, s_max=s_max,
-                                   burn_in=burn_in,
+                                   burn_in=burn_in, fresh_prob=fp,
                                    return_saturation=True)
+
+    def _gen_eval(k):
+        return _gen(k, fp=0.0)   # eval regime pinned steady-state
 
     mesh = getattr(trainer, "mesh", None)
     if mesh is not None:
@@ -461,10 +491,12 @@ def train_flow_in_the_loop(trainer, steps: int, batch_size: int = 8,
                              f"mesh size {mesh.size}")
         bsh = NamedSharding(mesh, P(mesh.axis_names[0]))
         gen = jax.jit(_gen, out_shardings=(bsh, bsh, bsh, bsh))
+        gen_eval = jax.jit(_gen_eval, out_shardings=(bsh, bsh, bsh, bsh))
         voxelize = jax.jit(_voxelize, in_shardings=(bsh, bsh),
                            out_shardings=bsh)
     else:
         gen = jax.jit(_gen)
+        gen_eval = jax.jit(_gen_eval)
         voxelize = jax.jit(_voxelize)
 
     @jax.jit
@@ -478,7 +510,7 @@ def train_flow_in_the_loop(trainer, steps: int, batch_size: int = 8,
     if eval_seed is not None:
         _, k_eval = jax.random.split(jax.random.PRNGKey(eval_seed))
     if eval_every:
-        eval_ev, eval_mask, eval_gt, _ = gen(k_eval)
+        eval_ev, eval_mask, eval_gt, _ = gen_eval(k_eval)
         eval_voxel = voxelize(eval_ev, eval_mask)
 
     def dense_gt(gt_v):
