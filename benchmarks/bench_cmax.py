@@ -138,10 +138,14 @@ def main():
     # --- ours: all ROIs on device ------------------------------------------
     # warmup/compile on a perturbed copy with identical shapes (capacity is
     # pinned so the timed call reuses the compiled executable but cannot hit
-    # the runtime's execution cache)
+    # the runtime's execution cache). The shift is a whole ROI width so
+    # per-ROI event counts are exactly PERMUTED across ROIs — a +1 shift
+    # changed the count distribution enough to alter the overflow-refine
+    # tier's batch shape and recompile the timed call (measured 10.7 s vs
+    # the true 0.28 s in bench.py before the same fix).
     cap = 2048
     wp = np.asarray(grid_cmax_batched(
-        (xs + 1) % W, ys, ts, ps, roi_size=ROI, img_size=(H, W),
+        (xs + ROI[1]) % W, ys, ts, ps, roi_size=ROI, img_size=(H, W),
         maxiter=30, capacity=cap)[0])
     t0 = time.perf_counter()
     params, rois, f_evals, valid = grid_cmax_batched(

@@ -101,11 +101,12 @@ def config2_images(xs, ys, ts, ps):
         tx, ty, tp, sensor_size=(H, W), clip_out_of_range=True,
         interpolation="bilinear", padding=True))
     ref_img = len(xs) / sec_img / 1e6
-    ours_img = throughput_mevs(
+    img_runs = [throughput_mevs(
         lambda x, y, t, p: bilinear_matmul(x.astype(np.float32) + 0.3,
                                            y.astype(np.float32) + 0.2,
                                            p, (H + 1, W + 1)),
-        N, (H, W), iters=8, seed=int(time.time() * 1000) % (1 << 20))
+        N, (H, W), iters=8, seed=int(time.time() * 1000) % (1 << 20) + 31 * r)
+        for r in range(3)]
 
     sec_ts, _ = timed(lambda: events_to_timestamp_image(
         xs, ys, ts, ps, sensor_size=(H, W)))
@@ -116,14 +117,36 @@ def config2_images(xs, ys, ts, ps):
                                  t, p, sensor_size=(H, W), impl="matmul")
         return pos + neg
 
-    ours_ts = throughput_mevs(ts_img, N, (H, W), iters=8,
-                              seed=int(time.time() * 1000) % (1 << 20))
+    ts_runs = [throughput_mevs(ts_img, N, (H, W), iters=8,
+                               seed=int(time.time() * 1000) % (1 << 20)
+                               + 31 * r)
+               for r in range(3)]
+    # Roofline invariants (v5e bf16 peak ~197 TFLOP/s): both rows are the
+    # SAME hilo one-hot matmul as the voxel kernel — 3 matmuls/chunk of
+    # (HP=184, C) x (C, WP=256) per channel: the (181, 241) padded event
+    # image rounds to the identical (184, 256) operand tile as (180, 240).
+    # K=1 event image -> ~700 Mev/s bound; K=4 timestamp image -> 700/4 =
+    # 175 Mev/s. Read cross-round numbers against these fractions — session
+    # noise moves Mev/s, the FLOP bound doesn't.
+    img_roof, ts_roof = 700.0, 175.0
+    ours_img, img_med = max(img_runs), float(np.median(img_runs))
+    ours_ts, ts_med = max(ts_runs), float(np.median(ts_runs))
     log(f"[2] event image: reference {ref_img:.1f} -> ours {ours_img:.0f} "
-        f"Mev/s ({ours_img / ref_img:.0f}x); timestamp image: "
-        f"{ref_ts:.1f} -> {ours_ts:.0f} Mev/s ({ours_ts / ref_ts:.0f}x)")
+        f"Mev/s best / {img_med:.0f} median ({ours_img / ref_img:.0f}x; "
+        f"{ours_img / img_roof:.0%}/{img_med / img_roof:.0%} of the "
+        f"{img_roof:.0f} Mev/s roofline); timestamp image: "
+        f"{ref_ts:.1f} -> {ours_ts:.0f} best / {ts_med:.0f} median Mev/s "
+        f"({ours_ts / ref_ts:.0f}x; {ours_ts / ts_roof:.0%}/"
+        f"{ts_med / ts_roof:.0%} of the {ts_roof:.0f} Mev/s roofline)")
     return {"config": "event+timestamp images",
             "reference_mevs": [round(ref_img, 1), round(ref_ts, 1)],
             "ours_mevs": [round(ours_img, 1), round(ours_ts, 1)],
+            "ours_mevs_median": [round(img_med, 1), round(ts_med, 1)],
+            "roofline_mevs": [img_roof, ts_roof],
+            "roofline_frac": [round(ours_img / img_roof, 3),
+                              round(ours_ts / ts_roof, 3)],
+            "roofline_frac_median": [round(img_med / img_roof, 3),
+                                     round(ts_med / ts_roof, 3)],
             "speedup": [round(ours_img / ref_img, 1),
                         round(ours_ts / ref_ts, 1)]}
 
@@ -171,22 +194,35 @@ def config3_augmentation(xs, ys, ts, ps):
         return ot * om + ox + oy
     dev_mevs = throughput_mevs(densify_device, N, (H, W), iters=8,
                                seed=int(time.time() * 1000) % (1 << 20))
+    # The unsorted variant is cheaper than the harness's base loop: the
+    # subtraction floors at ~0 and the rate is a harness artifact, not a
+    # measurement. Report n/a above a generous plausibility bound instead
+    # of printing an absurd number.
+    dev_unsorted = round(dev_mevs, 1) if dev_mevs < 1e5 else None
 
     def densify_device_sorted(dx, dy, dt, dp):
         ox, oy, ot, op, om = add_correlated_events_jax(
             jax.random.PRNGKey(0), dx, dy, dt, dp, sort=True)
         return ot * om
-    dev_sorted = throughput_mevs(densify_device_sorted, N, (H, W), iters=4,
-                                 seed=int(time.time() * 1000) % (1 << 20))
+    sorted_runs = [throughput_mevs(
+        densify_device_sorted, N, (H, W), iters=4,
+        seed=int(time.time() * 1000) % (1 << 20) + 31 * r)
+        for r in range(3)]
+    dev_sorted = max(sorted_runs)
+    dev_sorted_med = float(np.median(sorted_runs))
 
+    unsorted_str = (f"{dev_unsorted:.0f} Mev/s" if dev_unsorted is not None
+                    else "n/a (below harness floor)")
     log(f"[3] 2x densify: reference {ref_mevs:.1f} -> ours host "
         f"{ours_mevs:.1f} Mev/s ({ours_mevs / ref_mevs:.1f}x); device "
-        f"{dev_mevs:.0f} Mev/s unsorted / {dev_sorted:.0f} Mev/s sorted")
+        f"{unsorted_str} unsorted / {dev_sorted:.0f} best, "
+        f"{dev_sorted_med:.0f} median Mev/s sorted")
     return {"config": "augmentation 2x densify",
             "reference_mevs": round(ref_mevs, 1),
             "ours_mevs": round(ours_mevs, 1),
-            "ours_device_mevs": round(dev_mevs, 1),
+            "ours_device_mevs": dev_unsorted,
             "ours_device_sorted_mevs": round(dev_sorted, 1),
+            "ours_device_sorted_mevs_median": round(dev_sorted_med, 1),
             "speedup": round(ours_mevs / ref_mevs, 1)}
 
 
@@ -203,9 +239,12 @@ def config4_grid_cmax():
     total = (180 // ROI[0]) * (240 // ROI[1])
     ref_s = per_roi * total
     cap = 2048
-    np.asarray(grid_cmax_batched((xs + 1) % 240, ys, ts, ps, roi_size=ROI,
-                                 img_size=(180, 240), maxiter=30,
-                                 capacity=cap)[0])
+    # whole-ROI-width shift: per-ROI counts exactly permuted, so the
+    # overflow-refine tier's batch shape is identical and the timed call
+    # cannot recompile (see bench_cmax.py)
+    np.asarray(grid_cmax_batched((xs + ROI[1]) % 240, ys, ts, ps,
+                                 roi_size=ROI, img_size=(180, 240),
+                                 maxiter=30, capacity=cap)[0])
     t0 = time.perf_counter()
     np.asarray(grid_cmax_batched(xs, ys, ts, ps, roi_size=ROI,
                                  img_size=(180, 240), maxiter=30,
@@ -263,6 +302,7 @@ def config5_streaming(tmpdir):
     ref_mevs = count / sec_ref / 1e6
 
     out = {}
+    out_med = {}
     for name, ld in (("h5", H5WindowedLoader(h5p, method="k_events", k=k,
                                              batch_size=bs, capacity=k)),
                      ("memmap", NativeWindowedLoader(mmd, method="k_events",
@@ -270,16 +310,23 @@ def config5_streaming(tmpdir):
                                                      capacity=k))):
         for _ in ld:
             pass
-        t0 = time.perf_counter()
-        cnt = 0
-        for b in ld:
-            cnt += int(b["events_mask"].sum())
-        out[name] = cnt / (time.perf_counter() - t0) / 1e6
+        rates = []
+        for _r in range(3):
+            t0 = time.perf_counter()
+            cnt = 0
+            for b in ld:
+                cnt += int(b["events_mask"].sum())
+            rates.append(cnt / (time.perf_counter() - t0) / 1e6)
+        out[name] = max(rates)
+        out_med[name] = float(np.median(rates))
     log(f"[5] streaming loader: reference-style {ref_mevs:.0f} -> "
-        f"h5 {out['h5']:.0f} / memmap {out['memmap']:.0f} Mev/s")
+        f"h5 {out['h5']:.0f} best/{out_med['h5']:.0f} med / memmap "
+        f"{out['memmap']:.0f} best/{out_med['memmap']:.0f} med Mev/s")
     return {"config": "streaming loader",
             "reference_mevs": round(ref_mevs, 1),
             "ours_mevs": {k2: round(v, 1) for k2, v in out.items()},
+            "ours_mevs_median": {k2: round(v, 1)
+                                 for k2, v in out_med.items()},
             "speedup": round(out["memmap"] / ref_mevs, 1)}
 
 
