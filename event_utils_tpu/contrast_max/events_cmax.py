@@ -490,6 +490,17 @@ PATCH_DEFAULT = (64, 128)
 # (see tests/test_cmax.py::test_grid_cmax_pyramid_auto).
 AUTO_REL_COH_TAU = 0.2
 AUTO_MAG_FLOOR = 5.0
+# Scene-level escalation: dense-texture aliasing is a GLOBAL property of
+# the scene (the same texture statistics alias every ROI the same way), so
+# when more than this fraction of valid ROIs is individually incoherent,
+# 'auto' takes the whole pyramid field — including its final median
+# smoothing — instead of per-ROI mixing. Per-ROI mixing on such scenes kept
+# plain answers for ROIs that passed the coherence test while still being
+# aliased, costing a measured ~20% vs the pure pyramid field (r4 verdict:
+# auto 4.0 vs pyramid 3.3 px/s median on the dense scene); with the
+# escalation auto == pyramid exactly there, while genuinely mixed or
+# coherent scenes (fraction below the threshold) keep per-ROI selection.
+AUTO_SCENE_FRAC = 0.5
 
 
 def make_patch_loss(warpfunc, roi_size, objective=None, patch=PATCH_DEFAULT,
@@ -1035,12 +1046,19 @@ def grid_cmax_batched(xs, ys, ts, ps, roi_size=(20, 20), warp=None,
     different alias), while a correct field deviates from its neighbor
     median only by the true flow gradient plus solver noise. An ROI whose
     3x3-median deviation exceeds ``AUTO_REL_COH_TAU`` of the local flow
-    magnitude takes the pyramid field; coherent neighborhoods keep their
-    own answers. Per-ROI oracle study (dense-texture + sparse bench
-    scenes): the two regimes separate by >4x around the threshold, and
-    'auto' matches best(plain, pyramid2) on both scenes to within 1%.
-    ~2.2x the plain solve's cost. A caller ``smooth`` re-smooths the
-    mixed field.
+    magnitude takes the pyramid field, and when MOST valid ROIs trip the
+    test the whole pyramid field is taken (``AUTO_SCENE_FRAC`` — texture
+    aliasing is a scene-global property, and per-ROI mixing there kept
+    aliased-but-coherent plain answers worth a measured ~20%). Measured
+    (runs/cmax_auto/README.md, three deterministic scenes): auto EQUALS
+    the per-scene best of {plain, pyramid2} on the dense-texture scene
+    (3.31 px/s median, was 4.02 before the escalation) and on the
+    spatially-varying rotating bench scene (3.97, where pyramid2 is 27%
+    WORSE than plain), and keeps plain on the sparse scene (0.37 vs
+    pyramid's 0.26 — a sub-noise 0.11 px/s concession). Not the default
+    because it costs ~2.2x the plain solve and warm-started video paths
+    suppress cascades anyway. A caller ``smooth`` re-smooths the mixed
+    field.
 
     ``overflow_refine`` (default True): ROIs holding more events than the
     bucket capacity are first solved on a uniform subsample (tier 1 —
@@ -1098,6 +1116,13 @@ def grid_cmax_batched(xs, ys, ts, ps, roi_size=(20, 20), warp=None,
             mag = jnp.linalg.norm(p_plain, axis=-1)
             lmag = _neighbor_median(mag[:, None], valid, ny, nx)[:, 0]
             sel = coh > AUTO_REL_COH_TAU * jnp.maximum(lmag, AUTO_MAG_FLOOR)
+            # scene-level escalation (see AUTO_SCENE_FRAC): a mostly-
+            # incoherent plain field means global dense-texture aliasing —
+            # take the pyramid field wholesale (keeping its median
+            # smoothing) rather than per-ROI mixing
+            nvalid = jnp.maximum(jnp.sum(valid), 1)
+            global_pyr = jnp.sum(sel & valid) > AUTO_SCENE_FRAC * nvalid
+            sel = sel | global_pyr
             params = jnp.where(sel[:, None], p_pyr, p_plain)
             f_evals = jnp.where(sel, jnp.asarray(f_pyr),
                                 jnp.asarray(f_plain))

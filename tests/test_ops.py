@@ -531,3 +531,65 @@ def test_densify_auto_block_interior_hole_falls_back(rng):
     assert np.all(np.diff(ct[valid]) >= 0)
     # pads (the hole's slots) sorted to the tail
     assert not valid[int(valid.sum()):].any()
+
+
+def test_densify_packed_sort_parity_with_general_path(rng):
+    """Integer-dtype coords trigger the packed 2-operand sort
+    (one int32 word carries x/y/polarity/mask); its output must match the
+    general 6-operand path exactly on every valid slot. Same PRNG key =>
+    identical jitter streams, so any divergence is a packing bug."""
+    from event_utils_tpu.augmentation.event_augmentation import \
+        add_correlated_events_jax
+
+    n_valid, cap = 1500, 2048
+    xs = rng.integers(0, 240, cap).astype(np.int32)
+    ys = rng.integers(0, 180, cap).astype(np.int32)
+    ts = np.zeros(cap, np.float32)
+    ts[:n_valid] = np.sort(rng.uniform(0, 0.3, n_valid)).astype(np.float32)
+    ps = rng.choice([-1.0, 1.0], cap).astype(np.float32)
+    mask = (np.arange(cap) < n_valid).astype(np.float32)
+
+    key = jax.random.PRNGKey(11)
+    packed = add_correlated_events_jax(key, xs, ys, ts, ps, mask=mask,
+                                       ts_std=0.0005)
+    general = add_correlated_events_jax(key, xs.astype(np.float32),
+                                        ys.astype(np.float32), ts, ps,
+                                        mask=mask, ts_std=0.0005)
+    pm = np.asarray(packed[4])
+    gm = np.asarray(general[4])
+    np.testing.assert_array_equal(pm, gm)
+    valid = pm != 0
+    for a, b, name in zip(packed[:4], general[:4],
+                          ("xs", "ys", "ts", "ps")):
+        np.testing.assert_array_equal(np.asarray(a)[valid],
+                                      np.asarray(b)[valid],
+                                      err_msg=f"packed/general {name}")
+    # pad slots: packed path reads t back from the +inf key as the time
+    # origin (0 in relative time; mask is 0, consumers ignore the value)
+    np.testing.assert_allclose(np.asarray(packed[2])[~valid], ts[0],
+                               atol=1e-6)
+
+
+def test_densify_packed_sort_under_jit(rng):
+    """The packed path's eligibility is a trace-time property (int input
+    dtype): it must compose with jit, return sorted valid-prefix output,
+    and preserve per-slot counts/polarity."""
+    from event_utils_tpu.augmentation.event_augmentation import \
+        add_correlated_events_jax
+
+    n = 4096
+    xs = rng.integers(0, 240, n).astype(np.int32)
+    ys = rng.integers(0, 180, n).astype(np.int32)
+    ts = np.sort(rng.uniform(0, 0.1, n)).astype(np.float32)
+    ps = rng.choice([-1.0, 1.0], n).astype(np.float32)
+
+    fn = jax.jit(lambda k, x, y, t, p: add_correlated_events_jax(
+        k, x, y, t, p))
+    cx, cy, ct, cp, cm = fn(jax.random.PRNGKey(7), xs, ys, ts, ps)
+    cm = np.asarray(cm)
+    assert cm.sum() == 2 * n
+    ctv = np.asarray(ct)[cm != 0]
+    assert np.all(np.diff(ctv) >= 0)
+    assert np.asarray(cx).min() >= 0 and np.asarray(cx).max() <= 239
+    assert np.asarray(cy).min() >= 0 and np.asarray(cy).max() <= 179
+    assert set(np.unique(np.asarray(cp))) <= {-1.0, 1.0}
