@@ -59,6 +59,13 @@ def main(argv=None):
                              "trade fresh vs steady accuracy; see "
                              "runs/flow128_similarity). Eval stays pinned "
                              "steady-state.")
+    parser.add_argument("--age_max", type=float, default=0.0,
+                        help="per-element scene-age jitter in seconds "
+                             "(--simulate): render each scene at a random "
+                             "age U[0, age_max] so the net sees the "
+                             "texture drift (scale e^{s*age}) that "
+                             "continuous recordings accumulate; GT is the "
+                             "true field at the trained window's time")
     parser.add_argument("--s_max", type=float, default=0.0,
                         help="max |divergence rate| 1/s for --simulate "
                              "scenes (nonzero: dense similarity-field GT)")
@@ -152,6 +159,7 @@ def main(argv=None):
                                       "s_max": args.s_max,
                                       "burn_in": args.burn_in,
                                       "fresh_prob": args.fresh_prob,
+                                      "age_max": args.age_max,
                                       "lr": args.lr,
                                       "lr_end": args.lr_end,
                                       "supervised_weight":
@@ -175,6 +183,7 @@ def main(argv=None):
             window_t=args.window_t, num_frames=args.num_frames,
             omega_max=args.omega_max, s_max=args.s_max,
             burn_in=args.burn_in, fresh_prob=args.fresh_prob,
+            age_max=args.age_max,
             eval_seed=args.eval_seed, ckpt_dir=args.ckpt_dir,
             on_eval=write_metrics if args.metrics_out else None)
         if args.metrics_out:

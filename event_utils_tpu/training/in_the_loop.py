@@ -63,7 +63,7 @@ def _render_similarity(texture: Array, v: Array, omega: Array, s: Array,
 @partial(jax.jit, static_argnames=("batch_size", "sensor_size", "capacity",
                                    "num_frames", "octaves", "omega_max",
                                    "s_max", "return_saturation", "burn_in",
-                                   "fresh_prob"))
+                                   "fresh_prob", "age_max"))
 def simulate_flow_batch(key: Array, batch_size: int,
                         sensor_size: Tuple[int, int], capacity: int,
                         v_max: float = 40.0, window_t: float = 0.1,
@@ -71,7 +71,8 @@ def simulate_flow_batch(key: Array, batch_size: int,
                         c_pos: float = 0.15, c_neg: float = 0.15,
                         omega_max: float = 0.0, s_max: float = 0.0,
                         return_saturation: bool = False,
-                        burn_in: int = 0, fresh_prob: float = 0.0):
+                        burn_in: int = 0, fresh_prob: float = 0.0,
+                        age_max: float = 0.0):
     """One fresh supervised flow batch, generated entirely on device.
 
     Per element: random smooth texture + uniform random velocity in
@@ -110,6 +111,23 @@ def simulate_flow_batch(key: Array, batch_size: int,
     the other; mixing trains both in one set of weights. ``fresh_prob=0``
     keeps the historical RNG stream bit-for-bit.
 
+    ``age_max`` (seconds): per-element SCENE-AGE jitter — frames render at
+    ``age + t`` with ``age ~ U[0, age_max]`` (event timestamps unchanged).
+    A similarity scene's texture scales by ``e^{s*age}`` and a continuous
+    recording's windows run to ages the fresh-scene diet never shows
+    (MEASURED r5: the seed-91 eval recording's per-window AEE climbs
+    25 -> 49 px/s over 2 s of divergence-driven texture drift at
+    ``s = 0.35``). Costs nothing (same frame count). Default 0 keeps the
+    RNG stream and rendering bit-for-bit.
+
+    GT correctness under composition (r5 fix): with translation composed,
+    the similarity field's instantaneous center ADVECTS — the true field
+    at time t is ``v + (omega J + s)(p - c - v t)``, NOT the t = 0 field.
+    ``gt`` is therefore evaluated at the KEPT window's start time
+    (``age + kept_window * window_t``); the old t = 0 supervision carried
+    ~|v| * t * |(omega, s)| ~ 10 px/s of systematic label noise on
+    steady-state windows at the family caps.
+
     With ``return_saturation``, a fourth ``(B,)`` bool output flags
     elements whose event stream genuinely overflowed ``capacity`` (events
     tail-cut in time — with ``burn_in`` that cut lands in the LAST,
@@ -132,35 +150,51 @@ def simulate_flow_batch(key: Array, batch_size: int,
             ws = jnp.zeros(2, jnp.float32)
         tex = smooth_texture(k_tex, (H, W), octaves=octaves)
         v = jax.random.uniform(k_vel, (2,), minval=-v_max, maxval=v_max)
+        # scene-age jitter (fold_in keys: the age_max=0 / fresh_prob=0
+        # streams stay bit-for-bit the historical ones)
+        age = jnp.float32(0.0)
+        if age_max:
+            age = jax.random.uniform(jax.random.fold_in(k, 23),
+                                     maxval=age_max)
+        fresh = jnp.asarray(False)
+        if burn_in and fresh_prob:
+            fresh = jax.random.uniform(jax.random.fold_in(k, 17)) < fresh_prob
+        render_ts = fts + age if age_max else fts
         frames = jax.vmap(
-            lambda t: _render_similarity(tex, v, ws[0], ws[1], t))(fts)
+            lambda t: _render_similarity(tex, v, ws[0], ws[1], t))(render_ts)
         ev, mask, overflow = simulate_events_device(
             frames, fts, capacity, cfg, key=k_sim, return_overflow=True)
+        kept_t0 = jnp.float32(0.0)    # kept window's start (event clock)
         if burn_in:
             in_steady = ev[:, 2] >= burn_in * window_t
             if fresh_prob:
                 # mixed diet: this element keeps the fresh first window
-                # with prob fresh_prob, else the steady last window.
-                # fold_in (not split) so the texture/velocity/sensor keys
-                # are untouched vs the fresh_prob=0 stream.
-                fresh = jax.random.uniform(
-                    jax.random.fold_in(k, 17)) < fresh_prob
+                # with prob fresh_prob, else the steady last window
                 keep = jnp.where(fresh, ev[:, 2] < window_t, in_steady)
+                kept_t0 = jnp.where(fresh, 0.0, burn_in * window_t)
             else:
                 # steady-state training: drop the warm-up windows' events
                 keep = in_steady
+                kept_t0 = jnp.float32(burn_in * window_t)
             mask = mask * keep.astype(mask.dtype)
         if not similarity:
             gt = v
         else:
-            # dense velocity field of the similarity motion at t=0:
-            # (vx - omega*ry + s*rx, vy + omega*rx + s*ry), r about center
+            # TRUE dense field of the composed similarity motion at the
+            # kept window's start (scene clock age + kept_t0): the
+            # instantaneous center is the sensor center advected by the
+            # translation, u(p, t) = v + (omega J + s)(p - c - v t)
+            # (the t = 0 field is only correct for the fresh window at
+            # age 0 — see docstring)
+            t_ref = age + kept_t0
             cy, cx = (H - 1) / 2.0, (W - 1) / 2.0
             yy, xx = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32) - cy,
                                   jnp.arange(W, dtype=jnp.float32) - cx,
                                   indexing="ij")
-            gt = jnp.stack([v[0] - ws[0] * yy + ws[1] * xx,
-                            v[1] + ws[0] * xx + ws[1] * yy])
+            rx = xx - v[0] * t_ref
+            ry = yy - v[1] * t_ref
+            gt = jnp.stack([v[0] - ws[0] * ry + ws[1] * rx,
+                            v[1] + ws[0] * rx + ws[1] * ry])
         if return_saturation:
             return ev, mask, gt, overflow > 0
         return ev, mask, gt
@@ -424,7 +458,7 @@ def train_flow_in_the_loop(trainer, steps: int, batch_size: int = 8,
                            window_t: float = 0.1, num_frames: int = 9,
                            omega_max: float = 0.0, s_max: float = 0.0,
                            burn_in: int = 0, fresh_prob: float = 0.0,
-                           seed: int = 0,
+                           age_max: float = 0.0, seed: int = 0,
                            eval_seed: Optional[int] = None,
                            log_every: int = 20,
                            eval_every: int = 100, ckpt_dir: Optional[str] = None,
@@ -442,10 +476,11 @@ def train_flow_in_the_loop(trainer, steps: int, batch_size: int = 8,
     ``(step, aee)`` pairs. ``on_eval(losses, aee_curve)``, if given, is
     called after every eval point (partial-curve persistence).
 
-    ``fresh_prob`` mixes fresh-sensor windows into a ``burn_in`` diet (see
-    :func:`simulate_flow_batch`). The held-out eval batch is ALWAYS drawn
-    with ``fresh_prob=0`` (pure steady-state), so mixed-diet AEE curves
-    stay comparable with steady-only stages.
+    ``fresh_prob`` mixes fresh-sensor windows into a ``burn_in`` diet and
+    ``age_max`` adds scene-age jitter (see :func:`simulate_flow_batch`).
+    The held-out eval batch is ALWAYS drawn with ``fresh_prob=0`` and
+    ``age_max=0`` (pure steady-state, age-0 scenes), so widened-diet AEE
+    curves stay comparable with steady-only stages.
     """
     import time
 
@@ -467,16 +502,17 @@ def train_flow_in_the_loop(trainer, steps: int, batch_size: int = 8,
 
         return jax.vmap(one)(events, mask)
 
-    def _gen(k, fp=fresh_prob):
+    def _gen(k, fp=fresh_prob, am=age_max):
         return simulate_flow_batch(k, batch_size, (H, W), capacity,
                                    v_max=v_max, window_t=window_t,
                                    num_frames=num_frames,
                                    omega_max=omega_max, s_max=s_max,
                                    burn_in=burn_in, fresh_prob=fp,
+                                   age_max=am,
                                    return_saturation=True)
 
     def _gen_eval(k):
-        return _gen(k, fp=0.0)   # eval regime pinned steady-state
+        return _gen(k, fp=0.0, am=0.0)  # pinned steady-state, age-0
 
     mesh = getattr(trainer, "mesh", None)
     if mesh is not None:

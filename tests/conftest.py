@@ -12,6 +12,9 @@ os.environ["JAX_PLATFORMS"] = "cpu"  # force: the ambient env may point at TPU
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+# Silence XLA:CPU AOT-loader feature-string chatter when reloading persistent
+# cache entries (formatting-only mismatch on the same machine).
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 
 # Some pytest plugins (jaxtyping) import jax before conftest runs, so the env
 # vars above can come too late; jax.config still works until a backend
@@ -19,6 +22,21 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent XLA compilation cache: the fast CI lane is compile-dominated
+# (e.g. the EVFlowNet forward smoke is ~11 s cold vs ~1.4 s warm, verified
+# bit-identical outputs), and CI re-runs identical programs every time.
+# The cache lives OUTSIDE the repo and is keyed on program + jax/XLA
+# version, so upgrades recompile automatically. Opt out with
+# EVENT_UTILS_TPU_TEST_CACHE=0 (e.g. when bisecting compiler issues).
+# NB keep this a single-process cache consumer: concurrent jax processes
+# sharing one cache dir have deadlocked on the file lock before.
+if os.environ.get("EVENT_UTILS_TPU_TEST_CACHE", "1") != "0":
+    _cache_dir = os.environ.get(
+        "EVENT_UTILS_TPU_TEST_CACHE_DIR",
+        os.path.expanduser("~/.cache/event_utils_tpu_test_xla"))
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

@@ -717,3 +717,63 @@ def test_in_the_loop_carry_segments_runs(rng):
     assert len(losses) == 4 and np.isfinite(losses).all()
     assert tr.step == 4
     assert len(curve) == 1
+
+
+def test_simulate_flow_batch_gt_matches_render_advected_center():
+    """The similarity family's TRUE field has an ADVECTED center:
+    u(p, t) = v + (omega J + s)(p - c - v t). Verify via the optical-flow
+    constraint that backward-warping the render by the corrected field
+    explains frame motion at an aged window far better than the stale
+    t = 0 field (r5 fix: old steady-window supervision carried ~10 px/s
+    of systematic label noise)."""
+    import jax
+    import jax.numpy as jnp
+
+    from event_utils_tpu.simulation.esim import smooth_texture
+    from event_utils_tpu.training.in_the_loop import _render_similarity
+
+    H = W = 64
+    tex = smooth_texture(jax.random.PRNGKey(1), (H, W), octaves=3)
+    v = jnp.asarray([24.0, -15.0])
+    om, s = 4.0, 0.35
+    t_ref, dt = 1.3, 1e-3
+    r0 = _render_similarity(tex, v, om, s, jnp.float32(t_ref))
+    r1 = _render_similarity(tex, v, om, s, jnp.float32(t_ref + dt))
+    cy, cx = (H - 1) / 2.0, (W - 1) / 2.0
+    yy, xx = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32) - cy,
+                          jnp.arange(W, dtype=jnp.float32) - cx,
+                          indexing="ij")
+    rx = xx - v[0] * t_ref
+    ry = yy - v[1] * t_ref
+    u = v[0] - om * ry + s * rx
+    w = v[1] + om * rx + s * ry
+
+    def residual(uu, ww):
+        samp = jax.scipy.ndimage.map_coordinates(
+            r1, [yy + cy + ww * dt, xx + cx + uu * dt], order=1,
+            mode="wrap")
+        return float(jnp.abs(samp - r0)[8:-8, 8:-8].mean())
+
+    err_corrected = residual(u, w)
+    err_stale = residual(v[0] - om * yy + s * xx, v[1] + om * xx + s * yy)
+    assert err_corrected < 0.35 * err_stale, (err_corrected, err_stale)
+
+
+def test_simulate_flow_batch_age_and_mix_defaults_bitwise():
+    """age_max=0 / fresh_prob=0 must keep the historical RNG stream
+    bit-for-bit (fold_in keys only when the features are on)."""
+    import jax
+    import jax.numpy as jnp
+
+    from event_utils_tpu.training.in_the_loop import simulate_flow_batch
+
+    k = jax.random.PRNGKey(5)
+    kw = dict(batch_size=2, sensor_size=(32, 32), capacity=4096,
+              omega_max=6.0, s_max=0.6, burn_in=1, return_saturation=True)
+    a = simulate_flow_batch(k, **kw)
+    b = simulate_flow_batch(k, age_max=0.0, fresh_prob=0.0, **kw)
+    assert all(bool(jnp.allclose(x, y)) for x, y in zip(a, b))
+    # widened diet produces valid, differently-masked batches
+    c = simulate_flow_batch(k, age_max=1.5, fresh_prob=0.5, **kw)
+    assert float(c[1].sum()) > 0
+    assert not bool(jnp.allclose(a[1], c[1]))
