@@ -63,11 +63,12 @@ def time_all_rois(xs, ys, ts, ps):
                                          (H, W), 1.0)
                     if v < best_v:
                         best, best_v = np.array([vx, vy]), v
-            opt.fmin_bfgs(np_variance_loss, best,
-                          args=(rxs, rys, rts, rps, (H, W), 1.0),
-                          epsilon=1, disp=False, maxiter=30)
+            params = opt.fmin_bfgs(np_variance_loss, best,
+                                   args=(rxs, rys, rts, rps, (H, W), 1.0),
+                                   epsilon=1, disp=False, maxiter=30)
             rows.append({"yc": yc, "xc": xc, "n_events": int(sel.sum()),
-                         "seconds": round(time.perf_counter() - t0, 4)})
+                         "seconds": round(time.perf_counter() - t0, 4),
+                         "params": [round(float(p), 3) for p in params]})
     return rows
 
 
@@ -86,6 +87,14 @@ def main():
     rows = time_all_rois(xs, ys, ts, ps)
     wall = time.perf_counter() - t0
     secs = np.array([r["seconds"] for r in rows])
+    # reference all-ROI flow error vs the analytic rotation-field GT — the
+    # pinned counterpart of bench.py's all-ROI "ours" accuracy row
+    omega, ccx, ccy = 1.2, W / 2, H / 2
+    errs = []
+    for r in rows:
+        ctr_x, ctr_y = r["xc"] + ROI[1] / 2, r["yc"] + ROI[0] / 2
+        gt = np.array([-omega * (ctr_y - ccy), omega * (ctr_x - ccx)])
+        errs.append(float(np.linalg.norm(np.array(r["params"]) - gt)))
     out = {
         "scene": {"seed": 0, "n_events_requested": N_EVENTS,
                   "n_events": len(xs), "t_max": T_MAX,
@@ -97,6 +106,8 @@ def main():
         "per_roi_mean_s": round(float(secs.mean()), 4),
         "per_roi_p10_s": round(float(np.percentile(secs, 10)), 4),
         "per_roi_p90_s": round(float(np.percentile(secs, 90)), 4),
+        "flow_err_median_px": round(float(np.median(errs)), 2),
+        "flow_err_mean_px": round(float(np.mean(errs)), 2),
         "rois": rows,
         "host": {"machine": platform.machine(),
                  "processor": platform.processor(),
