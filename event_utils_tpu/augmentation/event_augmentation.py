@@ -331,8 +331,9 @@ def add_correlated_events_jax(key, xs, ys, ts, ps, mask=None,
     readers keep int16/int32), the four payload fields pack losslessly
     into ONE int32 word (14-bit x, 14-bit y, polarity sign, mask bit) and
     the sort carries 2 operands instead of 6 — the sort's cost on TPU is
-    ~proportional to total payload bytes (measured: 77 -> >100 Mev/s for
-    the full densify on v5e-1). Timestamps are reconstructed from the sort
+    ~proportional to total payload bytes (measured on v5e-1: the full
+    sorted densify at 2M events goes 77 -> 270 Mev/s median / 311 best).
+    Timestamps are reconstructed from the sort
     key itself (key == t for valid slots; pad slots return the stream's
     time origin with mask 0). The packed path assumes polarity in {-1, +1}
     (zeros read
