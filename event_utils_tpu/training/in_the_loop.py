@@ -39,11 +39,20 @@ def _render_translating(texture: Array, v: Array, t: Array) -> Array:
 
 
 def _render_similarity(texture: Array, v: Array, omega: Array, s: Array,
-                       t: Array) -> Array:
+                       t: Array, age: Array | float = 0.0) -> Array:
     """Similarity-motion render (traced params): translation ``v`` px/s +
     rotation ``omega`` rad/s + divergence ``s`` 1/s about the sensor
     center — the xyztheta motion family. Reduces to
-    :func:`_render_translating` at ``omega = s = 0``."""
+    :func:`_render_translating` at ``omega = s = 0``.
+
+    ``age`` shifts the ROTATION/SCALE clock only (angle ``omega (t+age)``,
+    scale ``e^{s (t+age)}``) while translation stays on ``t``: the
+    texture is aged — rotated/rescaled as a long-running recording's
+    would be — without advecting the field center by ``v * age`` px
+    (aging the full composed motion inflated training-field magnitudes
+    ~|v| age |omega, s| — measured +4 px/s AEE on the r5 stage-6 file
+    eval). The instantaneous field is ``v + (omega J + s)(p - c - v t)``
+    regardless of ``age``."""
     H, W = texture.shape
     cy, cx = (H - 1) / 2.0, (W - 1) / 2.0
     yy, xx = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
@@ -52,10 +61,11 @@ def _render_similarity(texture: Array, v: Array, omega: Array, s: Array,
     # translation, then the rotation, then the exponential scaling
     x0 = xx - cx - v[0] * t
     y0 = yy - cy - v[1] * t
-    c, sn = jnp.cos(omega * t), jnp.sin(omega * t)
+    t_rs = t + age
+    c, sn = jnp.cos(omega * t_rs), jnp.sin(omega * t_rs)
     xr = c * x0 + sn * y0
     yr = -sn * x0 + c * y0
-    f = jnp.exp(-s * t)
+    f = jnp.exp(-s * t_rs)
     return jax.scipy.ndimage.map_coordinates(
         texture, [cy + yr * f, cx + xr * f], order=1, mode="wrap")
 
@@ -111,14 +121,18 @@ def simulate_flow_batch(key: Array, batch_size: int,
     the other; mixing trains both in one set of weights. ``fresh_prob=0``
     keeps the historical RNG stream bit-for-bit.
 
-    ``age_max`` (seconds): per-element SCENE-AGE jitter — frames render at
-    ``age + t`` with ``age ~ U[0, age_max]`` (event timestamps unchanged).
+    ``age_max`` (seconds): per-element SCENE-AGE jitter — the rotation/
+    scale clock shifts by ``age ~ U[0, age_max]`` (event timestamps and
+    the translation clock unchanged; see :func:`_render_similarity`).
     A similarity scene's texture scales by ``e^{s*age}`` and a continuous
     recording's windows run to ages the fresh-scene diet never shows
     (MEASURED r5: the seed-91 eval recording's per-window AEE climbs
     25 -> 49 px/s over 2 s of divergence-driven texture drift at
-    ``s = 0.35``). Costs nothing (same frame count). Default 0 keeps the
-    RNG stream and rendering bit-for-bit.
+    ``s = 0.35``). Aging only the rotation/scale clock keeps field
+    magnitudes bounded — aging the full composed motion advected the
+    field center by ``v*age`` and REGRESSED the file eval 33.2 -> 37.0
+    px/s (r5 stage 6). Costs nothing (same frame count). Default 0 keeps
+    the RNG stream and rendering bit-for-bit.
 
     GT correctness under composition (r5 fix): with translation composed,
     the similarity field's instantaneous center ADVECTS — the true field
@@ -159,9 +173,9 @@ def simulate_flow_batch(key: Array, batch_size: int,
         fresh = jnp.asarray(False)
         if burn_in and fresh_prob:
             fresh = jax.random.uniform(jax.random.fold_in(k, 17)) < fresh_prob
-        render_ts = fts + age if age_max else fts
         frames = jax.vmap(
-            lambda t: _render_similarity(tex, v, ws[0], ws[1], t))(render_ts)
+            lambda t: _render_similarity(tex, v, ws[0], ws[1], t,
+                                         age=age))(fts)
         ev, mask, overflow = simulate_events_device(
             frames, fts, capacity, cfg, key=k_sim, return_overflow=True)
         kept_t0 = jnp.float32(0.0)    # kept window's start (event clock)
@@ -181,12 +195,12 @@ def simulate_flow_batch(key: Array, batch_size: int,
             gt = v
         else:
             # TRUE dense field of the composed similarity motion at the
-            # kept window's start (scene clock age + kept_t0): the
-            # instantaneous center is the sensor center advected by the
-            # translation, u(p, t) = v + (omega J + s)(p - c - v t)
-            # (the t = 0 field is only correct for the fresh window at
-            # age 0 — see docstring)
-            t_ref = age + kept_t0
+            # kept window's start: the instantaneous center is the sensor
+            # center advected by the translation,
+            # u(p, t) = v + (omega J + s)(p - c - v t). ``age`` shifts
+            # only the rotation/scale clock (see _render_similarity), so
+            # it does NOT enter the advection.
+            t_ref = kept_t0
             cy, cx = (H - 1) / 2.0, (W - 1) / 2.0
             yy, xx = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32) - cy,
                                   jnp.arange(W, dtype=jnp.float32) - cx,
