@@ -139,6 +139,7 @@ def test_npy_dataset(tmp_path, rng):
     assert set(np.unique(item["events"][:, 3])) <= {-1.0, 1.0}
 
 
+@pytest.mark.slow  # multi-dataset assembly; single-dataset windowing tests stay fast
 def test_concat_dataset(h5_path):
     vm = {"method": "k_events", "k": 2000, "sliding_window_w": 0}
     d1 = DynamicH5Dataset(h5_path, voxel_method=vm, return_frame=False,

@@ -28,6 +28,7 @@ def test_baf_exact_semantics():
     assert keep.tolist() == [True, True, False, False]
 
 
+@pytest.mark.slow  # BAF kernel variant compile; exact-semantics test keeps fast coverage
 def test_baf_center_exclusion_blocks_self_support():
     # a lone pixel bursting rapidly: never valid with the centre excluded
     # (a hot pixel cannot validate itself); with include_center, support

@@ -759,6 +759,7 @@ def test_simulate_flow_batch_gt_matches_render_advected_center():
     assert err_corrected < 0.35 * err_stale, (err_corrected, err_stale)
 
 
+@pytest.mark.slow  # three full sims; the gt-matches and contract tests keep fast coverage
 def test_simulate_flow_batch_age_and_mix_defaults_bitwise():
     """age_max=0 / fresh_prob=0 must keep the historical RNG stream
     bit-for-bit (fold_in keys only when the features are on)."""

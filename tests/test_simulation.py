@@ -524,6 +524,7 @@ def test_hot_pixels_found_by_remove_hot_pixels():
     assert (on_hot > 0).mean() > 0.9
 
 
+@pytest.mark.slow  # noise statistics; other noise tests stay fast
 def test_shot_noise_is_random_polarity():
     frames = np.full((51, 12, 12), 0.4, np.float32)
     fts = np.linspace(0.0, 1.0, 51)

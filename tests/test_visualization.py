@@ -44,17 +44,33 @@ def test_plot_voxel_grid_3d(tmp_path, rng):
 
 
 def test_visualizer_registry(tmp_path, rng):
+    """Registry dispatch + error path + one real render (the other two
+    renders are the slow-marked test below — each is a dpi-600 mpl save)."""
     from event_utils_tpu.visualization import get_visualizer
     xs, ys, ts, ps = make_events(rng, n=600, sensor=SENSOR)
     data = {"events": np.stack([xs, ys, ts, ps], 1),
             "frame": [], "frame_ts": []}
-    for name in ("event_image", "ts_image", "voxel_image"):
+    viz = get_visualizer("event_image", SENSOR)
+    out = str(tmp_path / "event_image.png")
+    viz.plot_events(data, out)
+    assert os.path.getsize(out) > 500
+    for name in ("ts_image", "voxel_image"):
+        assert get_visualizer(name, SENSOR) is not None
+    with pytest.raises(KeyError):
+        get_visualizer("nope", SENSOR)
+
+
+@pytest.mark.slow  # two more dpi-600 matplotlib renders
+def test_visualizer_registry_all_render(tmp_path, rng):
+    from event_utils_tpu.visualization import get_visualizer
+    xs, ys, ts, ps = make_events(rng, n=600, sensor=SENSOR)
+    data = {"events": np.stack([xs, ys, ts, ps], 1),
+            "frame": [], "frame_ts": []}
+    for name in ("ts_image", "voxel_image"):
         viz = get_visualizer(name, SENSOR)
         out = str(tmp_path / f"{name}.png")
         viz.plot_events(data, out)
         assert os.path.getsize(out) > 500
-    with pytest.raises(KeyError):
-        get_visualizer("nope", SENSOR)
 
 
 def test_motion_compensate(tmp_path, rng):
