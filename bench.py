@@ -236,6 +236,11 @@ def bench_tiled_sensors(runs: int = 2):
     from event_utils_tpu.ops.pallas_scatter import voxel_matmul_tiles
 
     tile, chunk, iters = (96, 128), 4096, 8
+    # A tunnel hiccup during the base-loop measurement floors the
+    # subtraction at 1e-9 s and prints ~2e9 Mev/s (observed); anything
+    # above this ceiling (1.5x the best tile-local rate ever measured,
+    # ~1200 Mev/s) is a harness artifact — drop and retry.
+    ceiling = 1800.0
     out = {}
     for sname, sensor in (("davis346", (260, 346)), ("vga", (480, 640)),
                           ("720p", (720, 1280))):
@@ -248,13 +253,21 @@ def bench_tiled_sensors(runs: int = 2):
                                       jnp.float32(0.0), jnp.float32(0.1),
                                       chunk=chunk)
 
-        rates = [n_eff / time_tiled_loop(
-            fn, T, cap, tile, iters=iters,
-            seed=int(time.time() * 1000) % (1 << 20) + 31 * r) / 1e6
-            for r in range(runs)]
-        out[sname] = round(float(np.median(rates)), 1)
-        log(f"tiled voxel {sname} {sensor}: median {out[sname]:.0f} Mev/s "
-            f"(runs {[round(r) for r in rates]})")
+        rates, attempts = [], 0
+        while len(rates) < runs and attempts < runs + 3:
+            r = n_eff / time_tiled_loop(
+                fn, T, cap, tile, iters=iters,
+                seed=int(time.time() * 1000) % (1 << 20) + 31 * attempts) / 1e6
+            attempts += 1
+            if r <= ceiling:
+                rates.append(r)
+            else:
+                log(f"tiled voxel {sname}: dropped implausible run "
+                    f"{r:.0f} Mev/s (harness floor artifact)")
+        out[sname] = round(float(np.median(rates)), 1) if rates else None
+        log(f"tiled voxel {sname} {sensor}: median "
+            f"{out[sname] if out[sname] is not None else 'n/a'} Mev/s "
+            f"(plausible runs {[round(r) for r in rates]})")
     return out
 
 
@@ -370,11 +383,18 @@ def main():
     # when a tunnel hiccup inflated one run within the 2x-median cap).
     _ceiling = {"hilo": 700.0, "int8": 700.0, "bf16": 1050.0}
 
+    # 1.15x: the idle chip sustains a median ~8% ABOVE the 700 Mev/s FLOP
+    # model (753 measured r5 — boost clocks or a conservative model), so a
+    # 1.05x ceiling was filtering real runs; 985-Mev/s-class artifacts
+    # still land far outside 1.15x.
+    _ceiling_factor = 1.15
+
     def robust_best(runs, prec):
         med = float(np.median(runs))
-        cap = min(2.0 * med, 1.05 * _ceiling[prec])
+        cap = min(2.0 * med, _ceiling_factor * _ceiling[prec])
         dropped_ceiling = [r for r in runs
-                           if r > 1.05 * _ceiling[prec] and r <= 2.0 * med]
+                           if r > _ceiling_factor * _ceiling[prec]
+                           and r <= 2.0 * med]
         if dropped_ceiling:
             # a run above the FLOP roofline is a harness artifact, but log
             # it: a kernel that legitimately beat the ceiling would

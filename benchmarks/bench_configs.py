@@ -101,12 +101,33 @@ def config2_images(xs, ys, ts, ps):
         tx, ty, tp, sensor_size=(H, W), clip_out_of_range=True,
         interpolation="bilinear", padding=True))
     ref_img = len(xs) / sec_img / 1e6
-    img_runs = [throughput_mevs(
+
+    def runs_capped(fn, n, iters, cap, label, want=3):
+        """Up to ``want`` plausible runs: the K=1 image kernel is fast
+        enough that the harness's base-loop subtraction is noise-limited
+        (a run above 1.15x the FLOP roofline is an artifact — observed
+        1459-1798 Mev/s against a 700 bound); drop and retry."""
+        out, attempts = [], 0
+        while len(out) < want and attempts < want + 3:
+            r = throughput_mevs(fn, n, (H, W), iters=iters,
+                                seed=int(time.time() * 1000) % (1 << 20)
+                                + 31 * attempts)
+            attempts += 1
+            if r <= 1.15 * cap:
+                out.append(r)
+            else:
+                log(f"[2] {label}: dropped implausible run {r:.0f} Mev/s "
+                    "(harness subtraction artifact)")
+        return out or [float("nan")]
+
+    img_roof, ts_roof = 700.0, 175.0
+    # 2M events x 16 iters: keep kernel time >> tunnel timing noise for
+    # the fast K=1 kernel
+    img_runs = runs_capped(
         lambda x, y, t, p: bilinear_matmul(x.astype(np.float32) + 0.3,
                                            y.astype(np.float32) + 0.2,
                                            p, (H + 1, W + 1)),
-        N, (H, W), iters=8, seed=int(time.time() * 1000) % (1 << 20) + 31 * r)
-        for r in range(3)]
+        N * 2, 16, img_roof, "event image")
 
     sec_ts, _ = timed(lambda: events_to_timestamp_image(
         xs, ys, ts, ps, sensor_size=(H, W)))
@@ -117,10 +138,7 @@ def config2_images(xs, ys, ts, ps):
                                  t, p, sensor_size=(H, W), impl="matmul")
         return pos + neg
 
-    ts_runs = [throughput_mevs(ts_img, N, (H, W), iters=8,
-                               seed=int(time.time() * 1000) % (1 << 20)
-                               + 31 * r)
-               for r in range(3)]
+    ts_runs = runs_capped(ts_img, N, 8, ts_roof, "timestamp image")
     # Roofline invariants (v5e bf16 peak ~197 TFLOP/s): both rows are the
     # SAME hilo one-hot matmul as the voxel kernel — 3 matmuls/chunk of
     # (HP=184, C) x (C, WP=256) per channel: the (181, 241) padded event
@@ -128,7 +146,6 @@ def config2_images(xs, ys, ts, ps):
     # K=1 event image -> ~700 Mev/s bound; K=4 timestamp image -> 700/4 =
     # 175 Mev/s. Read cross-round numbers against these fractions — session
     # noise moves Mev/s, the FLOP bound doesn't.
-    img_roof, ts_roof = 700.0, 175.0
     ours_img, img_med = max(img_runs), float(np.median(img_runs))
     ours_ts, ts_med = max(ts_runs), float(np.median(ts_runs))
     log(f"[2] event image: reference {ref_img:.1f} -> ours {ours_img:.0f} "
@@ -204,10 +221,20 @@ def config3_augmentation(xs, ys, ts, ps):
         ox, oy, ot, op, om = add_correlated_events_jax(
             jax.random.PRNGKey(0), dx, dy, dt, dp, sort=True)
         return ot * om
-    sorted_runs = [throughput_mevs(
-        densify_device_sorted, N, (H, W), iters=4,
-        seed=int(time.time() * 1000) % (1 << 20) + 31 * r)
-        for r in range(3)]
+    # plausibility cap (no clean FLOP roofline for a sort; the packed
+    # 2-operand sort measures ~230-310 Mev/s on v5e-1 — a 1500+ run is the
+    # same base-loop subtraction artifact the image rows guard against)
+    sorted_runs, attempts = [], 0
+    while len(sorted_runs) < 3 and attempts < 6:
+        r = throughput_mevs(
+            densify_device_sorted, N, (H, W), iters=8,
+            seed=int(time.time() * 1000) % (1 << 20) + 31 * attempts)
+        attempts += 1
+        if r <= 1500.0:
+            sorted_runs.append(r)
+        else:
+            log(f"[3] sorted densify: dropped implausible run {r:.0f} Mev/s")
+    sorted_runs = sorted_runs or [float("nan")]
     dev_sorted = max(sorted_runs)
     dev_sorted_med = float(np.median(sorted_runs))
 
