@@ -110,7 +110,8 @@ def simulate_flow_batch(key: Array, batch_size: int,
     magnitude ~1.7x on every continuous recording window past the first
     (``infer_flow --eval_gt``). Size ``capacity`` for the TOTAL simulated
     duration — the returned mask keeps only the final window's events
-    (the similarity field is time-invariant, so ``gt`` is unchanged).
+    (``gt`` is evaluated at the kept window's start — see the GT
+    paragraph below).
 
     ``fresh_prob`` (needs ``burn_in`` >= 1): MIXED-regime training — each
     batch element independently keeps the FIRST (fresh-sensor) window with
@@ -138,7 +139,9 @@ def simulate_flow_batch(key: Array, batch_size: int,
     the similarity field's instantaneous center ADVECTS — the true field
     at time t is ``v + (omega J + s)(p - c - v t)``, NOT the t = 0 field.
     ``gt`` is therefore evaluated at the KEPT window's start time
-    (``age + kept_window * window_t``); the old t = 0 supervision carried
+    (``kept_window * window_t`` on the event clock; ``age`` shifts only
+    the rotation/scale clock and does not enter the advection); the old
+    t = 0 supervision carried
     ~|v| * t * |(omega, s)| ~ 10 px/s of systematic label noise on
     steady-state windows at the family caps.
 
